@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Reference-parity relational operators (SURVEY.md §2) re-targeted onto the
+  * harness TPC-H-ish tables. Each named query exercises one operator family
+  * from the reference (`/root/reference/RDataFramesSQL.Rmd`), re-expressed
+  * Spark-first, and has a DuckDB oracle in [[oracleSql]].
+  *
+  * Determinism contract (driver hash-compares vs DuckDB):
+  *   - every query ends in a total ORDER BY (unique tie-break key);
+  *   - aggregate doubles are `round(_, 2)` on both sides;
+  *   - integer sums are cast to BIGINT on the DuckDB side (DuckDB promotes
+  *     SUM(int) to HUGEINT, Spark to LongType);
+  *   - year/hour breakdowns are formatted as strings on both sides (the
+  *     reference keeps Year as text — SURVEY.md §1.4, RDataFramesSQL.Rmd:75).
+  *
+  * Scale notes: dimension sides of joins are explicitly `broadcast(...)`;
+  * aggregations run before joins so shuffles carry pre-aggregated rows;
+  * filters sit directly on scans so Catalyst pushes them to parquet.
+  */
+object RelationalQueries {
+
+  /** Ex1 analogue (RDataFramesSQL.Rmd:70-133 "most-upvoted question per
+    * year"): filter-free 2-key group-count, year extraction from a
+    * timestamp, dim join, deterministic per-group arg-max via row_number
+    * (SURVEY.md §2.5 arg-max row: row_number chosen over max_by for
+    * deterministic ties). */
+  def q1ArgmaxPerYear(s: SparkSession, dir: String): DataFrame = {
+    val perCustYear = Tables.orders(s, dir)
+      .select(date_format(col("o_orderdate"), "yyyy").as("o_year"), col("o_custkey"))
+      .groupBy(col("o_year"), col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val w = Window.partitionBy(col("o_year"))
+      .orderBy(col("order_cnt").desc, col("c_name").asc)
+    perCustYear
+      .join(broadcast(cust), perCustYear("o_custkey") === cust("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_year"), col("c_name"), col("order_cnt"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Ex2 analogue (RDataFramesSQL.Rmd:171-247 "top-10 users by total
+    * favorites"): multi-aggregate per key (sum/count/max) + arg-max of a
+    * companion column + dim join + sort-desc + limit. */
+  def q2Top10MultiAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val agg = orders.groupBy(col("o_custkey")).agg(
+      sum(col("o_totalprice")).as("total_spent_raw"),
+      count(lit(1)).as("order_cnt"),
+      max(col("o_totalprice")).as("max_price_raw"))
+    // arg-max: priority of the customer's highest-priced order, orderkey tie-break
+    val wTop = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val top = orders
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("t_custkey"), col("o_orderpriority").as("top_priority"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    agg.join(top, agg("o_custkey") === top("t_custkey"))
+      .join(broadcast(cust), agg("o_custkey") === cust("c_custkey"))
+      .orderBy(col("total_spent_raw").desc, col("c_name").asc)
+      .limit(10)
+      .select(
+        col("c_name"),
+        col("order_cnt"),
+        round(col("total_spent_raw"), 2).as("total_spent"),
+        round(col("max_price_raw"), 2).as("max_price"),
+        col("top_priority"))
+  }
+
+  /** Ex3 analogue (RDataFramesSQL.Rmd:283-352 "top-10 questions by count of
+    * positively-scored answers"): conjunctive filter, group-count derived
+    * table, join back to the filtered base table, sort-desc, limit. */
+  def q3JoinGroupCount(s: SparkSession, dir: String): DataFrame = {
+    val bigItems = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 30)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("big_item_cnt"))
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    orders.join(bigItems, orders("o_orderkey") === bigItems("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("big_item_cnt"))
+      .orderBy(col("big_item_cnt").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Ex4 analogue (RDataFramesSQL.Rmd:390-478 "best answer beats accepted by
+    * >50"): grouped-max derived table, 3-way join chain, derived arithmetic
+    * column, filter on the derived column (the alias-in-WHERE SQLite
+    * extension at RDataFramesSQL.Rmd:411 — rewritten as a post-join filter,
+    * SURVEY.md §2.2), sort on the derived column. */
+  def q4DerivedDiffFilter(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val maxPrice = li.groupBy(col("l_orderkey").as("m_orderkey"))
+      .agg(max(col("l_extendedprice")).as("max_price"))
+    val firstLine = li.filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("f_orderkey"), col("l_extendedprice").as("first_price"))
+    val orders = Tables.orders(s, dir).select(col("o_orderkey"))
+    orders
+      .join(maxPrice, col("o_orderkey") === col("m_orderkey"))
+      .join(firstLine, col("o_orderkey") === col("f_orderkey"))
+      .withColumn("price_gap", col("max_price") - col("first_price"))
+      .filter(col("price_gap") > 50000)
+      .select(
+        col("o_orderkey"),
+        round(col("max_price"), 2).as("max_price"),
+        round(col("first_price"), 2).as("first_price"),
+        round(col("price_gap"), 2).as("price_gap"))
+      .orderBy(col("price_gap").desc, col("o_orderkey").asc)
+  }
+
+  /** Ex5 analogue (RDataFramesSQL.Rmd:516-570 "composite-key join"): two
+    * derived aggregates joined on a composite (custkey, year) key, then a
+    * dim join, sort-desc, limit. Mirrors Comments(PostId,UserId) ⋈
+    * Posts(Id,OwnerUserId) at RDataFramesSQL.Rmd:529. */
+  def q5CompositeKeyJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy").as("o_year"),
+        col("o_totalprice"))
+    val cnt = orders.groupBy(col("o_custkey"), col("o_year"))
+      .agg(count(lit(1)).as("order_cnt"))
+    val spend = orders.groupBy(col("o_custkey").as("s_custkey"), col("o_year").as("s_year"))
+      .agg(sum(col("o_totalprice")).as("year_spend_raw"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    cnt.join(spend,
+        cnt("o_custkey") === spend("s_custkey") && cnt("o_year") === spend("s_year"))
+      .join(broadcast(cust), cnt("o_custkey") === cust("c_custkey"))
+      .orderBy(col("year_spend_raw").desc, col("c_name").asc, col("o_year").asc)
+      .limit(10)
+      .select(col("c_name"), col("o_year"), col("order_cnt"),
+        round(col("year_spend_raw"), 2).as("year_spend"))
+  }
+
+  /** Ex6 analogue (RDataFramesSQL.Rmd:607-668 "users holding rare gold
+    * badges"): IN-subquery as left-semi join, HAVING COUNT BETWEEN, join to
+    * dims, SELECT DISTINCT. */
+  def q6SemiJoinHavingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+    // Scale-free "rare badge" analogue: rank brands by part count and keep
+    // ranks 3..12 (BETWEEN on a post-aggregate value; a fixed count range
+    // would select nothing as SF grows). The unpartitioned window runs on
+    // the ~25-row post-aggregate, not the base table.
+    val midBrands = part.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("p_brand").asc)))
+      .filter(col("rnk").between(3, 12))
+      .select(col("p_brand"))
+    val midParts = part.join(midBrands, Seq("p_brand"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"))
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+    li.join(broadcast(midParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_brand"), col("s_suppkey"), col("s_name"))
+      .distinct()
+      .orderBy(col("p_brand").asc, col("s_suppkey").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_argmax_per_year"    -> q1ArgmaxPerYear _,
+    "q2_top10_multiagg"     -> q2Top10MultiAgg _,
+    "q3_join_groupcount"    -> q3JoinGroupCount _,
+    "q4_derived_diff_filter" -> q4DerivedDiffFilter _,
+    "q5_composite_key_join" -> q5CompositeKeyJoin _,
+    "q6_semijoin_having_distinct" -> q6SemiJoinHavingDistinct _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_argmax_per_year" ->
+      """WITH per AS (
+        |  SELECT strftime(o_orderdate, '%Y') AS o_year, o_custkey, count(*) AS order_cnt
+        |  FROM orders GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT per.o_year, c.c_name, per.order_cnt,
+        |         row_number() OVER (PARTITION BY per.o_year
+        |                            ORDER BY per.order_cnt DESC, c.c_name ASC) AS rn
+        |  FROM per JOIN customer c ON c.c_custkey = per.o_custkey
+        |)
+        |SELECT o_year, c_name, order_cnt FROM ranked WHERE rn = 1 ORDER BY o_year""".stripMargin,
+    "q2_top10_multiagg" ->
+      """WITH agg AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS total_spent_raw,
+        |         count(*) AS order_cnt, max(o_totalprice) AS max_price_raw
+        |  FROM orders GROUP BY 1
+        |), top AS (
+        |  SELECT o_custkey, o_orderpriority AS top_priority
+        |  FROM (SELECT o_custkey, o_orderpriority,
+        |               row_number() OVER (PARTITION BY o_custkey
+        |                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |        FROM orders) WHERE rn = 1
+        |)
+        |SELECT c.c_name, agg.order_cnt,
+        |       round(agg.total_spent_raw, 2) AS total_spent,
+        |       round(agg.max_price_raw, 2) AS max_price,
+        |       top.top_priority
+        |FROM agg JOIN top USING (o_custkey)
+        |         JOIN customer c ON c.c_custkey = agg.o_custkey
+        |ORDER BY agg.total_spent_raw DESC, c.c_name ASC LIMIT 10""".stripMargin,
+    "q3_join_groupcount" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, count(*) AS big_item_cnt
+        |  FROM lineitem WHERE l_quantity > 30 GROUP BY 1
+        |)
+        |SELECT o.o_orderkey, o.o_totalprice, big.big_item_cnt
+        |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |ORDER BY big.big_item_cnt DESC, o.o_orderkey ASC LIMIT 10""".stripMargin,
+    "q4_derived_diff_filter" ->
+      """WITH mx AS (
+        |  SELECT l_orderkey, max(l_extendedprice) AS max_price
+        |  FROM lineitem GROUP BY 1
+        |), fst AS (
+        |  SELECT l_orderkey, l_extendedprice AS first_price
+        |  FROM lineitem WHERE l_linenumber = 1
+        |)
+        |SELECT o.o_orderkey,
+        |       round(mx.max_price, 2) AS max_price,
+        |       round(fst.first_price, 2) AS first_price,
+        |       round(mx.max_price - fst.first_price, 2) AS price_gap
+        |FROM orders o
+        |JOIN mx ON o.o_orderkey = mx.l_orderkey
+        |JOIN fst ON o.o_orderkey = fst.l_orderkey
+        |WHERE mx.max_price - fst.first_price > 50000
+        |ORDER BY mx.max_price - fst.first_price DESC, o.o_orderkey ASC""".stripMargin,
+    "q5_composite_key_join" ->
+      """WITH cnt AS (
+        |  SELECT o_custkey, strftime(o_orderdate, '%Y') AS o_year, count(*) AS order_cnt
+        |  FROM orders GROUP BY 1, 2
+        |), spend AS (
+        |  SELECT o_custkey, strftime(o_orderdate, '%Y') AS o_year,
+        |         sum(o_totalprice) AS year_spend_raw
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT c.c_name, cnt.o_year, cnt.order_cnt,
+        |       round(spend.year_spend_raw, 2) AS year_spend
+        |FROM cnt
+        |JOIN spend ON cnt.o_custkey = spend.o_custkey AND cnt.o_year = spend.o_year
+        |JOIN customer c ON c.c_custkey = cnt.o_custkey
+        |ORDER BY spend.year_spend_raw DESC, c.c_name ASC, cnt.o_year ASC LIMIT 10""".stripMargin,
+    "q6_semijoin_having_distinct" ->
+      """WITH mid AS (
+        |  SELECT p_brand FROM (
+        |    SELECT p_brand,
+        |           row_number() OVER (ORDER BY count(*) DESC, p_brand ASC) AS rnk
+        |    FROM part GROUP BY p_brand
+        |  ) WHERE rnk BETWEEN 3 AND 12
+        |)
+        |SELECT DISTINCT p.p_brand, s.s_suppkey, s.s_name
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE p.p_brand IN (SELECT p_brand FROM mid)
+        |ORDER BY p.p_brand ASC, s.s_suppkey ASC""".stripMargin,
+  )
+}

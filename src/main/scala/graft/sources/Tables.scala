@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the harness-generated TPC-H-ish parquet tables (see repo
+  * TESTDATA.md): `region nation customer supplier part orders lineitem
+  * events documents embeddings`, one parquet file per table under a
+  * scale-factor directory.
+  *
+  * Design notes for scale (100 TB north-star):
+  *   - Readers return lazy DataFrames; column pruning + predicate pushdown
+  *     reach the parquet scan because nothing is materialized here.
+  *   - `dim()` wraps the small dimension tables so call-sites can decide to
+  *     broadcast them explicitly (region/nation/supplier/part/customer are
+  *     all tiny relative to the fact tables at any SF).
+  */
+object Tables {
+  val factNames = Seq("lineitem", "orders", "events", "documents", "embeddings")
+  val dimNames  = Seq("region", "nation", "customer", "supplier", "part")
+  val allNames: Seq[String] = dimNames ++ factNames
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame   = apply(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame   = apply(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame   = apply(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame       = apply(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "region")
+  def events(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
+
+  /** Register every table as a temp view (the sqldf/`createOrReplaceTempView`
+    * analogue from SURVEY.md §1.4) so `spark.sql` front-ends see the same
+    * catalog DuckDB sees. */
+  def registerAll(s: SparkSession, dir: String): Unit =
+    allNames.foreach(n => apply(s, dir, n).createOrReplaceTempView(n))
+}
