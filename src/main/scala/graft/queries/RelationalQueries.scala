@@ -19,9 +19,13 @@ import graft.sources.Tables
   *   - year/hour breakdowns are formatted as strings on both sides (the
   *     reference keeps Year as text — SURVEY.md §1.4, RDataFramesSQL.Rmd:75).
   *
-  * Scale notes: dimension sides of joins are explicitly `broadcast(...)`;
-  * aggregations run before joins so shuffles carry pre-aggregated rows;
-  * filters sit directly on scans so Catalyst pushes them to parquet.
+  * Scale notes: aggregations run before joins so shuffles carry
+  * pre-aggregated rows; filters sit directly on scans so Catalyst pushes
+  * them to parquet. Join-side broadcasting is left to the planner + AQE:
+  * customer/supplier/part all grow linearly with SF, so a hard
+  * `broadcast()` hint (which bypasses autoBroadcastJoinThreshold) would
+  * OOM the driver at the 100 TB target — only fixed-cardinality dims
+  * (nation, region) are safe to hint unconditionally.
   */
 object RelationalQueries {
 
@@ -39,7 +43,7 @@ object RelationalQueries {
     val w = Window.partitionBy(col("o_year"))
       .orderBy(col("order_cnt").desc, col("c_name").asc)
     perCustYear
-      .join(broadcast(cust), perCustYear("o_custkey") === cust("c_custkey"))
+      .join(cust, perCustYear("o_custkey") === cust("c_custkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("o_year"), col("c_name"), col("order_cnt"))
@@ -65,8 +69,12 @@ object RelationalQueries {
       .select(col("o_custkey").as("t_custkey"), col("o_orderpriority").as("top_priority"))
     val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
     agg.join(top, agg("o_custkey") === top("t_custkey"))
-      .join(broadcast(cust), agg("o_custkey") === cust("c_custkey"))
-      .orderBy(col("total_spent_raw").desc, col("c_name").asc)
+      .join(cust, agg("o_custkey") === cust("c_custkey"))
+      // Rank on the ROUNDED sum: Spark and DuckDB accumulate doubles in
+      // different orders, so near-ties at the LIMIT boundary on the raw
+      // sum could flip between engines (ADVICE r1). c_name is the unique
+      // tie-break.
+      .orderBy(round(col("total_spent_raw"), 2).desc, col("c_name").asc)
       .limit(10)
       .select(
         col("c_name"),
@@ -133,8 +141,9 @@ object RelationalQueries {
     val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
     cnt.join(spend,
         cnt("o_custkey") === spend("s_custkey") && cnt("o_year") === spend("s_year"))
-      .join(broadcast(cust), cnt("o_custkey") === cust("c_custkey"))
-      .orderBy(col("year_spend_raw").desc, col("c_name").asc, col("o_year").asc)
+      .join(cust, cnt("o_custkey") === cust("c_custkey"))
+      // round before ranking — see q2 determinism note
+      .orderBy(round(col("year_spend_raw"), 2).desc, col("c_name").asc, col("o_year").asc)
       .limit(10)
       .select(col("c_name"), col("o_year"), col("order_cnt"),
         round(col("year_spend_raw"), 2).as("year_spend"))
@@ -159,8 +168,8 @@ object RelationalQueries {
       .select(col("p_partkey"), col("p_brand"))
     val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
     val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
-    li.join(broadcast(midParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(midParts, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("p_brand"), col("s_suppkey"), col("s_name"))
       .distinct()
       .orderBy(col("p_brand").asc, col("s_suppkey").asc)
@@ -205,7 +214,7 @@ object RelationalQueries {
         |       top.top_priority
         |FROM agg JOIN top USING (o_custkey)
         |         JOIN customer c ON c.c_custkey = agg.o_custkey
-        |ORDER BY agg.total_spent_raw DESC, c.c_name ASC LIMIT 10""".stripMargin,
+        |ORDER BY round(agg.total_spent_raw, 2) DESC, c.c_name ASC LIMIT 10""".stripMargin,
     "q3_join_groupcount" ->
       """WITH big AS (
         |  SELECT l_orderkey, count(*) AS big_item_cnt
@@ -246,7 +255,7 @@ object RelationalQueries {
         |FROM cnt
         |JOIN spend ON cnt.o_custkey = spend.o_custkey AND cnt.o_year = spend.o_year
         |JOIN customer c ON c.c_custkey = cnt.o_custkey
-        |ORDER BY spend.year_spend_raw DESC, c.c_name ASC, cnt.o_year ASC LIMIT 10""".stripMargin,
+        |ORDER BY round(spend.year_spend_raw, 2) DESC, c.c_name ASC, cnt.o_year ASC LIMIT 10""".stripMargin,
     "q6_semijoin_having_distinct" ->
       """WITH mid AS (
         |  SELECT p_brand FROM (

@@ -36,15 +36,28 @@ def main():
         name = os.path.basename(p).replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Expected set = manifest dumped by graft.Verify (plus oracle keys as a
+    # safety net). A query that crashed at runtime writes no output dir —
+    # that must FAIL here, not be silently skipped (ADVICE r1).
+    expected = set(oracle)
+    manifest_path = f"{out_dir}/queries.json"
+    if os.path.exists(manifest_path):
+        expected |= set(json.load(open(manifest_path)))
+    else:
+        print(f"WARN: {manifest_path} missing; checking oracle keys only")
     n_pass = n_fail = 0
-    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
-        qname = os.path.basename(qdir.rstrip("/"))
+    for qname in sorted(expected):
+        qdir = f"{out_dir}/{qname}"
         got_files = glob.glob(f"{qdir}/*.parquet")
         if not got_files:
             print(f"FAIL {qname}: no spark output parquet"); n_fail += 1; continue
         got = canon(pd.concat([pd.read_parquet(f) for f in got_files]))
         if qname not in oracle:
-            print(f"SKIP {qname}: no oracle (rows-only check: {len(got)} rows)")
+            # Mirror the driver's weaker rows>0 gate for oracle-less queries.
+            if len(got) == 0:
+                print(f"FAIL {qname}: no oracle and 0 rows"); n_fail += 1
+            else:
+                print(f"PASS {qname} (rows-only check: {len(got)} rows)"); n_pass += 1
             continue
         try:
             exp = canon(con.execute(oracle[qname]).df())
