@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline, over the harness
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Extends the reference's scalar-function surface (SURVEY.md §2.7 — the
+  * reference only needs year-extraction and arithmetic) with the analysis
+  * kit a 100 TB corpus pipeline needs: token counting, quality scoring,
+  * language identification, and content fingerprinting.
+  *
+  * Every query here is a narrow projection over a single scan — no joins,
+  * no shuffles except the final aggregation/sort — so at scale each is one
+  * map stage over the corpus plus a small reduce. All expressions are
+  * Spark built-ins (codegen'd, no UDFs) chosen so DuckDB can evaluate the
+  * exact same arithmetic for the differential oracle:
+  *   - tokenization = split on a single literal space on both sides;
+  *   - ratios are IEEE-double ops on per-row values (deterministic, no
+  *     cross-row float accumulation), rounded for display;
+  *   - fingerprints = md5 hex (lowercase in both engines).
+  */
+object TextAnalysis {
+
+  /** Words-per-language profiles for the stopword-hit language scorer.
+    * Standard high-frequency function words (public knowledge). */
+  private val stopEn = Seq("the", "a", "of", "to", "in", "and")
+  private val stopDe = Seq("der", "die", "und", "das", "ein", "von")
+  private val stopFr = Seq("le", "la", "les", "et", "un", "des")
+  private val stopEs = Seq("el", "los", "las", "una", "que", "es")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Count of tokens from `words` that appear in `stops`. Uses the
+    * higher-order `filter` (codegen-friendly, no UDF); identical lambda is
+    * expressible in DuckDB's `list_filter`. */
+  private def stopHits(c: Column, stops: Seq[String]): Column =
+    size(filter(words(c), w => w.isin(stops: _*)))
+
+  /** Token counting three ways: whitespace split, BPE-ish word-piece regex
+    * (`[a-z0-9]+` runs), and punctuation-ish residue (`[^a-z0-9 ]`). The
+    * regex token count is the standard pre-tokenizer estimate for LLM
+    * training budgets. */
+  def t1TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).as("word_tokens"),
+        regexp_count(col("text"), lit("[^a-z0-9 ]")).as("punct_chars"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Document quality scoring: length, average word length, stopword
+    * ratio, punctuation ratio, folded into one bounded [0,1] score —
+    * the usual cheap heuristics for corpus filtering. All arithmetic is
+    * per-row IEEE double (no cross-row accumulation), so Spark and DuckDB
+    * agree bit-for-bit before the display rounding. */
+  def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(words(col("text"))).cast("double")
+    val stopRatio = stopHits(col("text"), stopEn).cast("double") / nWords
+    val punctRatio =
+      regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
+        col("n_chars").cast("double")
+    val lengthScore = least(nWords / lit(50.0), lit(1.0))
+    val quality = lit(0.5) * lengthScore +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.2) * least(stopRatio * lit(5.0), lit(1.0))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nWords.cast("int").as("n_words"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(quality, 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language identification by stopword-profile scoring (the classic
+    * cheap n-gram/function-word heuristic): score each candidate language
+    * by hits of its function words, CJK codepoints short-circuit to "zh",
+    * argmax with a fixed tie-break order, "und" when nothing matches.
+    * Output = confusion counts vs the table's `lang` ground truth. */
+  def t3LangId(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val he = stopHits(t, stopEn); val hd = stopHits(t, stopDe)
+    val hf = stopHits(t, stopFr); val hs = stopHits(t, stopEs)
+    // Java regex unicode escape; the DuckDB oracle spells the same class
+    // as RE2 \x{...} — same codepoint range.
+    val cjk = regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]"))
+    val predicted = when(cjk > 0, "zh")
+      .when(greatest(he, hd, hf, hs) === 0, "und")
+      .when(he >= greatest(hd, hf, hs), "en")
+      .when(hd >= greatest(hf, hs), "de")
+      .when(hf >= hs, "fr")
+      .otherwise("es")
+    Tables.documents(s, dir)
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Content fingerprinting for exact-dup detection scaffolding: md5 of
+    * the text (lowercase hex in both engines), rolled up per source with
+    * distinct-fingerprint counts — the map-side of hash-dedup at scale
+    * (the dedup itself is in [[Dedup]]). */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), md5(col("text").cast("binary")).as("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("distinct_fp"),
+        min(col("fp")).as("min_fp"))
+      .orderBy(col("source"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_count"   -> t1TokenCount _,
+    "t2_quality_score" -> t2QualityScore _,
+    "t3_langid"        -> t3LangId _,
+    "t4_fingerprint"   -> t4Fingerprint _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_token_count" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z0-9]+')) AS word_tokens,
+        |       len(regexp_extract_all(text, '[^a-z0-9 ]')) AS punct_chars,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              w -> w IN ('the','a','of','to','in','and'))) AS DOUBLE) AS stop_hits,
+        |         CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |           / CAST(n_chars AS DOUBLE) AS punct_ratio
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(n_words AS INT) AS n_words,
+        |       round(stop_hits / n_words, 4) AS stop_ratio,
+        |       round(punct_ratio, 4) AS punct_ratio,
+        |       round(0.5 * least(n_words / 50.0, 1.0)
+        |           + 0.3 * (1.0 - punct_ratio)
+        |           + 0.2 * least((stop_hits / n_words) * 5.0, 1.0), 4) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "t3_langid" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |         len(list_filter(string_split(text, ' '),
+        |             w -> w IN ('the','a','of','to','in','and'))) AS he,
+        |         len(list_filter(string_split(text, ' '),
+        |             w -> w IN ('der','die','und','das','ein','von'))) AS hd,
+        |         len(list_filter(string_split(text, ' '),
+        |             w -> w IN ('le','la','les','et','un','des'))) AS hf,
+        |         len(list_filter(string_split(text, ' '),
+        |             w -> w IN ('el','los','las','una','que','es'))) AS hs,
+        |         len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+        |  FROM documents
+        |), p AS (
+        |  SELECT lang,
+        |         CASE WHEN cjk > 0 THEN 'zh'
+        |              WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |              WHEN he >= greatest(hd, hf, hs) THEN 'en'
+        |              WHEN hd >= greatest(hf, hs) THEN 'de'
+        |              WHEN hf >= hs THEN 'fr'
+        |              ELSE 'es' END AS predicted
+        |  FROM h
+        |)
+        |SELECT lang, predicted, count(*) AS n_docs
+        |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT source,
+        |       count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS distinct_fp,
+        |       min(md5(text)) AS min_fp
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

