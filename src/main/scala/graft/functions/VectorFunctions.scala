@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine similarity of two float vectors as a native Catalyst expression.
+  *
+  * Preference order for custom ops (SURVEY.md §7): built-ins first, then a
+  * native `Expression`. The built-in composition for cosine is three
+  * higher-order `aggregate(zip_with(...))` passes over the arrays; this
+  * expression fuses dot product and both norms into ONE loop inside
+  * whole-stage codegen — the hot inner kernel of the embedding dedup and
+  * ANN queries, where it runs O(candidates) times over 64-float arrays.
+  *
+  * Determinism contract (for the DuckDB differential oracle): elements are
+  * widened float→double (exact), each accumulator is summed left-to-right,
+  * and the result is `dot / (sqrt(na) * sqrt(nb))` — the same IEEE
+  * operation sequence the oracle SQL spells out with `list_sum` +
+  * `list_transform`, so both engines produce bitwise-identical doubles.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires array<float> inputs, got " +
+          s"${left.dataType.sql} / ${right.dataType.sql}")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double x = (double) $a.getFloat(i);
+         |  double y = (double) $b.getFloat(i);
+         |  dot += x * y; na += x * x; nb += y * y;
+         |}
+         |double d = Math.sqrt(na) * Math.sqrt(nb);
+         |${ev.value} = (d == 0.0) ? 0.0 : dot / d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column-API entry point: `cosine_sim($"a", $"b")`. Inputs must be
+    * `array<float>` (the harness embedding type); enforced at analysis
+    * time by the expression's child dataType check below. */
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosine_sim
+import graft.queries.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  /** Planted corpus: 1=2 exact dup, 3 near-dup of 1 (one word differs),
+    * 4 unrelated, 5 too short to shingle. Written as parquet so the
+    * Dedup queries read it through the same Tables path. */
+  lazy val plantedDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("sigma", "sigmaX")
+    Seq(
+      (1L, base, "en", "s0", base.length.toLong),
+      (2L, base, "en", "s0", base.length.toLong),
+      (3L, near, "en", "s0", near.length.toLong),
+      (4L, "one two three four five six seven eight nine ten eleven twelve",
+        "en", "s1", 60L),
+      (5L, "tiny doc", "en", "s1", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("shingles: distinct word-3-grams; short text yields empty array") {
+    import spark.implicits._
+    val out = Seq("a b c d", "a b", "x y z")
+      .toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .collect()
+      .map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq("x y z"))
+  }
+
+  test("d1 exact dedup groups identical texts, keeps lowest doc_id") {
+    val rows = Dedup.d1DedupExact(spark, plantedDir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 2 && byId(1L).getBoolean(2))   // keeper
+    assert(byId(2L).getLong(1) == 2 && !byId(2L).getBoolean(2))  // dup
+    assert(byId(3L).getLong(1) == 1 && byId(3L).getBoolean(2))
+  }
+
+  test("d3 minhash lsh finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.d3MinhashLsh(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val m = pairs.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((1L, 2L)) == 1.0)            // exact dup: jaccard 1
+    assert(m((1L, 3L)) > 0.7 && m((1L, 3L)) < 1.0)
+    assert(m((2L, 3L)) == m((1L, 3L)))
+    assert(!m.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("d4 simhash: identical docs at hamming 0, near-dups close, " +
+       "unrelated docs absent from the <=8 cutoff") {
+    val rows = Dedup.d4Simhash(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val m = rows.map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(m((1L, 2L)) == 0)
+    assert(m((1L, 3L)) <= 8 && m((1L, 3L)) > 0)
+    assert(!m.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("cosine_sim expression: identity, orthogonality, null propagation") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),   // identical
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),   // orthogonal
+      (Array(3f, 4f, 0f), Array(3f, 4f, 0f)),   // non-unit identical
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f))    // zero vector
+    ).toDF("a", "b")
+    val vals = df.select(cosine_sim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(vals(0) == 1.0)
+    assert(vals(1) == 0.0)
+    assert(math.abs(vals(2) - 1.0) < 1e-12)
+    assert(vals(3) == 0.0)
+    val withNull = df.limit(1)
+      .select(cosine_sim(lit(null).cast("array<float>"), col("b"))).collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
+  test("d5 embedding near-dup on harness data: bounded cosine, blocked by label") {
+    val rows = Dedup.d5EmbeddingNearDup(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
+}
