@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, RelationalQueries, TextAnalysis}
+import graft.queries.{Dedup, RelationalQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * training-data pipeline extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ TextAnalysis.queries ++ Dedup.queries
+    RelationalQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql
+    RelationalQueries.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
+      Similarity.oracleSql
 }

@@ -1,0 +1,41 @@
+package graft
+
+import graft.queries.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("s1 brute-force knn: 10 ranked neighbors per query, self excluded, " +
+       "cosine non-increasing within query") {
+    val rows = Similarity.s1KnnBrute(spark, sfDir).collect()
+    assert(rows.length == 50) // 5 queries x top-10
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == q))
+      val cos = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        s"cosine not non-increasing for query $q: ${cos.mkString(",")}")
+    }
+  }
+
+  test("s2 IVF: all queries reported, full result sets, useful recall") {
+    val rows = Similarity.s2AnnIvf(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // probing 2 of 5 cells must beat random scanning on clustered data
+    assert(recalls.sum / recalls.length >= 0.4,
+      s"IVF mean recall too low: ${recalls.mkString(",")}")
+  }
+
+  test("s3 multi-table LSH: all queries reported even if probes miss, " +
+       "recall bounded and non-degenerate overall") {
+    val rows = Similarity.s3AnnLsh(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    assert(recalls.sum > 0.0, "LSH found no true neighbors at all")
+    rows.foreach(r => assert(r.getAs[Long]("n_returned") <= 10))
+  }
+}
