@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-stream analytics over the harness `events` table (event_id, ts
+  * [nanosecond parquet timestamps], user_id, event_type, value, props) —
+  * the window-function / sessionization surface the reference never
+  * needed (SURVEY.md §2.7 notes windows appear only as per-group top-1)
+  * but any behavioral pipeline does.
+  *
+  * Timestamp contract: the parquet files carry TIMESTAMP(NANOS), which
+  * Spark only reads as raw Long nanos (`spark.sql.legacy.parquet
+  * .nanosAsLong`, set in [[graft.sources.Tables.events]]) while DuckDB
+  * truncates to microsecond timestamps. Both engines therefore operate on
+  * `ts_us = ns DIV 1000` (integral division — going through a double
+  * would lose precision at 1e18 nanos), and every derived duration stays
+  * in exact integer microseconds until a single final division.
+  *
+  * Scale notes: all windows partition by `user_id` (the natural shuffle
+  * key; no global ordering anywhere), aggregations are exact-integer so
+  * results are partitioning-order-independent, and e2 bounds its output
+  * by filtering users BEFORE the window (pushed to the scan).
+  */
+object EventQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+
+  private val byUserTime = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts_us").asc, col("event_id").asc)
+
+  /** e1 — per-user journey stats via lag + min_by/max_by: event count,
+    * first/last event type, mean/max inter-event gap. Gaps are summed as
+    * exact integer micros; the only float op is one final division. */
+  def e1UserJourney(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUserTime))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min_by(col("event_type"), col("ts_us")).as("first_type"),
+        max_by(col("event_type"), col("ts_us")).as("last_type"),
+        sum(col("gap_us")).as("gap_sum_us"),
+        count(col("gap_us")).as("gap_cnt"),
+        max(col("gap_us")).as("max_gap_us"))
+      .select(
+        col("user_id"), col("n_events"), col("first_type"), col("last_type"),
+        round(col("gap_sum_us").cast("double") / col("gap_cnt") / 1e6, 3)
+          .as("avg_gap_s"),
+        round(col("max_gap_us").cast("double") / 1e6, 3).as("max_gap_s"))
+      .orderBy(col("user_id"))
+
+  /** e2 — rolling row-frame aggregation: sum of the current + 3 previous
+    * event values per user. `value` is money-shaped (2 decimals), so the
+    * rolling sum runs in exact integer cents and divides once at the end
+    * — immune to float association order across engines. Output bounded
+    * to users 0-4 (filter sits on the scan, before the window). */
+  def e2RollingValue(s: SparkSession, dir: String): DataFrame = {
+    val frame = byUserTime.rowsBetween(-3, 0)
+    events(s, dir)
+      .filter(col("user_id") < 5)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("roll_cents", sum(col("cents")).over(frame))
+      .select(
+        col("user_id"), col("event_id"), col("ts_us"), col("value"),
+        (col("roll_cents").cast("double") / 100.0).as("rolling_sum"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** e3 — gap-based sessionization (the canonical lag + cumulative-sum
+    * pattern): a new session starts after a 30-minute silence; sessions
+    * are then summarized. Everything is exact integer arithmetic. */
+  def e3Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val newSession =
+      when(lag(col("ts_us"), 1).over(byUserTime).isNull, 1)
+        .when(col("ts_us") - lag(col("ts_us"), 1).over(byUserTime) > gapUs, 1)
+        .otherwise(0)
+    events(s, dir)
+      .withColumn("is_new", newSession)
+      .withColumn("session_idx",
+        sum(col("is_new")).over(byUserTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("duration_s", expr("(end_us - start_us) div 1000000"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"), col("duration_s"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** e4 — hour-of-day × event-type mix with within-hour shares: grouped
+    * count + a partitioned-window total; one exact int division for the
+    * share. */
+  def e4HourlyMix(s: SparkSession, dir: String): DataFrame = {
+    val wHour = Window.partitionBy(col("hour"))
+    events(s, dir)
+      .withColumn("hour", hour(timestamp_micros(col("ts_us"))))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hour_share",
+        round(col("n").cast("double") / sum(col("n")).over(wHour), 4))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_user_journey" -> e1UserJourney _,
+    "e2_rolling_value" -> e2RollingValue _,
+    "e3_sessionize"   -> e3Sessionize _,
+    "e4_hourly_mix"   -> e4HourlyMix _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e1_user_journey" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |       arg_min(event_type, ts_us) AS first_type,
+        |       arg_max(event_type, ts_us) AS last_type,
+        |       round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6, 3)
+        |         AS avg_gap_s,
+        |       round(CAST(max(gap_us) AS DOUBLE) / 1e6, 3) AS max_gap_s
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e2_rolling_value" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 5
+        |)
+        |SELECT user_id, event_id, ts_us, value,
+        |       CAST(sum(cents) OVER (PARTITION BY user_id
+        |              ORDER BY ts_us, event_id
+        |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         / 100.0 AS rolling_sum
+        |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "e3_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |                   > 30 * 60 * 1000000 THEN 1
+        |              ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), s AS (
+        |  SELECT user_id, ts_us,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM e
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "e4_hourly_mix" ->
+      """WITH g AS (
+        |  SELECT hour(ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT hour, event_type, n,
+        |       round(CAST(n AS DOUBLE)
+        |             / sum(n) OVER (PARTITION BY hour), 4) AS hour_share
+        |FROM g ORDER BY hour, event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.EventQueries
+
+class EventQueriesSpec extends SparkSpec {
+
+  /** Planted event log (ts in NANOS, as the harness parquet stores it):
+    * user 1 has two 2-event sessions separated by 31 minutes; user 2 has
+    * one event. */
+  lazy val plantedDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-events").toString
+    def ns(sec: Long) = sec * 1000000000L
+    Seq(
+      (0L, ns(0), 1L, "view", 1.10, "{}"),
+      (1L, ns(10), 1L, "click", 2.25, "{}"),
+      (2L, ns(10 + 31 * 60), 1L, "view", 4.00, "{}"),
+      (3L, ns(20 + 31 * 60), 1L, "purchase", 8.50, "{}"),
+      (4L, ns(5), 2L, "signup", 0.75, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("e3 sessionize: 30-minute gap splits sessions; summaries exact") {
+    val rows = EventQueries.e3Sessionize(spark, plantedDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_s")))
+    assert(rows.toSeq == Seq((1L, 1L, 2L, 10L), (1L, 2L, 2L, 10L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("e1 user journey: lag gaps and first/last types") {
+    val rows = EventQueries.e1UserJourney(spark, plantedDir).collect()
+    val u1 = rows.find(_.getAs[Long]("user_id") == 1L).get
+    assert(u1.getAs[Long]("n_events") == 4)
+    assert(u1.getAs[String]("first_type") == "view")
+    assert(u1.getAs[String]("last_type") == "purchase")
+    // gaps: 10s, 1860s, 10s -> avg 1880/3 = 626.667s, max 1860s
+    assert(math.abs(u1.getAs[Double]("avg_gap_s") - 626.667) < 1e-9)
+    assert(u1.getAs[Double]("max_gap_s") == 1860.0)
+    val u2 = rows.find(_.getAs[Long]("user_id") == 2L).get
+    assert(u2.isNullAt(u2.fieldIndex("avg_gap_s"))) // single event: no gaps
+  }
+
+  test("e2 rolling 4-row sum in exact cents") {
+    val rows = EventQueries.e2RollingValue(spark, plantedDir).collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+      .map(_.getAs[Double]("rolling_sum"))
+    // cumulative over 1.10, 2.25, 4.00, 8.50 with 4-row frame
+    assert(rows.toSeq == Seq(1.10, 3.35, 7.35, 15.85))
+  }
+
+  test("e4 hourly mix shares sum to 1 per hour on harness data") {
+    val rows = EventQueries.e4HourlyMix(spark, sfDir).collect()
+    val byHour = rows.groupBy(_.getAs[Int]("hour"))
+    byHour.foreach { case (h, rs) =>
+      val total = rs.map(_.getAs[Double]("hour_share")).sum
+      assert(math.abs(total - 1.0) < 0.01, s"hour $h shares sum to $total")
+    }
+  }
+}
