@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY.md
+  * §2.7), so this module is a forward extension: the same event-stream
+  * semantics as [[graft.queries.EventQueries]], expressed over unbounded
+  * input with watermarks and explicit state.
+  *
+  * Every transform here takes a DataFrame/Dataset and works identically
+  * whether the input came from `spark.read` (batch) or `spark.readStream`
+  * (incremental) — that symmetry is the point: StreamingSpec asserts the
+  * streaming results equal the batch results on the same data.
+  *
+  * Scale notes: state is keyed by user_id (same shuffle key as the batch
+  * sessionizer), watermarks bound state size for the windowed aggregation,
+  * and the custom sessionizer explicitly drops closed sessions from state
+  * so memory per key is O(1).
+  */
+object StreamingOps {
+
+  /** Typed event row (ts_us = microseconds since epoch, as produced by
+    * the nanos→micros contract in graft.queries.EventQueries). */
+  case class Ev(user_id: Long, ts_us: Long, event_type: String, value: Double)
+
+  /** Closed session summary emitted by [[sessionize]]. */
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  /** Open-session state carried between micro-batches. */
+  case class SessionState(startUs: Long, endUs: Long, n: Int)
+
+  /** Tumbling 1-hour event counts + value totals with a 1-hour watermark:
+    * the canonical windowed streaming aggregation. Value totals run in
+    * exact integer cents (same determinism contract as the batch side). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"),
+        (col("cents").cast("double") / 100.0).as("value_sum"))
+
+  /** Gap-based sessionization with explicit keyed state
+    * (`flatMapGroupsWithState`): per user, events in each micro-batch are
+    * merged with the open session carried in state; sessions separated by
+    * more than `gapUs` of silence are CLOSED and emitted, the most recent
+    * session stays open in state for the next batch. Works in batch mode
+    * too (state lives for the single batch; the still-open tail session
+    * is intentionally not emitted — it could still grow). */
+  def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_type))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            cur match {
+              case Some(sess) if e.ts_us - sess.endUs <= gapUs =>
+                cur = Some(sess.copy(endUs = e.ts_us, n = sess.n + 1))
+              case Some(sess) =>
+                closed += SessionOut(uid, sess.startUs, sess.endUs, sess.n)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+
+class StreamingSpec extends SparkSpec {
+
+  private val eventSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Write the sf0.001 events (micros-projected) as the streaming input. */
+  lazy val streamInputDir: String = {
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("value"))
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def streamInput = spark.readStream
+    .schema(eventSchema).parquet(streamInputDir)
+
+  test("tumbling window counts: streaming result equals batch result") {
+    val q = StreamingOps.tumblingCounts(streamInput)
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("win_start").getTime,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("value_sum"))).toSet
+
+    val batch = StreamingOps.tumblingCounts(
+      spark.read.schema(eventSchema).parquet(streamInputDir)).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("win_start").getTime,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("value_sum"))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionizer closes gap-separated sessions, holds the tail") {
+    import spark.implicits._
+    // user 1: two sessions split by a 31-min gap; the second stays open
+    val evs = Seq(
+      Ev(1L, 0L, "view", 1.0),
+      Ev(1L, 10L * 1000000, "click", 1.0),
+      Ev(1L, (10 + 31 * 60) * 1000000L, "view", 1.0),
+      Ev(2L, 5L * 1000000, "signup", 1.0)
+    ).toDS()
+    val out = StreamingOps.sessionize(evs, gapUs = 30L * 60 * 1000000)
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events))
+    // only user 1's FIRST session is closed; open tails are held in state
+    assert(out.toSeq == Seq((1L, 0L, 10L * 1000000, 2)))
+  }
+
+  test("stateful sessionizer across micro-batches via memory sink") {
+    import spark.implicits._
+    val sessions = StreamingOps.sessionize(
+      streamInput.as[Ev], gapUs = 30L * 60 * 1000000)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sessions").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("end_us") >= r.getAs[Long]("start_us"))
+      assert(r.getAs[Int]("n_events") >= 1)
+    }
+    // closed sessions must agree with the batch sessionizer's closed set
+    // (batch e3 emits ALL sessions; streaming holds one open per user)
+    val batchSessions = graft.queries.EventQueries.e3Sessionize(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .toSet
+    val streamedSet = got.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("start_us"), r.getAs[Long]("end_us"),
+      r.getAs[Int]("n_events").toLong)).toSet
+    assert(streamedSet.subsetOf(batchSessions),
+      "streaming closed sessions must be a subset of batch sessions")
+  }
+}
