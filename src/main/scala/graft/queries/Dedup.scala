@@ -80,16 +80,25 @@ object Dedup {
     val ex = docs.select(
       col("source"), col("doc_id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("sh"))
-    val a = ex.select(col("source").as("a_src"), col("doc_id").as("doc_a"),
-      col("n_sh").as("a_n"), col("sh").as("a_sh"))
-    val b = ex.select(col("source").as("b_src"), col("doc_id").as("doc_b"),
-      col("n_sh").as("b_n"), col("sh").as("b_sh"))
+    // One shuffle on (source, shingle), then pairs are expanded INSIDE
+    // each shingle group — a self-join on the exploded table would
+    // shuffle it twice and re-scan the parquet. Groups of size 1 (the
+    // long tail) are filtered before any pair is produced. At 100 TB the
+    // remaining risk is a degenerate shingle shared by thousands of docs
+    // in one source; production would cap `size(docs) <= F` (doc-freq
+    // cap) — not done here because the oracle counts every pair.
+    val grouped = ex.groupBy(col("source"), col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
     val jac = col("inter").cast("double") /
       (col("a_n") + col("b_n") - col("inter")).cast("double")
-    a.join(b,
-        col("a_src") === col("b_src") && col("a_sh") === col("b_sh") &&
-          col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("a_n"), col("b_n"))
+    grouped
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_sh").as("a_n"), col("y.n_sh").as("b_n"))
       .agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(jac, 4).as("jaccard"))
@@ -121,10 +130,15 @@ object Dedup {
     }
     val buckets = sig
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // candidate pairs from within-bucket expansion (single shuffle on the
+    // bucket key; the self-join alternative shuffles the bucket table
+    // twice) — same pattern as d2, same doc-freq caveat for skewed buckets
+    val cand = buckets.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
     val da = docs.select(col("doc_id").as("doc_a"), col("shs").as("a_shs"))
     val db = docs.select(col("doc_id").as("doc_b"), col("shs").as("b_shs"))
@@ -160,10 +174,12 @@ object Dedup {
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("fp"), 16 * j).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk_idx", "chunk")))
-    val cand = chunks.as("x").join(chunks.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") &&
-          col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
+    val cand = chunks.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("x.fp").as("fp_a"),
         col("y.doc_id").as("doc_b"), col("y.fp").as("fp_b"))
       .distinct()

@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries.{Dedup, EventQueries, RelationalQueries, Similarity, TextAnalysis}
+
+/** Physical-plan shape assertions — the 100 TB posture checks. A query
+  * that silently stops pushing its filter or broadcasting its tiny side
+  * still returns correct rows at sf0.01; these specs are what notice. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q3: status filter is pushed into the orders parquet scan") {
+    val p = plan(RelationalQueries.q3JoinGroupCount(spark, sfDir))
+    // the scan's PushedFilters must carry the literal predicate (the join
+    // adds its own IsNotNull entries alongside)
+    assert(p.contains("EqualTo(o_orderstatus,F)"), s"missing pushdown in:\n$p")
+  }
+
+  test("e2: user filter is pushed into the events parquet scan") {
+    val p = plan(EventQueries.e2RollingValue(spark, sfDir))
+    assert(p.contains("LessThan(user_id,5)"), s"missing pushdown in:\n$p")
+  }
+
+  test("t1: documents scan is pruned to the used columns only") {
+    val p = plan(TextAnalysis.t1TokenCount(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && readSchema.contains("n_chars"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unused columns not pruned: $readSchema")
+  }
+
+  test("s1: tiny query set is broadcast, not shuffled") {
+    val p = plan(Similarity.s1KnnBrute(spark, sfDir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast in:\n$p")
+  }
+
+  test("d1: dedup needs exactly one exchange (hash partition on fingerprint)") {
+    val p = plan(Dedup.d1DedupExact(spark, sfDir))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan->project hot path of t2") {
+    // AQE's plan string hides codegen annotation until execution; disable
+    // it for this one plan so the `*(n)` codegen markers are visible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(TextAnalysis.t2QualityScore(spark, sfDir))
+      assert(p.contains("*("), s"no codegen spans in:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
