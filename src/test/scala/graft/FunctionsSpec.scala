@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.VectorFunctions.cosine_sim
+import graft.queries.Multimodal.StubDecoder
+import graft.testing.Comparator
+
+class FunctionsSpec extends SparkSpec {
+
+  private def check(prop: Prop, minTests: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("cosine_sim registered as a SQL function via GraftExtensions") {
+    GraftExtensions.register(spark)
+    graft.sources.Tables.embeddings(spark, sfDir)
+      .createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
+        |FROM emb_v a JOIN emb_v b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 20 ORDER BY a.vec_id""".stripMargin)
+      .collect().map(_.getDouble(1))
+    val viaColumn = {
+      val e = graft.sources.Tables.embeddings(spark, sfDir)
+      val a = e.select(col("vec_id"), col("embedding").as("ea"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+      a.join(b, "vec_id").filter(col("vec_id") < 20)
+        .orderBy(col("vec_id"))
+        .select(cosine_sim(col("ea"), col("eb"))).collect().map(_.getDouble(0))
+    }
+    assert(viaSql.length == 20)
+    assert(viaSql.toSeq == viaColumn.toSeq) // identical expression → identical bits
+  }
+
+  test("property: cosine_sim(v, v) == 1 and symmetry, vs scala reference") {
+    import spark.implicits._
+    val gen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
+      .suchThat(_.exists(x => math.abs(x) > 1e-3))
+    val vecs = (1 to 200).flatMap(_ => gen.sample).map(_.toArray)
+    val pairs = vecs.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    val rows = pairs.toDF("a", "b")
+      .select(cosine_sim(col("a"), col("b")).as("ab"),
+        cosine_sim(col("b"), col("a")).as("ba"),
+        cosine_sim(col("a"), col("a")).as("aa"))
+      .collect()
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      val n = math.sqrt(na) * math.sqrt(nb); if (n == 0) 0.0 else d / n
+    }
+    rows.zip(pairs).foreach { case (r, (a, b)) =>
+      assert(r.getDouble(0) == ref(a, b))          // bit-exact vs reference loop
+      assert(r.getDouble(0) == r.getDouble(1))     // symmetric
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9) // self-similarity
+    }
+  }
+
+  test("property: stub decoder intensity bounded, dims in range (pure)") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
+      val f = StubDecoder.decode(bs.toArray, new Array[Long](16))
+      f.intensity >= 0.0 && f.intensity <= 1.0 &&
+        f.width >= 64 && f.width < 128 && f.height >= 64 && f.height < 128 &&
+        f.sampled_frames == (f.n_frames + 9) / 10 &&
+        f.top_bin >= 0 && f.top_bin < 16
+    })
+  }
+
+  test("property: comparator invariant under row permutation, " +
+       "sensitive to any single-cell change (sampled)") {
+    import spark.implicits._
+    val base = Seq((1, "a"), (2, "b"), (3, "b"), (3, "b"), (4, null))
+    val df = base.toDF("k", "v")
+    // permutation invariance
+    assert(Comparator.equalUnordered(df, base.reverse.toDF("k", "v")))
+    // single-cell perturbations all detected
+    for (i <- base.indices) {
+      val mutated = base.updated(i, (base(i)._1 + 100, base(i)._2))
+      assert(!Comparator.equalUnordered(df, mutated.toDF("k", "v")), s"row $i")
+    }
+    // multiplicity change detected even when distinct sets match
+    assert(!Comparator.equalUnordered(df, (base :+ base.head).toDF("k", "v")))
+  }
+}
