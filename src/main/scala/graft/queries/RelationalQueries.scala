@@ -184,6 +184,103 @@ object RelationalQueries {
     "q6_semijoin_having_distinct" -> q6SemiJoinHavingDistinct _,
   )
 
+  /** Spark-SQL front-end texts for the same six queries (the reference's
+    * ≥2-independent-paths methodology, SURVEY.md §5: DSL ≡ spark.sql ≡
+    * external oracle). Same shapes as [[oracleSql]] but in Spark dialect
+    * (`date_format` for year extraction instead of DuckDB's `strftime`).
+    * Run against `Tables.registerAll` temp views; SqlParitySpec asserts
+    * row-for-row equality with the DSL plans. */
+  val sparkSql: Map[String, String] = Map(
+    "q1_argmax_per_year" ->
+      """WITH per AS (
+        |  SELECT date_format(o_orderdate, 'yyyy') AS o_year, o_custkey,
+        |         count(*) AS order_cnt
+        |  FROM orders GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT per.o_year, c.c_name, per.order_cnt,
+        |         row_number() OVER (PARTITION BY per.o_year
+        |                            ORDER BY per.order_cnt DESC, c.c_name ASC) AS rn
+        |  FROM per JOIN customer c ON c.c_custkey = per.o_custkey
+        |)
+        |SELECT o_year, c_name, order_cnt FROM ranked WHERE rn = 1 ORDER BY o_year""".stripMargin,
+    "q2_top10_multiagg" ->
+      """WITH agg AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS total_spent_raw,
+        |         count(*) AS order_cnt, max(o_totalprice) AS max_price_raw
+        |  FROM orders GROUP BY 1
+        |), top AS (
+        |  SELECT o_custkey, o_orderpriority AS top_priority
+        |  FROM (SELECT o_custkey, o_orderpriority,
+        |               row_number() OVER (PARTITION BY o_custkey
+        |                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |        FROM orders) WHERE rn = 1
+        |)
+        |SELECT c.c_name, agg.order_cnt,
+        |       round(agg.total_spent_raw, 2) AS total_spent,
+        |       round(agg.max_price_raw, 2) AS max_price,
+        |       top.top_priority
+        |FROM agg JOIN top USING (o_custkey)
+        |         JOIN customer c ON c.c_custkey = agg.o_custkey
+        |ORDER BY round(agg.total_spent_raw, 2) DESC, c.c_name ASC LIMIT 10""".stripMargin,
+    "q3_join_groupcount" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, count(*) AS big_item_cnt
+        |  FROM lineitem WHERE l_quantity > 30 GROUP BY 1
+        |)
+        |SELECT o.o_orderkey, o.o_totalprice, big.big_item_cnt
+        |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |ORDER BY big.big_item_cnt DESC, o.o_orderkey ASC LIMIT 10""".stripMargin,
+    "q4_derived_diff_filter" ->
+      """WITH mx AS (
+        |  SELECT l_orderkey, max(l_extendedprice) AS max_price
+        |  FROM lineitem GROUP BY 1
+        |), fst AS (
+        |  SELECT l_orderkey, l_extendedprice AS first_price
+        |  FROM lineitem WHERE l_linenumber = 1
+        |)
+        |SELECT o.o_orderkey,
+        |       round(mx.max_price, 2) AS max_price,
+        |       round(fst.first_price, 2) AS first_price,
+        |       round(mx.max_price - fst.first_price, 2) AS price_gap
+        |FROM orders o
+        |JOIN mx ON o.o_orderkey = mx.l_orderkey
+        |JOIN fst ON o.o_orderkey = fst.l_orderkey
+        |WHERE mx.max_price - fst.first_price > 50000
+        |ORDER BY mx.max_price - fst.first_price DESC, o.o_orderkey ASC""".stripMargin,
+    "q5_composite_key_join" ->
+      """WITH cnt AS (
+        |  SELECT o_custkey, date_format(o_orderdate, 'yyyy') AS o_year,
+        |         count(*) AS order_cnt
+        |  FROM orders GROUP BY 1, 2
+        |), spend AS (
+        |  SELECT o_custkey, date_format(o_orderdate, 'yyyy') AS o_year,
+        |         sum(o_totalprice) AS year_spend_raw
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT c.c_name, cnt.o_year, cnt.order_cnt,
+        |       round(spend.year_spend_raw, 2) AS year_spend
+        |FROM cnt
+        |JOIN spend ON cnt.o_custkey = spend.o_custkey AND cnt.o_year = spend.o_year
+        |JOIN customer c ON c.c_custkey = cnt.o_custkey
+        |ORDER BY round(spend.year_spend_raw, 2) DESC, c.c_name ASC, cnt.o_year ASC
+        |LIMIT 10""".stripMargin,
+    "q6_semijoin_having_distinct" ->
+      """WITH mid AS (
+        |  SELECT p_brand FROM (
+        |    SELECT p_brand,
+        |           row_number() OVER (ORDER BY count(*) DESC, p_brand ASC) AS rnk
+        |    FROM part GROUP BY p_brand
+        |  ) WHERE rnk BETWEEN 3 AND 12
+        |)
+        |SELECT DISTINCT p.p_brand, s.s_suppkey, s.s_name
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE p.p_brand IN (SELECT p_brand FROM mid)
+        |ORDER BY p.p_brand ASC, s.s_suppkey ASC""".stripMargin,
+  )
+
   val oracleSql: Map[String, String] = Map(
     "q1_argmax_per_year" ->
       """WITH per AS (

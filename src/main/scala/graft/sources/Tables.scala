@@ -19,8 +19,11 @@ object Tables {
   val dimNames  = Seq("region", "nation", "customer", "supplier", "part")
   val allNames: Seq[String] = dimNames ++ factNames
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") // ns-timestamp parquet; see events() scaladoc
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(s: SparkSession, dir: String): DataFrame   = apply(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "orders")
