@@ -41,6 +41,18 @@ object Dedup {
      Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
+  /** All ordered pairs (i < j) of a group array, generated directly —
+    * half the rows of the explode-twice-then-filter alternative. Sorting
+    * first makes position order imply struct order, so `x < y` holds by
+    * construction (struct sort compares fields left-to-right and the
+    * first field is the unique doc id in every call site). */
+  private def pairCombos(ds: Column): Column = {
+    val sorted = sort_array(ds)
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + 2, size(sorted)),
+        y => struct(x.as("x"), y.as("y")))))
+  }
+
   /** Distinct word-3-shingles of a text column as an array. Guarded so
     * texts under 3 words yield an empty array (Spark's `sequence(1, k)`
     * would otherwise count DOWN for k < 1). */
@@ -93,12 +105,10 @@ object Dedup {
     val jac = col("inter").cast("double") /
       (col("a_n") + col("b_n") - col("inter")).cast("double")
     grouped
-      .select(explode(col("ds")).as("x"), col("ds"))
-      .select(col("x"), explode(col("ds")).as("y"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(explode(pairCombos(col("ds"))).as("p"))
       .groupBy(
-        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.n_sh").as("a_n"), col("y.n_sh").as("b_n"))
+        col("p.x.doc_id").as("doc_a"), col("p.y.doc_id").as("doc_b"),
+        col("p.x.n_sh").as("a_n"), col("p.y.n_sh").as("b_n"))
       .agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(jac, 4).as("jaccard"))
@@ -134,11 +144,10 @@ object Dedup {
     // bucket key; the self-join alternative shuffles the bucket table
     // twice) — same pattern as d2, same doc-freq caveat for skewed buckets
     val cand = buckets.groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ds"))
+      .agg(collect_list(struct(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .select(col("p.x.doc_id").as("doc_a"), col("p.y.doc_id").as("doc_b"))
       .distinct()
     val da = docs.select(col("doc_id").as("doc_a"), col("shs").as("a_shs"))
     val db = docs.select(col("doc_id").as("doc_b"), col("shs").as("b_shs"))
@@ -177,11 +186,9 @@ object Dedup {
     val cand = chunks.groupBy(col("chunk_idx"), col("chunk"))
       .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(col("ds")).as("x"), col("ds"))
-      .select(col("x"), explode(col("ds")).as("y"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.fp").as("fp_a"),
-        col("y.doc_id").as("doc_b"), col("y.fp").as("fp_b"))
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .select(col("p.x.doc_id").as("doc_a"), col("p.x.fp").as("fp_a"),
+        col("p.y.doc_id").as("doc_b"), col("p.y.fp").as("fp_b"))
       .distinct()
     cand
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
