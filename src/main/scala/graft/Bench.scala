@@ -1,47 +1,26 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
   *
   * Methodology (mirrors the reference's microbenchmark warmup+repeat
-  * scheme, RDataFramesSQL.Rmd:139-152, scaled to CI time):
-  *   - one warmup pass over every query at sf0.001 — absorbs JVM/codegen/
-  *     catalog warmup so the first measured query isn't charged for
-  *     session startup (round-1 bench charged ~5s of warmup to q1);
-  *   - N timed runs (default 2, env SPARK_GRAFT_BENCH_RUNS) at the target
-  *     SF, reporting the per-query MINIMUM (steady-state cost);
-  *   - the action is a `noop`-format write, which computes every output
-  *     column — `count()` would let Catalyst prune the compute away.
+  * scheme, RDataFramesSQL.Rmd:139-152, scaled to CI time): one warmup
+  * pass over every query at the smallest available SF, then N timed runs
+  * (default 2, env SPARK_GRAFT_BENCH_RUNS) at the target SF, reporting
+  * the per-query MINIMUM (steady-state cost). See [[BenchSupport]] for
+  * the shared timing kernel.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    def once(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
+    val spark = BenchSupport.session(cpus)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(once(_, "/root/testdata/sf0.001")) // warmup
+    val wDir = BenchSupport.warmupDir(sfDir)
+    names.foreach(BenchSupport.once(spark, _, wDir))
     val timed = names.map { n =>
-      val ts = (1 to runs).map(_ => once(n, sfDir))
+      val ts = (1 to runs).map(_ => BenchSupport.once(spark, n, sfDir))
       n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
     }
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared plumbing for the two benchmark mains (Bench, MicroBench) so the
+  * session config and the timing kernel cannot drift apart. */
+object BenchSupport {
+
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One timed noop-sink run (noop computes every output column; count()
+    * would let Catalyst prune the compute away). Returns -1 on failure —
+    * a failing query must not kill the whole run. */
+  def once(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    try SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      return -1.0
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Smallest-SF sibling of the target dir for the warmup pass, so JVM/
+    * codegen/catalog startup isn't charged to the first timed query. Falls
+    * back to the target dir itself when the sibling doesn't exist (warmup
+    * at full SF is just a slightly costlier warmup). */
+  def warmupDir(sfDir: String): String = {
+    val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (sibling.isDirectory) sibling.getPath else sfDir
+  }
+}

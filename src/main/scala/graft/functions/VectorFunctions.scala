@@ -38,6 +38,9 @@ case class CosineSim(left: Expression, right: Expression)
           s"${left.dataType.sql} / ${right.dataType.sql}")
     }
 
+  /** Null ELEMENTS poison the result to NULL (a silently-zeroed slot
+    * would produce a wrong similarity with no error; DuckDB's
+    * list_transform likewise propagates element NULLs). */
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -45,6 +48,7 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -60,12 +64,15 @@ case class CosineSim(left: Expression, right: Expression)
          |int n = Math.min($a.numElements(), $b.numElements());
          |double dot = 0.0, na = 0.0, nb = 0.0;
          |for (int i = 0; i < n; i++) {
+         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
          |  double x = (double) $a.getFloat(i);
          |  double y = (double) $b.getFloat(i);
          |  dot += x * y; na += x * x; nb += y * y;
          |}
-         |double d = Math.sqrt(na) * Math.sqrt(nb);
-         |${ev.value} = (d == 0.0) ? 0.0 : dot / d;
+         |if (!${ev.isNull}) {
+         |  double d = Math.sqrt(na) * Math.sqrt(nb);
+         |  ${ev.value} = (d == 0.0) ? 0.0 : dot / d;
+         |}
        """.stripMargin
     })
 

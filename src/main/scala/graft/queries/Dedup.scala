@@ -126,9 +126,16 @@ object Dedup {
     * sit at s >= 0.8 with the rest below 0.05 — verified empirically, so
     * the DuckDB brute-force oracle is exact for this query). */
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // Cached: the shingled corpus feeds THREE branches (signatures + both
+    // sides of the verification join); uncached, the explode+transform is
+    // recomputed per branch (measured 10x slower at sf0.1). The cache is
+    // per-doc shingle arrays — O(corpus tokens), a few MB per SF here —
+    // and is deduped by plan across repeat calls. Lazy return means no
+    // in-query unpersist point; a production pipeline would materialize
+    // this step to storage (checkpoint) instead of relying on cache.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingles(col("text")).as("shs"))
-    docs.cache() // reused for signatures and for exact verification
+      .cache()
     val ex = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
       .withColumn("hb", pmod(xxhash64(col("sh")), lit(P)))
     val minAggs = (0 until NumHashes).map { i =>

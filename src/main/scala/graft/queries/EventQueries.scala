@@ -36,14 +36,21 @@ object EventQueries {
   /** e1 — per-user journey stats via lag + min_by/max_by: event count,
     * first/last event type, mean/max inter-event gap. Gaps are summed as
     * exact integer micros; the only float op is one final division. */
-  def e1UserJourney(s: SparkSession, dir: String): DataFrame =
+  def e1UserJourney(s: SparkSession, dir: String): DataFrame = {
+    // min_by/max_by need a TOTALLY ordered key or ties pick an arbitrary
+    // row (partition-order dependent, and DuckDB's arg_min would pick its
+    // own): fixed-width zero-padded (ts_us, event_id) string is totally
+    // ordered and identical in both engines
+    val tsKey = concat(
+      lpad(col("ts_us").cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 10, "0"))
     events(s, dir)
       .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUserTime))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        min_by(col("event_type"), col("ts_us")).as("first_type"),
-        max_by(col("event_type"), col("ts_us")).as("last_type"),
+        min_by(col("event_type"), tsKey).as("first_type"),
+        max_by(col("event_type"), tsKey).as("last_type"),
         sum(col("gap_us")).as("gap_sum_us"),
         count(col("gap_us")).as("gap_cnt"),
         max(col("gap_us")).as("max_gap_us"))
@@ -53,6 +60,7 @@ object EventQueries {
           .as("avg_gap_s"),
         round(col("max_gap_us").cast("double") / 1e6, 3).as("max_gap_s"))
       .orderBy(col("user_id"))
+  }
 
   /** e2 — rolling row-frame aggregation: sum of the current + 3 previous
     * event values per user. `value` is money-shaped (2 decimals), so the
@@ -119,14 +127,16 @@ object EventQueries {
   val oracleSql: Map[String, String] = Map(
     "e1_user_journey" ->
       """WITH e AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         |         epoch_us(ts) - lag(epoch_us(ts)) OVER
         |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
         |  FROM events
         |)
         |SELECT user_id, count(*) AS n_events,
-        |       arg_min(event_type, ts_us) AS first_type,
-        |       arg_max(event_type, ts_us) AS last_type,
+        |       arg_min(event_type, lpad(CAST(ts_us AS VARCHAR), 20, '0')
+        |         || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS first_type,
+        |       arg_max(event_type, lpad(CAST(ts_us AS VARCHAR), 20, '0')
+        |         || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS last_type,
         |       round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6, 3)
         |         AS avg_gap_s,
         |       round(CAST(max(gap_us) AS DOUBLE) / 1e6, 3) AS max_gap_s
@@ -145,7 +155,7 @@ object EventQueries {
         |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin,
     "e3_sessionize" ->
       """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
         |              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
         |                   > 30 * 60 * 1000000 THEN 1
@@ -154,7 +164,8 @@ object EventQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |), s AS (
         |  SELECT user_id, ts_us,
-        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |         sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         |  FROM e
         |)

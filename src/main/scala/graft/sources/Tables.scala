@@ -34,12 +34,9 @@ object Tables {
   def region(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "region")
   /** The events parquet carries TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects by default; the supported path is reading the raw
-    * nanos as Long (cast/derive downstream — see graft.queries
-    * .EventQueries for the micros contract shared with DuckDB). */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, dir, "events")
-  }
+    * nanos as Long (set once in [[apply]]; cast/derive downstream — see
+    * graft.queries.EventQueries for the micros contract with DuckDB). */
+  def events(s: SparkSession, dir: String): DataFrame = apply(s, dir, "events")
   def documents(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
 

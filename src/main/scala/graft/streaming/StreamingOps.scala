@@ -22,8 +22,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingOps {
 
   /** Typed event row (ts_us = microseconds since epoch, as produced by
-    * the nanos→micros contract in graft.queries.EventQueries). */
-  case class Ev(user_id: Long, ts_us: Long, event_type: String, value: Double)
+    * the nanos→micros contract in graft.queries.EventQueries; event_id is
+    * the unique tie-break so ordering matches the batch sessionizer even
+    * on tied timestamps). */
+  case class Ev(event_id: Long, user_id: Long, ts_us: Long,
+      event_type: String, value: Double)
 
   /** Closed session summary emitted by [[sessionize]]. */
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
@@ -61,13 +64,20 @@ object StreamingOps {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_type))
+          // (ts_us, event_id): same total order as the batch sessionizer's
+          // window, so batch ≡ streaming holds even on tied timestamps
+          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
           var cur = state.getOption
           val closed = Seq.newBuilder[SessionOut]
           sorted.foreach { e =>
             cur match {
               case Some(sess) if e.ts_us - sess.endUs <= gapUs =>
-                cur = Some(sess.copy(endUs = e.ts_us, n = sess.n + 1))
+                // min/max guards: a late event (allowed in by the absence
+                // of a watermark) must never move the session bounds
+                // backward/forward incorrectly
+                cur = Some(SessionState(
+                  math.min(sess.startUs, e.ts_us),
+                  math.max(sess.endUs, e.ts_us), sess.n + 1))
               case Some(sess) =>
                 closed += SessionOut(uid, sess.startUs, sess.endUs, sess.n)
                 cur = Some(SessionState(e.ts_us, e.ts_us, 1))

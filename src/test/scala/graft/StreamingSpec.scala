@@ -10,6 +10,7 @@ import graft.streaming.StreamingOps.Ev
 class StreamingSpec extends SparkSpec {
 
   private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
     StructField("user_id", LongType),
     StructField("ts_us", LongType),
     StructField("event_type", StringType),
@@ -19,7 +20,7 @@ class StreamingSpec extends SparkSpec {
   lazy val streamInputDir: String = {
     val dir = Files.createTempDirectory("graft-stream-in").toString
     graft.sources.Tables.events(spark, sfDir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
         col("event_type"), col("value"))
       .coalesce(2).write.mode("overwrite").parquet(dir)
     dir
@@ -52,10 +53,10 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     // user 1: two sessions split by a 31-min gap; the second stays open
     val evs = Seq(
-      Ev(1L, 0L, "view", 1.0),
-      Ev(1L, 10L * 1000000, "click", 1.0),
-      Ev(1L, (10 + 31 * 60) * 1000000L, "view", 1.0),
-      Ev(2L, 5L * 1000000, "signup", 1.0)
+      Ev(0L, 1L, 0L, "view", 1.0),
+      Ev(1L, 1L, 10L * 1000000, "click", 1.0),
+      Ev(2L, 1L, (10 + 31 * 60) * 1000000L, "view", 1.0),
+      Ev(3L, 2L, 5L * 1000000, "signup", 1.0)
     ).toDS()
     val out = StreamingOps.sessionize(evs, gapUs = 30L * 60 * 1000000)
       .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events))
