@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, EventQueries, Multimodal, RelationalQueries, Similarity, TextAnalysis}
+import graft.queries.{Analytics, Dedup, EventQueries, Multimodal, RelationalQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,13 @@ object SparkEntry {
     * training-data pipeline extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ EventQueries.queries
+      Similarity.queries ++ Multimodal.queries ++ EventQueries.queries ++
+      Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ Multimodal.oracleSql ++ EventQueries.oracleSql
+      Similarity.oracleSql ++ Multimodal.oracleSql ++ EventQueries.oracleSql ++
+      Analytics.oracleSql
 }

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Analytics breadth beyond strict reference parity: the operator
+  * families SURVEY.md §2.5/§2.7 marks "absent from reference, available
+  * for free later" — multi-level aggregation (ROLLUP), set operations,
+  * and sketch-based approximate aggregation. Each matters at 100 TB:
+  * rollup computes all levels in one shuffle instead of N passes, set ops
+  * are hash-partition joins, and the HLL sketch replaces an exact
+  * shuffle-heavy distinct with a mergeable fixed-size state.
+  */
+object Analytics {
+
+  /** x1 — ROLLUP over (priority, status): every aggregation level in one
+    * pass. Subtotal rows carry NULL group keys; ordering coalesces them
+    * to a high sentinel so both engines sort identically. */
+  def x1Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(
+        coalesce(col("o_orderpriority"), lit("~")),
+        coalesce(col("o_orderstatus"), lit("~")))
+
+  /** x2 — set operations: customers ordering in both 1995 and 1996
+    * (INTERSECT), either-but-not-both (symmetric EXCEPTs unioned), and
+    * the union (UNION/DISTINCT) — reported as labeled counts. */
+  def x2SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy").as("y"))
+    val a = o.filter(col("y") === "1995").select(col("o_custkey")).distinct()
+    val b = o.filter(col("y") === "1996").select(col("o_custkey")).distinct()
+    def labeled(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    labeled("both_years", a.intersect(b))
+      .unionAll(labeled("only_1995", a.except(b)))
+      .unionAll(labeled("only_1996", b.except(a)))
+      .unionAll(labeled("either_year", a.union(b).distinct()))
+      .orderBy(col("op"))
+  }
+
+  /** x3 — sketch aggregation: HyperLogLog++ distinct-customer estimate
+    * per order status vs the exact count, with the relative error.
+    * The sketch's fixed-size mergeable state is THE scale story: exact
+    * distinct shuffles every key, the sketch shuffles ~KB per group.
+    * Estimates are engine-specific (no DuckDB oracle — its HLL differs);
+    * AnalyticsSpec bounds the error instead. */
+  def x3ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+      .withColumn("rel_err",
+        round(abs(col("approx_custs") - col("exact_custs"))
+          .cast("double") / col("exact_custs"), 4))
+      .orderBy(col("o_orderstatus"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_rollup"          -> x1Rollup _,
+    "x2_setops"          -> x2SetOps _,
+    "x3_approx_distinct" -> x3ApproxDistinct _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x1_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY coalesce(o_orderpriority, '~'), coalesce(o_orderstatus, '~')""".stripMargin,
+    "x2_setops" ->
+      """WITH o AS (
+        |  SELECT o_custkey, strftime(o_orderdate, '%Y') AS y FROM orders
+        |), a AS (SELECT DISTINCT o_custkey FROM o WHERE y = '1995'),
+        |     b AS (SELECT DISTINCT o_custkey FROM o WHERE y = '1996')
+        |SELECT 'both_years' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT 'only_1995', count(*) FROM (
+        |  SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT 'only_1996', count(*) FROM (
+        |  SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+        |UNION ALL
+        |SELECT 'either_year', count(*) FROM (
+        |  SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+        |ORDER BY op""".stripMargin,
+  )
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.queries.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("x1 rollup: grand total row equals sum of leaf rows") {
+    val rows = Analytics.x1Rollup(spark, sfDir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.head.getAs[Long]("n") == leaves.map(_.getAs[Long]("n")).sum)
+    // per-priority subtotals equal their leaves too
+    val subtotals = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    subtotals.foreach { st =>
+      val p = st.getString(0)
+      val leafSum = leaves.filter(_.getString(0) == p).map(_.getAs[Long]("n")).sum
+      assert(st.getAs[Long]("n") == leafSum, s"priority $p subtotal mismatch")
+    }
+  }
+
+  test("x2 set ops: inclusion–exclusion holds") {
+    val m = Analytics.x2SetOps(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(m.keySet ==
+      Set("both_years", "only_1995", "only_1996", "either_year"))
+    assert(m("either_year") ==
+      m("both_years") + m("only_1995") + m("only_1996"))
+    assert(m("either_year") > 0)
+  }
+
+  test("x3 approx distinct: HLL estimate within the configured 2% rsd band") {
+    val rows = Analytics.x3ApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // 0.02 rsd; allow 5 sigma — deterministic for a fixed dataset anyway
+      assert(r.getAs[Double]("rel_err") <= 0.10,
+        s"approx_count_distinct off by ${r.getAs[Double]("rel_err")} for $r")
+    }
+  }
+}
