@@ -64,6 +64,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L, 10L * 1000000, 2)))
   }
 
+  test("late event in a second micro-batch merges without corrupting bounds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-late").toString
+    def writeBatch(evs: Seq[Ev], name: String): Unit =
+      evs.toDS().coalesce(1).write.parquet(s"$dir/$name")
+    def us(sec: Long) = sec * 1000000L
+    // batch 1: open session {1000s..2000s, n=2}
+    writeBatch(Seq(
+      Ev(0L, 1L, us(1000), "view", 1.0),
+      Ev(1L, 1L, us(2000), "view", 1.0)), "b1")
+    val in = spark.readStream.schema(eventSchema).parquet(s"$dir/b*")
+    val q = StreamingOps.sessionize(in.as[Ev], gapUs = 30L * 60 * 1000000)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event at 500s (merges; must extend start, not
+      // drag end backward) then a far-future event that closes the session
+      writeBatch(Seq(
+        Ev(2L, 1L, us(500), "click", 1.0),
+        Ev(3L, 1L, us(2000 + 40 * 60), "view", 1.0)), "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("late_sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Int]("n_events")))
+    assert(closed.toSeq == Seq((1L, us(500), us(2000), 3)))
+  }
+
   test("stateful sessionizer across micro-batches via memory sink") {
     import spark.implicits._
     val sessions = StreamingOps.sessionize(
