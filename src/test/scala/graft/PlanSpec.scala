@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Dedup, EventQueries, RelationalQueries, Similarity, TextAnalysis}
+import graft.queries.{Analytics, Dedup, EventQueries, RelationalQueries, Similarity, TextAnalysis}
 
 /** Physical-plan shape assertions — the 100 TB posture checks. A query
   * that silently stops pushing its filter or broadcasting its tiny side
@@ -42,6 +42,20 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+  }
+
+  test("x1 rollup: all levels computed in ONE exchange (Expand, not N passes)") {
+    val p = plan(Analytics.x1Rollup(spark, sfDir))
+    assert(p.contains("Expand"), s"rollup should plan an Expand node:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+  }
+
+  test("e1: events scan prunes to the used columns (no value/props read)") {
+    val p = plan(EventQueries.e1UserJourney(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("value") && !readSchema.contains("props"),
+      s"unused columns not pruned: $readSchema")
   }
 
   test("whole-stage codegen covers the scan->project hot path of t2") {
