@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rabin–Karp rolling hash over every `k`-char window of a string, as a
+  * native codegen expression: one O(n) pass emits n-k+1 window hashes
+  * (h_{i+1} = (h_i - c_i·B^{k-1})·B + c_{i+k} mod P). The built-in
+  * composition (transform over sequence + substring + hash) would rehash
+  * every window from scratch — O(n·k) — and allocate a substring per
+  * window. This is the standard primitive under content-defined chunking
+  * and winnowing-style document fingerprinting.
+  *
+  * Deterministic: fixed base/modulus, byte-level iteration over the
+  * UTF-8 encoding. Strings shorter than `k` yield an empty array.
+  */
+case class RollingHash(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"window size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    new GenericArrayData(RollingHash.hashes(bytes, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = RollingHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $helper.hashes($c.getBytes(), $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  /** 61-bit Mersenne prime; base chosen odd and > 256. With values < P,
+    * the rolling update's products stay under 2^63 only if done via
+    * Math.multiplyHigh-free modular steps — we use the standard trick of
+    * a 31-bit prime instead so b*h + c stays within a positive Long. */
+  private final val P = 2147483647L // 2^31 - 1
+  private final val B = 131L
+
+  /** All k-byte window hashes of `bytes` (empty array if too short).
+    * Shared by interpreted eval and generated code. */
+  def hashes(bytes: Array[Byte], k: Int): Array[Long] = {
+    val n = bytes.length
+    if (n < k) return Array.emptyLongArray
+    // B^(k-1) mod P for the remove-leading-byte step
+    var bk = 1L
+    var i = 1
+    while (i < k) { bk = (bk * B) % P; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + (bytes(i) & 0xFF)) % P; i += 1 }
+    out(0) = h
+    i = k
+    while (i < n) {
+      val drop = ((bytes(i - k) & 0xFF) * bk) % P
+      h = ((h - drop + P) * B + (bytes(i) & 0xFF)) % P
+      out(i - k + 1) = h
+      i += 1
+    }
+    out
+  }
+}
+
+object TextHashFunctions {
+  /** Column-API entry point: `rolling_hash($"text", 8)`. */
+  def rolling_hash(c: Column, k: Int): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c), k))
+}

@@ -118,11 +118,37 @@ object TextAnalysis {
         min(col("fp")).as("min_fp"))
       .orderBy(col("source"))
 
+  /** t5 — winnowing document fingerprints over the [[graft.functions
+    * .RollingHash]] codegen kernel: every 8-char window is Rabin-Karp
+    * hashed in one O(n) pass, then winnowing keeps the minimum hash of
+    * each 4-hash window — the classic local fingerprinting scheme whose
+    * guarantee is that any sufficiently long shared substring yields at
+    * least one shared fingerprint. Engine-specific hash values → no
+    * DuckDB oracle (rows-only gate); semantics pinned by TextAnalysisSpec.
+    */
+  def t5WinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.rolling_hash
+    val w = 4
+    val hs = rolling_hash(col("text"), 8)
+    val fps = when(size(col("hs")) >= w,
+      array_distinct(transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+        i => array_min(slice(col("hs"), i, lit(w))))))
+      .otherwise(array_distinct(col("hs")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n_windows"), fps.as("fps"))
+      .select(col("doc_id"), col("n_windows"),
+        size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_langid"        -> t3LangId _,
     "t4_fingerprint"   -> t4Fingerprint _,
+    "t5_winnow_fingerprint" -> t5WinnowFingerprint _,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -49,6 +49,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_docs")).sum == 500L)
   }
 
+  test("rolling_hash: known values, O(n) window count, short-string empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextHashFunctions.rolling_hash
+    val rows = Seq("ab", "abcab", "x").toDF("s")
+      .select(rolling_hash(col("s"), 2).as("h")).collect()
+      .map(_.getSeq[Long](0))
+    // k=2, base 131: h("ab") = (97*131 + 98) mod (2^31-1) = 12805
+    assert(rows(0) == Seq(12805L))
+    // "abcab": windows ab bc ca ab — first and last must collide exactly
+    assert(rows(1).length == 4)
+    assert(rows(1).head == rows(1).last)
+    assert(rows(1).head == 12805L)
+    assert(rows(2) == Seq.empty) // shorter than the window
+  }
+
+  test("t5 winnowing: identical docs share fingerprints; count bounded by windows") {
+    val out = TextAnalysis.t5WinnowFingerprint(spark, sfDir).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_fingerprints") <= r.getAs[Int]("n_windows"))
+      assert(r.getAs[Int]("n_fingerprints") > 0) // all docs >= 8 chars
+    }
+    // winnowing guarantee on shared substrings: two docs built from the
+    // same text must produce the identical fingerprint summary
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((1L, t, "en", "s", t.length.toLong), (2L, t, "en", "s", t.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val twin = TextAnalysis.t5WinnowFingerprint(spark, dir).collect()
+    assert(twin(0).getAs[Long]("min_fp") == twin(1).getAs[Long]("min_fp"))
+    assert(twin(0).getAs[Int]("n_fingerprints") == twin(1).getAs[Int]("n_fingerprints"))
+  }
+
   test("t4 fingerprints: md5 is stable and distinct_fp <= n_docs") {
     val out = TextAnalysis.t4Fingerprint(spark, sfDir).collect()
     assert(out.length == 20) // 20 sources
