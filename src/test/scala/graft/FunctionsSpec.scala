@@ -36,6 +36,19 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.toSeq == viaColumn.toSeq) // identical expression → identical bits
   }
 
+  test("rolling_hash registered as a SQL function (literal window arg)") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT rolling_hash('ab', 2) AS h, rolling_hash('x', 2) AS e")
+      .collect().head
+    assert(r.getSeq[Long](0) == Seq(12805L)) // (97*131 + 98) mod (2^31-1)
+    assert(r.getSeq[Long](1) == Seq.empty)
+    // a non-foldable window is rejected at analysis (foldable expressions
+    // like length('xy') are fine — they evaluate at plan time)
+    intercept[Exception] {
+      spark.sql("SELECT rolling_hash('ab', cast(rand() * 2 AS int))").collect()
+    }
+  }
+
   test("property: cosine_sim(v, v) == 1 and symmetry, vs scala reference") {
     import spark.implicits._
     val gen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
