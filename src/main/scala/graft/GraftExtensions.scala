@@ -37,9 +37,9 @@ object GraftExtensions {
     val k = children(1) match {
       case e if e.foldable => e.eval() match {
         case i: Int => i
-        case l: Long => l.toInt
+        case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
         case other => throw new IllegalArgumentException(
-          s"rolling_hash window must be an integer literal, got $other")
+          s"rolling_hash window must be a positive int literal, got $other")
       }
       case _ => throw new IllegalArgumentException(
         "rolling_hash window must be a literal")

@@ -26,9 +26,12 @@ object MicroBench {
       sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
     }
 
+    // warm up at the TARGET SF: unlike Bench (which reports min-of-N and
+    // only needs JVM/codegen warmup), this main prints mean/median/uq/max
+    // quartiles, which must not absorb cold page-cache reads or
+    // first-execution AQE decisions for the measured dataset
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val wDir = BenchSupport.warmupDir(sfDir)
-    names.foreach(BenchSupport.once(spark, _, wDir))
+    names.foreach(BenchSupport.once(spark, _, sfDir))
     println(f"${"query"}%-28s ${"min"}%8s ${"lq"}%8s ${"mean"}%8s ${"median"}%8s ${"uq"}%8s ${"max"}%8s  (sec, times=$times)")
     names.foreach { name =>
       val raw = (1 to times).map(_ => BenchSupport.once(spark, name, sfDir))

@@ -52,10 +52,13 @@ case class RollingHash(child: Expression, k: Int)
 }
 
 object RollingHash {
-  /** 61-bit Mersenne prime; base chosen odd and > 256. With values < P,
-    * the rolling update's products stay under 2^63 only if done via
-    * Math.multiplyHigh-free modular steps — we use the standard trick of
-    * a 31-bit prime instead so b*h + c stays within a positive Long. */
+  /** 31-bit Mersenne prime modulus (2^31 - 1): with h < P, every step's
+    * product (h*B, drop*B^{k-1} term) stays well under 2^63 in plain Long
+    * arithmetic — no 128-bit tricks needed. Hash space is ~2.1e9, ample
+    * for per-document window fingerprints (birthday collisions only
+    * matter around ~5e4 windows PER COMPARISON SET, far above any
+    * document's window count); base 131 is the classic Rabin-Karp odd
+    * prime. */
   private final val P = 2147483647L // 2^31 - 1
   private final val B = 131L
 

@@ -29,6 +29,19 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  /** True when a NULL result is reachable: null inputs (children) or null
+    * ELEMENTS (array containsNull). Must be precise — declaring the
+    * expression non-nullable while the codegen assigns `ev.isNull` would
+    * generate uncompilable code (the non-nullable branch never declares
+    * that variable) and the interpreter fallback's null would be silently
+    * coerced to 0.0 by a non-nullable UnsafeProjection. */
+  private def elementNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementNullable
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
@@ -60,19 +73,37 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: a bare `i`/`n` can collide with the enclosing
+      // projection's variables inside whole-stage codegen
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val d = ctx.freshName("d")
+      // ev.isNull only exists when nullable — and the element check is
+      // dead code unless the array type admits null elements
+      val elementCheck =
+        if (elementNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val compute =
+        s"""
+           |double $d = Math.sqrt($na) * Math.sqrt($nb);
+           |${ev.value} = ($d == 0.0) ? 0.0 : $dot / $d;
+         """.stripMargin
+      val guardedCompute =
+        if (elementNullable) s"if (!${ev.isNull}) { $compute }" else compute
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $elementCheck
+         |  double x = (double) $a.getFloat($i);
+         |  double y = (double) $b.getFloat($i);
+         |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
-         |if (!${ev.isNull}) {
-         |  double d = Math.sqrt(na) * Math.sqrt(nb);
-         |  ${ev.value} = (d == 0.0) ? 0.0 : dot / d;
-         |}
+         |$guardedCompute
        """.stripMargin
     })
 

@@ -33,8 +33,12 @@ object Analytics {
   def x2SetOps(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy").as("y"))
-    val a = o.filter(col("y") === "1995").select(col("o_custkey")).distinct()
-    val b = o.filter(col("y") === "1996").select(col("o_custkey")).distinct()
+    // cached: each cohort feeds three of the four set-op branches; uncached
+    // every branch would rescan the parquet and redo the distinct shuffle
+    // (same multi-branch-reuse tradeoff as Dedup.d3 — lazy return, so the
+    // small distinct-key tables stay cached for the session)
+    val a = o.filter(col("y") === "1995").select(col("o_custkey")).distinct().cache()
+    val b = o.filter(col("y") === "1996").select(col("o_custkey")).distinct().cache()
     def labeled(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
     labeled("both_years", a.intersect(b))

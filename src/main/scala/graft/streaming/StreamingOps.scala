@@ -56,7 +56,15 @@ object StreamingOps {
     * more than `gapUs` of silence are CLOSED and emitted, the most recent
     * session stays open in state for the next batch. Works in batch mode
     * too (state lives for the single batch; the still-open tail session
-    * is intentionally not emitted — it could still grow). */
+    * is intentionally not emitted — it could still grow).
+    *
+    * Late-data policy: an event within `gapUs` of the open session's
+    * [start, end] interval merges into it (extending either bound); an
+    * event OLDER than start - gapUs belongs to an already-emitted part of
+    * the timeline that cannot be retro-merged, so it is closed immediately
+    * as its own degenerate session. Batch ≡ streaming equivalence
+    * therefore holds exactly for streams that are in-order across
+    * micro-batches (within-batch disorder is fine — batches are sorted). */
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
@@ -71,10 +79,13 @@ object StreamingOps {
           val closed = Seq.newBuilder[SessionOut]
           sorted.foreach { e =>
             cur match {
+              case Some(sess) if e.ts_us < sess.startUs - gapUs =>
+                // too late to retro-merge (see late-data policy above):
+                // emit the straggler as its own closed session, keep the
+                // open session untouched
+                closed += SessionOut(uid, e.ts_us, e.ts_us, 1)
               case Some(sess) if e.ts_us - sess.endUs <= gapUs =>
-                // min/max guards: a late event (allowed in by the absence
-                // of a watermark) must never move the session bounds
-                // backward/forward incorrectly
+                // in-gap (possibly late): extend whichever bound moved
                 cur = Some(SessionState(
                   math.min(sess.startUs, e.ts_us),
                   math.max(sess.endUs, e.ts_us), sess.n + 1))

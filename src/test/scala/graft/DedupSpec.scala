@@ -87,6 +87,25 @@ class DedupSpec extends SparkSpec {
     assert(withNull(0).isNullAt(0))
   }
 
+  test("cosine_sim: null ELEMENTS poison to NULL; non-nullable inputs keep codegen") {
+    import spark.implicits._
+    val df = Seq(0, 1).toDF("id")
+    // array(...) with a when() is element-nullable; id=1 row has a null element
+    val nullableArr = array(
+      when(col("id") === 0, lit(1.0f)).otherwise(lit(null).cast("float")),
+      lit(1.0f))
+    val out = df.orderBy("id")
+      .select(cosine_sim(nullableArr, nullableArr).as("c")).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12) // no null element
+    assert(out(1).isNullAt(0), s"null element must poison to NULL, got ${out(1)}")
+    // non-nullable literals: expression reports non-nullable and computes
+    val lit1 = typedlit(Array(3f, 4f))
+    val col1 = cosine_sim(lit1, lit1)
+    val r = spark.range(1).select(col1.as("c"))
+    assert(!r.schema("c").nullable)
+    assert(math.abs(r.collect()(0).getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("d5 embedding near-dup on harness data: bounded cosine, blocked by label") {
     val rows = Dedup.d5EmbeddingNearDup(spark, sfDir).collect()
     assert(rows.length == 20)
