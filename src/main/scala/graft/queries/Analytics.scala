@@ -65,10 +65,32 @@ object Analytics {
           .cast("double") / col("exact_custs"), 4))
       .orderBy(col("o_orderstatus"))
 
+  /** x4 — salted two-stage aggregation for skewed keys: `event_type` has
+    * only 5 values, so a direct groupBy reduces on 5 tasks no matter how
+    * many cores exist (the textbook skew case). Stage 1 groups by
+    * (key, salt) — 5×16 groups spread across the cluster — stage 2
+    * re-aggregates the partials by key. Value totals run in exact integer
+    * cents so the two-stage result is bit-identical to the direct one
+    * (the DuckDB oracle computes it directly — same answer is the point).
+    */
+  def x4SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        pmod(col("event_id"), lit(16)).as("salt"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pcents"))
+    salted.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        round(sum(col("pcents")).cast("double") / 100.0, 2).as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_rollup"          -> x1Rollup _,
     "x2_setops"          -> x2SetOps _,
     "x3_approx_distinct" -> x3ApproxDistinct _,
+    "x4_salted_agg"      -> x4SaltedAgg _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -95,5 +117,10 @@ object Analytics {
         |SELECT 'either_year', count(*) FROM (
         |  SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
         |ORDER BY op""".stripMargin,
+    "x4_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |             / 100.0, 2) AS value_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

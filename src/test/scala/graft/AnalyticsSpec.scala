@@ -29,6 +29,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(m("either_year") > 0)
   }
 
+  test("x4 salted agg: two-stage result identical to direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val salted = Analytics.x4SaltedAgg(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Double]("value_sum")))
+    val direct = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("value") * 100).cast("long")).cast("double") / 100.0, 2)
+          .as("value_sum"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Double]("value_sum")))
+    assert(salted.toSeq == direct.toSeq)
+  }
+
   test("x3 approx distinct: HLL estimate within the configured 2% rsd band") {
     val rows = Analytics.x3ApproxDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
