@@ -52,6 +52,31 @@ class EventQueriesSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1.10, 3.35, 7.35, 15.85))
   }
 
+  test("e3 agrees with Spark's built-in session_window on harness data") {
+    import org.apache.spark.sql.functions._
+    // two INDEPENDENT sessionizations: e3's lag+cumulative-sum vs the
+    // native session_window operator. Boundary note: session_window merges
+    // on gap < 30min (strict) while e3 merges on gap <= 30min — identical
+    // unless a gap is EXACTLY 30min, impossible-in-practice with ns data.
+    val builtIn = graft.sources.Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("t", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val ours = graft.queries.EventQueries.e3Sessionize(spark, sfDir)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(ours == builtIn,
+      s"only-in-ours=${(ours -- builtIn).take(3)} only-in-builtin=${(builtIn -- ours).take(3)}")
+  }
+
   test("e4 hourly mix shares sum to 1 per hour on harness data") {
     val rows = EventQueries.e4HourlyMix(spark, sfDir).collect()
     val byHour = rows.groupBy(_.getAs[Int]("hour"))
