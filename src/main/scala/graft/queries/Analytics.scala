@@ -86,11 +86,26 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** x5 — pivot (long→wide): hour-of-day × event-type counts as one row
+    * per hour with a column per type. The value list is EXPLICIT — an
+    * unlisted pivot triggers an extra distinct-collection job and makes
+    * the output schema data-dependent, both wrong at scale. */
+  def x5Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(hour(timestamp_micros(expr("ts div 1000"))).as("hour"),
+        col("event_type"))
+      .groupBy(col("hour"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("hour"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_rollup"          -> x1Rollup _,
     "x2_setops"          -> x2SetOps _,
     "x3_approx_distinct" -> x3ApproxDistinct _,
     "x4_salted_agg"      -> x4SaltedAgg _,
+    "x5_pivot"           -> x5Pivot _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -122,5 +137,13 @@ object Analytics {
         |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
         |             / 100.0, 2) AS value_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x5_pivot" ->
+      """SELECT hour(ts) AS hour,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
