@@ -117,11 +117,29 @@ object EventQueries {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** e5 — semi-structured extraction: the `props` column is a JSON string
+    * (as event payloads usually are); parse out the `k` field and
+    * aggregate it per event type. `get_json_object` is codegen'd and
+    * scan-local — at scale the JSON parse happens once per row in the map
+    * stage, nothing shuffles but the (type, aggregates) partials. */
+  def e5JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_user_journey" -> e1UserJourney _,
     "e2_rolling_value" -> e2RollingValue _,
     "e3_sessionize"   -> e3Sessionize _,
     "e4_hourly_mix"   -> e4HourlyMix _,
+    "e5_json_extract" -> e5JsonExtract _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -184,5 +202,13 @@ object EventQueries {
         |       round(CAST(n AS DOUBLE)
         |             / sum(n) OVER (PARTITION BY hour), 4) AS hour_share
         |FROM g ORDER BY hour, event_type""".stripMargin,
+    "e5_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+        |)
+        |SELECT event_type, count(k) AS n_with_k,
+        |       CAST(sum(k) AS BIGINT) AS k_sum,
+        |       min(k) AS k_min, max(k) AS k_max
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
