@@ -134,12 +134,44 @@ object EventQueries {
         max(col("k")).as("k_max"))
       .orderBy(col("event_type"))
 
+  /** e6 — as-of join, an operator Spark lacks natively, built per the
+    * custom-op ladder's FIRST rung (SURVEY §7: compose built-ins before
+    * reaching for a custom SparkPlan): each purchase is joined to the
+    * user's most recent error at-or-before it. The composition is the
+    * classic union + window carry-forward — tag both streams, union,
+    * sort per user by time, propagate the last error's fields with
+    * `last(_, ignoreNulls)`, keep the purchases. ONE shuffle on user_id;
+    * the naive alternative (range join + per-row argmax) is quadratic in
+    * events-per-user. DuckDB's native ASOF JOIN is the oracle. */
+  def e6AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("user_id") < 30) // bound the output
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        lit(null).cast("long").as("err_ts_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us"),
+        lit(null).cast("long").as("event_id"), col("ts_us").as("err_ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      // errors sort before a purchase at the same instant (can't occur —
+      // (user, ts_us) is unique — but pins the inclusive >= semantics)
+      .orderBy(col("ts_us").asc, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    purchases.unionByName(errors)
+      .withColumn("last_err_us", last(col("err_ts_us"), ignoreNulls = true).over(w))
+      .filter(col("event_id").isNotNull) // keep the purchase rows
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("last_err_us"),
+        expr("(ts_us - last_err_us) div 1000000").as("since_err_s"))
+      .orderBy(col("user_id"), col("ts_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_user_journey" -> e1UserJourney _,
     "e2_rolling_value" -> e2RollingValue _,
     "e3_sessionize"   -> e3Sessionize _,
     "e4_hourly_mix"   -> e4HourlyMix _,
     "e5_json_extract" -> e5JsonExtract _,
+    "e6_asof_join"    -> e6AsofJoin _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -210,5 +242,19 @@ object EventQueries {
         |       CAST(sum(k) AS BIGINT) AS k_sum,
         |       min(k) AS k_min, max(k) AS k_max
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e6_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE user_id < 30
+        |), p AS (
+        |  SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'purchase'
+        |), er AS (
+        |  SELECT user_id, ts_us FROM ev WHERE event_type = 'error'
+        |)
+        |SELECT p.user_id, p.event_id, p.ts_us, e.ts_us AS last_err_us,
+        |       (p.ts_us - e.ts_us) // 1000000 AS since_err_s
+        |FROM p ASOF LEFT JOIN er e
+        |  ON p.user_id = e.user_id AND p.ts_us >= e.ts_us
+        |ORDER BY p.user_id, p.ts_us""".stripMargin,
   )
 }
