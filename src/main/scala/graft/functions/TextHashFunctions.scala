@@ -87,8 +87,70 @@ object RollingHash {
   }
 }
 
+/** Minimum of every `w`-wide window of a long array, O(n) via a monotonic
+  * deque — the winnowing selection step. The built-in composition
+  * (`transform(sequence, i -> array_min(slice(arr, i, w)))`) is O(n·w)
+  * and allocates a slice per window. */
+case class SlidingMin(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  require(w >= 1, s"window size must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sliding_min"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sliding_min requires array<bigint> without null elements, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    new GenericArrayData(SlidingMin.mins(arr.toLongArray(), w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = SlidingMin.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $helper.mins($c.toLongArray(), $w));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SlidingMin {
+  /** Monotonic-deque sliding minimum: each index enters and leaves the
+    * deque at most once → O(n) total. Empty result if the array is
+    * shorter than the window. */
+  def mins(a: Array[Long], w: Int): Array[Long] = {
+    val n = a.length
+    if (n < w) return Array.emptyLongArray
+    val out = new Array[Long](n - w + 1)
+    val deque = new Array[Int](n) // indices, increasing values
+    var head = 0; var tail = 0    // deque = [head, tail)
+    var i = 0
+    while (i < n) {
+      if (head < tail && deque(head) <= i - w) head += 1 // expire left
+      while (head < tail && a(deque(tail - 1)) >= a(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (i >= w - 1) out(i - w + 1) = a(deque(head))
+      i += 1
+    }
+    out
+  }
+}
+
 object TextHashFunctions {
   /** Column-API entry point: `rolling_hash($"text", 8)`. */
   def rolling_hash(c: Column, k: Int): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c), k))
+
+  /** Column-API entry point: `sliding_min($"hashes", 4)`. */
+  def sliding_min(c: Column, w: Int): Column =
+    ColumnBridge.column(SlidingMin(ColumnBridge.expression(c), w))
 }

@@ -127,12 +127,13 @@ object TextAnalysis {
     * DuckDB oracle (rows-only gate); semantics pinned by TextAnalysisSpec.
     */
   def t5WinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextHashFunctions.rolling_hash
+    import graft.functions.TextHashFunctions.{rolling_hash, sliding_min}
     val w = 4
     val hs = rolling_hash(col("text"), 8)
+    // O(n) monotonic-deque window minimum (SlidingMin); documents shorter
+    // than the winnow window keep all their hashes as fingerprints
     val fps = when(size(col("hs")) >= w,
-      array_distinct(transform(sequence(lit(1), size(col("hs")) - (w - 1)),
-        i => array_min(slice(col("hs"), i, lit(w))))))
+      array_distinct(sliding_min(col("hs"), w)))
       .otherwise(array_distinct(col("hs")))
     Tables.documents(s, dir)
       .select(col("doc_id"), hs.as("hs"))

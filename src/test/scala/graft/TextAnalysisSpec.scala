@@ -65,6 +65,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2) == Seq.empty) // shorter than the window
   }
 
+  test("sliding_min: deque window minimum matches brute force on known arrays") {
+    import graft.functions.SlidingMin
+    assert(SlidingMin.mins(Array(5L, 3L, 8L, 1L, 9L, 2L), 3).toSeq ==
+      Seq(3L, 1L, 1L, 1L))
+    assert(SlidingMin.mins(Array(1L, 2L, 3L), 1).toSeq == Seq(1L, 2L, 3L))
+    assert(SlidingMin.mins(Array(2L, 1L), 3).toSeq == Seq.empty)
+    // randomized cross-check vs brute force
+    val rnd = new scala.util.Random(1)
+    for (_ <- 1 to 50) {
+      val a = Array.fill(rnd.nextInt(40) + 1)(rnd.nextLong() % 1000)
+      val w = rnd.nextInt(6) + 1
+      val brute =
+        if (a.length < w) Seq.empty
+        else (0 to a.length - w).map(i => a.slice(i, i + w).min)
+      assert(SlidingMin.mins(a, w).toSeq == brute, s"w=$w a=${a.mkString(",")}")
+    }
+  }
+
   test("t5 winnowing: identical docs share fingerprints; count bounded by windows") {
     val out = TextAnalysis.t5WinnowFingerprint(spark, sfDir).collect()
     assert(out.length == 500)
