@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, RollingHash}
+import graft.functions.{CosineSim, RollingHash, SlidingMin}
 
 /** Session-extension wiring (SURVEY.md §7 custom-op ladder, step (c)):
   * registers graft's native expressions with the SQL function registry so
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
     e.injectFunction(GraftExtensions.rollingHashDescriptor)
+    e.injectFunction(GraftExtensions.slidingMinDescriptor)
   }
 }
 
@@ -30,21 +31,26 @@ object GraftExtensions {
     CosineSim(children.head, children(1))
   }
 
-  /** SQL form: rolling_hash(str, k) where k must be an integer literal
-    * (the window size is part of the expression, not a runtime value). */
+  /** Plan-time int from a foldable second argument (window sizes are part
+    * of the expression, not runtime values). */
+  private def literalWindow(fn: String, e: Expression): Int = e match {
+    case x if x.foldable => x.eval() match {
+      case i: Int => i
+      case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn window must be a positive int literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn window must be a literal")
+  }
+
   private def buildRollingHash(children: Seq[Expression]): Expression = {
     require(children.length == 2, "rolling_hash expects exactly 2 arguments")
-    val k = children(1) match {
-      case e if e.foldable => e.eval() match {
-        case i: Int => i
-        case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"rolling_hash window must be a positive int literal, got $other")
-      }
-      case _ => throw new IllegalArgumentException(
-        "rolling_hash window must be a literal")
-    }
-    RollingHash(children.head, k)
+    RollingHash(children.head, literalWindow("rolling_hash", children(1)))
+  }
+
+  private def buildSlidingMin(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "sliding_min expects exactly 2 arguments")
+    SlidingMin(children.head, literalWindow("sliding_min", children(1)))
   }
 
   private val cosineSimDescriptor = (
@@ -57,10 +63,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RollingHash].getCanonicalName, "rolling_hash"),
     buildRollingHash _)
 
+  private val slidingMinDescriptor = (
+    FunctionIdentifier("sliding_min"),
+    new ExpressionInfo(classOf[SlidingMin].getCanonicalName, "sliding_min"),
+    buildSlidingMin _)
+
   /** Register on an already-built session (temp-function registry). */
   def register(s: org.apache.spark.sql.SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", buildCosineSim, "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash", buildRollingHash, "scala_udf")
+    reg.createOrReplaceTempFunction("sliding_min", buildSlidingMin, "scala_udf")
   }
 }

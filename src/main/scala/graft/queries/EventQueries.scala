@@ -145,20 +145,22 @@ object EventQueries {
     * events-per-user. DuckDB's native ASOF JOIN is the oracle. */
   def e6AsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).filter(col("user_id") < 30) // bound the output
+    // explicit boolean tag (NOT a null-sentinel on event_id — a genuine
+    // row with a NULL id would silently change sides)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"), col("event_id"),
-        lit(null).cast("long").as("err_ts_us"))
+        lit(null).cast("long").as("err_ts_us"), lit(true).as("is_purchase"))
     val errors = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts_us"),
-        lit(null).cast("long").as("event_id"), col("ts_us").as("err_ts_us"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("ts_us").as("err_ts_us"), lit(false).as("is_purchase"))
     val w = Window.partitionBy(col("user_id"))
-      // errors sort before a purchase at the same instant (can't occur —
-      // (user, ts_us) is unique — but pins the inclusive >= semantics)
-      .orderBy(col("ts_us").asc, col("event_id").asc_nulls_first)
+      // errors (false) sort before a purchase at the same instant (can't
+      // occur — (user, ts_us) is unique — but pins the inclusive >=)
+      .orderBy(col("ts_us").asc, col("is_purchase").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     purchases.unionByName(errors)
       .withColumn("last_err_us", last(col("err_ts_us"), ignoreNulls = true).over(w))
-      .filter(col("event_id").isNotNull) // keep the purchase rows
+      .filter(col("is_purchase"))
       .select(col("user_id"), col("event_id"), col("ts_us"),
         col("last_err_us"),
         expr("(ts_us - last_err_us) div 1000000").as("since_err_s"))
@@ -236,7 +238,8 @@ object EventQueries {
         |FROM g ORDER BY hour, event_type""".stripMargin,
     "e5_json_extract" ->
       """WITH e AS (
-        |  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+        |  -- TRY_CAST mirrors Spark's null-on-malformed cast semantics
+        |  SELECT event_type, TRY_CAST(props->>'k' AS BIGINT) AS k FROM events
         |)
         |SELECT event_type, count(k) AS n_with_k,
         |       CAST(sum(k) AS BIGINT) AS k_sum,

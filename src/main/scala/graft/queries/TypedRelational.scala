@@ -21,7 +21,7 @@ import graft.sources.Tables
   */
 object TypedRelational {
 
-  case class OrderRow(o_orderkey: Long, o_orderstatus: String, o_totalprice: Double)
+  case class OrderRow(o_orderkey: Long, o_totalprice: Double)
   case class BigCount(l_orderkey: Long, big_item_cnt: Long)
 
   /** q3 through the typed API: same semantics as
@@ -38,7 +38,7 @@ object TypedRelational {
       .map { case (k, n) => BigCount(k, n) }
     val orders = Tables.orders(s, dir)
       .filter(col("o_orderstatus") === "F")
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_totalprice"))
       .as[OrderRow]
     orders
       .joinWith(big, orders("o_orderkey") === big("l_orderkey"), "inner")

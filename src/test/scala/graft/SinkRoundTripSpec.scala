@@ -12,27 +12,33 @@ import graft.queries.RelationalQueries
 class SinkRoundTripSpec extends SparkSpec {
 
   test("q1 result round-trips through parquet, csv and json sinks") {
-    val dir = Files.createTempDirectory("graft-sinks").toString
-    val q1 = RelationalQueries.q1ArgmaxPerYear(spark, sfDir)
-      .orderBy(col("o_year"))
-    val expected = q1.collect().toSeq
-    val schema = q1.schema
+    val dir = Files.createTempDirectory("graft-sinks")
+    try {
+      val q1 = RelationalQueries.q1ArgmaxPerYear(spark, sfDir)
+        .orderBy(col("o_year"))
+      val expected = q1.collect().toSeq
+      val schema = q1.schema
 
-    q1.coalesce(1).write.mode("overwrite").parquet(s"$dir/p")
-    q1.coalesce(1).write.mode("overwrite")
-      .option("header", "true").csv(s"$dir/c")
-    q1.coalesce(1).write.mode("overwrite").json(s"$dir/j")
+      q1.coalesce(1).write.mode("overwrite").parquet(s"$dir/p")
+      q1.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$dir/c")
+      q1.coalesce(1).write.mode("overwrite").json(s"$dir/j")
 
-    val fromParquet = spark.read.parquet(s"$dir/p")
-      .orderBy(col("o_year")).collect().toSeq
-    val fromCsv = spark.read.schema(schema)
-      .option("header", "true").csv(s"$dir/c")
-      .orderBy(col("o_year")).collect().toSeq
-    val fromJson = spark.read.schema(schema).json(s"$dir/j")
-      .orderBy(col("o_year")).collect().toSeq
+      val fromParquet = spark.read.parquet(s"$dir/p")
+        .orderBy(col("o_year")).collect().toSeq
+      val fromCsv = spark.read.schema(schema)
+        .option("header", "true").csv(s"$dir/c")
+        .orderBy(col("o_year")).collect().toSeq
+      val fromJson = spark.read.schema(schema).json(s"$dir/j")
+        .orderBy(col("o_year")).collect().toSeq
 
-    assert(fromParquet == expected)
-    assert(fromCsv == expected)
-    assert(fromJson == expected)
+      assert(fromParquet == expected)
+      assert(fromCsv == expected)
+      assert(fromJson == expected)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
   }
 }
