@@ -100,12 +100,28 @@ object Analytics {
       .na.fill(0L)
       .orderBy(col("hour"))
 
+  /** x6 — exact interpolated percentiles (median/p90) of order value per
+    * priority. Spark's `percentile` and DuckDB's `quantile_cont` share
+    * the same linear-interpolation definition on identical sorted data,
+    * so this is oracle-checkable where t-digest/approx sketches are not.
+    * At 100 TB this is the op to replace with approx_percentile — exact
+    * percentile materializes each group's values. */
+  def x6Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_rollup"          -> x1Rollup _,
     "x2_setops"          -> x2SetOps _,
     "x3_approx_distinct" -> x3ApproxDistinct _,
     "x4_salted_agg"      -> x4SaltedAgg _,
     "x5_pivot"           -> x5Pivot _,
+    "x6_percentiles"     -> x6Percentiles _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -145,5 +161,10 @@ object Analytics {
         |       count(*) FILTER (event_type = 'signup') AS signup,
         |       count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x6_percentiles" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -144,12 +144,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t6 — deterministic content-hash train/val split: a document's split
+    * is a pure function of its id (first md5 hex byte < 0xcd ≈ 80.1%),
+    * so the assignment is stable across runs, engines, partitionings and
+    * scale — the property random `sample()` lacks and a reproducible
+    * training pipeline requires. Output = lang × split counts. */
+  def t6TrainValSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        when(bucket < "cd", "train").otherwise("val").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_langid"        -> t3LangId _,
     "t4_fingerprint"   -> t4Fingerprint _,
     "t5_winnow_fingerprint" -> t5WinnowFingerprint _,
+    "t6_train_val_split"    -> t6TrainValSplit _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -209,5 +225,11 @@ object TextAnalysis {
         |       count(DISTINCT md5(text)) AS distinct_fp,
         |       min(md5(text)) AS min_fp
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t6_train_val_split" ->
+      """SELECT lang,
+        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |            THEN 'train' ELSE 'val' END AS split,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
   )
 }
