@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, RollingHash, SlidingMin}
+import graft.functions.{CosineSim, RollingHash, SlidingMin, WordShingleHashes}
 
 /** Session-extension wiring (SURVEY.md §7 custom-op ladder, step (c)):
   * registers graft's native expressions with the SQL function registry so
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
     e.injectFunction(GraftExtensions.rollingHashDescriptor)
     e.injectFunction(GraftExtensions.slidingMinDescriptor)
+    e.injectFunction(GraftExtensions.wordShingleHashesDescriptor)
   }
 }
 
@@ -53,6 +54,11 @@ object GraftExtensions {
     SlidingMin(children.head, literalWindow("sliding_min", children(1)))
   }
 
+  private def buildWordShingleHashes(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "word_shingle_hashes expects exactly 2 arguments")
+    WordShingleHashes(children.head, literalWindow("word_shingle_hashes", children(1)))
+  }
+
   private val cosineSimDescriptor = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSim].getCanonicalName, "cosine_sim"),
@@ -68,11 +74,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SlidingMin].getCanonicalName, "sliding_min"),
     buildSlidingMin _)
 
+  private val wordShingleHashesDescriptor = (
+    FunctionIdentifier("word_shingle_hashes"),
+    new ExpressionInfo(classOf[WordShingleHashes].getCanonicalName, "word_shingle_hashes"),
+    buildWordShingleHashes _)
+
   /** Register on an already-built session (temp-function registry). */
   def register(s: org.apache.spark.sql.SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", buildCosineSim, "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash", buildRollingHash, "scala_udf")
     reg.createOrReplaceTempFunction("sliding_min", buildSlidingMin, "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingle_hashes", buildWordShingleHashes, "scala_udf")
   }
 }

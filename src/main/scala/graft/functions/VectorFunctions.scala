@@ -29,18 +29,20 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  /** True when a NULL result is reachable: null inputs (children) or null
-    * ELEMENTS (array containsNull). Must be precise — declaring the
-    * expression non-nullable while the codegen assigns `ev.isNull` would
-    * generate uncompilable code (the non-nullable branch never declares
-    * that variable) and the interpreter fallback's null would be silently
-    * coerced to 0.0 by a non-nullable UnsafeProjection. */
   private def elementNullable: Boolean = Seq(left, right).exists(_.dataType match {
     case ArrayType(_, containsNull) => containsNull
     case _ => false
   })
-  override def nullable: Boolean =
-    left.nullable || right.nullable || elementNullable
+
+  /** Always nullable: besides null inputs and null ELEMENTS, a LENGTH
+    * MISMATCH between the two arrays poisons the result to NULL at
+    * runtime (a truncated embedding must not yield a plausible-but-wrong
+    * similarity), and lengths are unknowable statically. Nullability must
+    * stay in sync with every codegen path that assigns `ev.isNull` —
+    * declaring non-nullable would generate uncompilable code (that branch
+    * never declares the variable) and the interpreter fallback's null
+    * would be silently coerced to 0.0 by a non-nullable UnsafeProjection. */
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -51,13 +53,15 @@ case class CosineSim(left: Expression, right: Expression)
           s"${left.dataType.sql} / ${right.dataType.sql}")
     }
 
-  /** Null ELEMENTS poison the result to NULL (a silently-zeroed slot
-    * would produce a wrong similarity with no error; DuckDB's
-    * list_transform likewise propagates element NULLs). */
+  /** Null ELEMENTS and length-mismatched inputs poison the result to
+    * NULL (a silently-zeroed slot or a truncated-prefix similarity would
+    * be plausible-but-wrong with no error; DuckDB's list_transform
+    * likewise propagates element NULLs). */
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -77,12 +81,14 @@ case class CosineSim(left: Expression, right: Expression)
       // projection's variables inside whole-stage codegen
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val d = ctx.freshName("d")
-      // ev.isNull only exists when nullable — and the element check is
-      // dead code unless the array type admits null elements
+      // the element check is dead code unless the array type admits null
+      // elements (ev.isNull always exists — the expression is nullable)
       val elementCheck =
         if (elementNullable)
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
@@ -95,15 +101,19 @@ case class CosineSim(left: Expression, right: Expression)
       val guardedCompute =
         if (elementNullable) s"if (!${ev.isNull}) { $compute }" else compute
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $elementCheck
-         |  double x = (double) $a.getFloat($i);
-         |  double y = (double) $b.getFloat($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elementCheck
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  $guardedCompute
          |}
-         |$guardedCompute
        """.stripMargin
     })
 

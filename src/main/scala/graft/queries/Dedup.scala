@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextHashFunctions.word_shingle_hashes
 import graft.functions.VectorFunctions.cosine_sim
 import graft.sources.Tables
 
@@ -33,6 +34,17 @@ object Dedup {
   private val NumHashes = 64
   private val NumBands = 16 // 16 bands x 4 rows
 
+  /** d2's document-frequency cap: a shingle shared by more than this many
+    * documents within one source block produces NO candidate pairs. This
+    * is the standard near-dup mitigation (stop-shingle removal): a
+    * degenerate shingle shared by m docs would otherwise expand to m²/2
+    * pairs inside a single task — the one quadratic a 100 TB run cannot
+    * absorb. High-frequency shingles are boilerplate, not evidence of
+    * duplication, so dropping them barely moves Jaccard for true
+    * near-dups (which share many RARE shingles). The DuckDB oracle
+    * applies the identical cap, so the differential check stays exact. */
+  private[graft] val MaxShingleDocFreq = 50
+
   /** Deterministic MinHash permutation coefficients (fixed seed — results
     * must be reproducible run-over-run for the differential oracle). */
   private val (hashA, hashB) = {
@@ -53,9 +65,16 @@ object Dedup {
         y => struct(x.as("x"), y.as("y")))))
   }
 
-  /** Distinct word-3-shingles of a text column as an array. Guarded so
-    * texts under 3 words yield an empty array (Spark's `sequence(1, k)`
-    * would otherwise count DOWN for k < 1). */
+  /** Distinct word-3-shingles of a text column as an array of STRINGS.
+    * Guarded so texts under 3 words yield an empty array (Spark's
+    * `sequence(1, k)` would otherwise count DOWN for k < 1).
+    *
+    * Kept as the reference semantics for [[word_shingle_hashes]]: the
+    * queries themselves shingle via that one-pass codegen kernel (this
+    * higher-order-function composition is CodegenFallback — interpreted,
+    * ~12 µs/shingle — and its output strings are ~4x wider on the wire).
+    * DedupSpec pins `word_shingle_hashes(text, 3) ==
+    * transform(shingles(text), xxhash64)` element-for-element. */
   private[graft] def shingles(text: Column): Column = {
     val ws = split(text, " ")
     val k = size(ws) - 2
@@ -87,21 +106,22 @@ object Dedup {
     * keeps the candidate set linear-ish; the global (unblocked) variant is
     * d3's job via LSH. */
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // shingle hashes, not shingle strings: same distinct-count and same
+    // intersection counts (xxhash64 collisions aside), 8-byte shuffle keys
     val docs = Tables.documents(s, dir)
-      .select(col("source"), col("doc_id"), shingles(col("text")).as("shs"))
+      .select(col("source"), col("doc_id"), word_shingle_hashes(col("text"), 3).as("shs"))
     val ex = docs.select(
       col("source"), col("doc_id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("sh"))
     // One shuffle on (source, shingle), then pairs are expanded INSIDE
     // each shingle group — a self-join on the exploded table would
     // shuffle it twice and re-scan the parquet. Groups of size 1 (the
-    // long tail) are filtered before any pair is produced. At 100 TB the
-    // remaining risk is a degenerate shingle shared by thousands of docs
-    // in one source; production would cap `size(docs) <= F` (doc-freq
-    // cap) — not done here because the oracle counts every pair.
+    // long tail) produce no pairs; groups above [[MaxShingleDocFreq]]
+    // are stop-shingles and are dropped BEFORE any pair is expanded, so
+    // per-task work is bounded by F²/2 regardless of corpus size.
     val grouped = ex.groupBy(col("source"), col("sh"))
       .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")).between(2, MaxShingleDocFreq))
     val jac = col("inter").cast("double") /
       (col("a_n") + col("b_n") - col("inter")).cast("double")
     grouped
@@ -134,10 +154,13 @@ object Dedup {
     // in-query unpersist point; a production pipeline would materialize
     // this step to storage (checkpoint) instead of relying on cache.
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("shs"))
+      .select(col("doc_id"), word_shingle_hashes(col("text"), 3).as("shs"))
       .cache()
+    // shs elements ARE xxhash64(shingle-string) values, so pmod(sh, P)
+    // is bit-identical to the previous pmod(xxhash64(sh_string), P) —
+    // signatures, banding, and the final output are unchanged
     val ex = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
-      .withColumn("hb", pmod(xxhash64(col("sh")), lit(P)))
+      .withColumn("hb", pmod(col("sh"), lit(P)))
     val minAggs = (0 until NumHashes).map { i =>
       min(pmod(col("hb") * lit(hashA(i)) + lit(hashB(i)), lit(P))).as(s"m$i")
     }
@@ -245,7 +268,7 @@ object Dedup {
         |       doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_keeper
         |FROM g ORDER BY doc_id""".stripMargin,
     "d2_ngram_jaccard" ->
-      """WITH sh AS (
+      """WITH sh0 AS (
         |  SELECT source, doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM (
         |    SELECT source, doc_id,
         |           CASE WHEN len(string_split(text, ' ')) >= 3 THEN
@@ -256,6 +279,11 @@ object Dedup {
         |                    string_split(text, ' ')[i+2]))
         |           ELSE CAST([] AS VARCHAR[]) END AS shs
         |    FROM documents)
+        |),
+        |sh AS (  -- doc-frequency cap, mirroring the engine's stop-shingle filter
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY source, sh) AS df FROM sh0
+        |  ) WHERE df <= 50
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
         |       round(CAST(count(*) AS DOUBLE)

@@ -19,11 +19,8 @@ object Tables {
   val dimNames  = Seq("region", "nation", "customer", "supplier", "part")
   val allNames: Seq[String] = dimNames ++ factNames
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") // ns-timestamp parquet; see events() scaladoc
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   def lineitem(s: SparkSession, dir: String): DataFrame   = apply(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "orders")
@@ -33,9 +30,11 @@ object Tables {
   def nation(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "region")
   /** The events parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default; the supported path is reading the raw
-    * nanos as Long (set once in [[apply]]; cast/derive downstream — see
-    * graft.queries.EventQueries for the micros contract with DuckDB). */
+    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`.
+    * That conf is session-global, so it belongs in the session builders
+    * (BenchSupport.session, Verify, SparkSpec) — NOT mutated here as a
+    * reader side effect. Cast/derive downstream; see
+    * graft.queries.EventQueries for the micros contract with DuckDB. */
   def events(s: SparkSession, dir: String): DataFrame = apply(s, dir, "events")
   def documents(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")

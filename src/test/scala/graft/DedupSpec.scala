@@ -41,6 +41,29 @@ class DedupSpec extends SparkSpec {
     assert(out(2) == Seq("x y z"))
   }
 
+  test("word_shingle_hashes == xxhash64 of every string shingle, in order " +
+       "(edge cases + real harness docs)") {
+    import spark.implicits._
+    import graft.functions.TextHashFunctions.word_shingle_hashes
+    val edge = Seq(
+      "a b c d e",        // plain
+      "a  b c",           // consecutive spaces → empty word
+      " a b c ",          // leading/trailing spaces
+      "a b",              // too short
+      "",                 // empty
+      "x y z x y z x y z" // repeats → distinct dedup
+    ).toDF("text")
+    val harness = graft.sources.Tables.documents(spark, sfDir).select("text")
+    for (df <- Seq(edge, harness)) {
+      val mismatches = df.select(
+          word_shingle_hashes(col("text"), 3).as("fast"),
+          transform(Dedup.shingles(col("text")), s => xxhash64(s)).as("ref"))
+        .filter(not(col("fast") === col("ref")))
+        .count()
+      assert(mismatches == 0)
+    }
+  }
+
   test("d1 exact dedup groups identical texts, keeps lowest doc_id") {
     val rows = Dedup.d1DedupExact(spark, plantedDir).collect()
     val byId = rows.map(r => r.getLong(0) -> r).toMap
@@ -87,7 +110,7 @@ class DedupSpec extends SparkSpec {
     assert(withNull(0).isNullAt(0))
   }
 
-  test("cosine_sim: null ELEMENTS poison to NULL; non-nullable inputs keep codegen") {
+  test("cosine_sim: null ELEMENTS poison to NULL; literal inputs stay correct") {
     import spark.implicits._
     val df = Seq(0, 1).toDF("id")
     // array(...) with a when() is element-nullable; id=1 row has a null element
@@ -98,11 +121,11 @@ class DedupSpec extends SparkSpec {
       .select(cosine_sim(nullableArr, nullableArr).as("c")).collect()
     assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12) // no null element
     assert(out(1).isNullAt(0), s"null element must poison to NULL, got ${out(1)}")
-    // non-nullable literals: expression reports non-nullable and computes
+    // always nullable — a runtime length mismatch can poison any call
     val lit1 = typedlit(Array(3f, 4f))
     val col1 = cosine_sim(lit1, lit1)
     val r = spark.range(1).select(col1.as("c"))
-    assert(!r.schema("c").nullable)
+    assert(r.schema("c").nullable)
     assert(math.abs(r.collect()(0).getDouble(0) - 1.0) < 1e-12)
   }
 

@@ -74,6 +74,38 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("cosine_sim: length mismatch poisons to NULL (truncated embedding " +
+       "must not yield a plausible similarity)") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),  // equal length
+      (Array(1f, 2f, 3f), Array(1f, 2f))       // truncated
+    ).toDF("a", "b")
+    val out = df.select(cosine_sim(col("a"), col("b")).as("c")).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(out(1).isNullAt(0), s"mismatched lengths must be NULL, got ${out(1)}")
+    // same through the interpreted path (eval on a literal-free plan edge)
+    val sqlOut = spark.sql(
+      "SELECT cosine_sim(array(cast(1 as float)), array(cast(1 as float), cast(2 as float)))")
+      .collect().head
+    assert(sqlOut.isNullAt(0))
+  }
+
+  test("two cosine_sim calls in one projection compile in one codegen scope") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 0f), Array(0f, 1f), Array(3f, 4f))).toDF("a", "b", "c")
+    // both kernels' loop locals land in the same generated method — any
+    // bare (non-freshName'd) local would collide and kick the whole stage
+    // back to interpreted execution
+    val r = df.select(
+      cosine_sim(col("a"), col("b")).as("ab"),
+      cosine_sim(col("a"), col("c")).as("ac"),
+      cosine_sim(col("c"), col("c")).as("cc")).collect().head
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - 0.6) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("property: stub decoder intensity bounded, dims in range (pure)") {
     check(Prop.forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
       val f = StubDecoder.decode(bs.toArray, new Array[Long](16))
