@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, EvalMode, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{CosineSim, RollingHash, SlidingMin, WordShingleHashes}
 
@@ -22,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.rollingHashDescriptor)
     e.injectFunction(GraftExtensions.slidingMinDescriptor)
     e.injectFunction(GraftExtensions.wordShingleHashesDescriptor)
+    e.injectFunction(GraftExtensions.strftimeDescriptor)
   }
 }
 
@@ -59,6 +62,58 @@ object GraftExtensions {
     WordShingleHashes(children.head, literalWindow("word_shingle_hashes", children(1)))
   }
 
+  /** SQLite `STRFTIME(format, datetime)` (RDataFramesSQL.Rmd:75): the
+    * format tokens are translated to a Java datetime pattern and the
+    * whole call becomes `date_format(try_cast(ts AS timestamp), pattern)`
+    * — TEXT out like SQLite, NULL for unparseable input like SQLite
+    * (TRY cast), evaluated by codegen'd built-ins. Format must be a
+    * literal (it is part of the expression, as in every sane call). */
+  private def buildStrftime(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      "strftime expects exactly (format, datetime); modifiers unsupported")
+    val fmtExpr = children.head
+    require(fmtExpr.foldable, "strftime format must be a literal")
+    val fmt = fmtExpr.eval() match {
+      case s: UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"strftime format must be a string literal, got $other")
+    }
+    DateFormatClass(
+      Cast(children(1), TimestampType, None, EvalMode.TRY),
+      Literal(UTF8String.fromString(strftimeToJavaPattern(fmt)),
+        org.apache.spark.sql.types.StringType))
+  }
+
+  /** Translate SQLite strftime tokens to a Java datetime pattern. Bare
+    * letters outside tokens are quoted (they would otherwise be pattern
+    * chars); unsupported tokens fail fast. */
+  private[graft] def strftimeToJavaPattern(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => out ++= "yyyy"
+          case 'm' => out ++= "MM"
+          case 'd' => out ++= "dd"
+          case 'H' => out ++= "HH"
+          case 'M' => out ++= "mm"
+          case 'S' => out ++= "ss"
+          case 'j' => out ++= "DDD"
+          case '%' => out += '%'
+          case t => throw new IllegalArgumentException(
+            s"strftime token %$t is not supported")
+        }
+        i += 2
+      } else {
+        if (c.isLetter) { out += '\''; out += c; out += '\'' } else out += c
+        i += 1
+      }
+    }
+    out.toString
+  }
+
   private val cosineSimDescriptor = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSim].getCanonicalName, "cosine_sim"),
@@ -79,6 +134,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordShingleHashes].getCanonicalName, "word_shingle_hashes"),
     buildWordShingleHashes _)
 
+  private val strftimeDescriptor = (
+    FunctionIdentifier("strftime"),
+    new ExpressionInfo(classOf[DateFormatClass].getCanonicalName, "strftime"),
+    buildStrftime _)
+
   /** Register on an already-built session (temp-function registry). */
   def register(s: org.apache.spark.sql.SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
@@ -86,5 +146,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("rolling_hash", buildRollingHash, "scala_udf")
     reg.createOrReplaceTempFunction("sliding_min", buildSlidingMin, "scala_udf")
     reg.createOrReplaceTempFunction("word_shingle_hashes", buildWordShingleHashes, "scala_udf")
+    reg.createOrReplaceTempFunction("strftime", buildStrftime, "scala_udf")
   }
 }
