@@ -197,7 +197,10 @@ object Dedup {
     * likely for the <= 8 cutoff used here); rank candidate pairs by
     * Hamming distance. Output = per-doc fingerprints of the docs in the
     * closest 20 pairs, with the distance. */
-  def d4Simhash(s: SparkSession, dir: String): DataFrame = {
+  /** Chunk-blocked SimHash candidate pairs with their Hamming distance
+    * (the d4 pipeline before the <= 8 cutoff and top-20 ranking — also
+    * the surface d4b verifies against an engine-independent truth). */
+  private def simhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val wordsEx = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", xxhash64(col("w")))
@@ -213,20 +216,47 @@ object Dedup {
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("fp"), 16 * j).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk_idx", "chunk")))
-    val cand = chunks.groupBy(col("chunk_idx"), col("chunk"))
+    chunks.groupBy(col("chunk_idx"), col("chunk"))
       .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(pairCombos(col("ds"))).as("p"))
       .select(col("p.x.doc_id").as("doc_a"), col("p.x.fp").as("fp_a"),
         col("p.y.doc_id").as("doc_b"), col("p.y.fp").as("fp_b"))
       .distinct()
-    cand
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+  }
+
+  def d4Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashCandidates(s, dir)
       .filter(col("hamming") <= 8)
       .select(col("doc_a"), col("doc_b"), col("hamming"),
         hex(col("fp_a")).as("fp_a"), hex(col("fp_b")).as("fp_b"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
+
+  /** d4b — the oracle-checkable slice of the SimHash pipeline: every pair
+    * of md5-IDENTICAL documents (an engine-independent ground truth DuckDB
+    * derives itself) must surface among the chunk-blocked candidates with
+    * Hamming distance exactly 0 — the fingerprint is a pure function of
+    * the text, and pigeonhole blocking is lossless at distance 0 (all
+    * four chunks equal). A pair the blocking lost would coalesce to -1
+    * and hash-mismatch the oracle. (Full d4 output stays rows+spec: its
+    * Hamming VALUES on non-identical pairs are xxhash64-dependent, and
+    * the corpus gives SimHash no clean Jaccard threshold — measured at
+    * sf0.1, 91k background pairs sit at Hamming <= 8 below Jaccard 0.5.) */
+  def d4SimhashExactDup(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("tfp"))
+    val dupPairs = fps.as("x")
+      .join(fps.as("y"),
+        col("x.tfp") === col("y.tfp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    dupPairs
+      .join(simhashCandidates(s, dir).select(col("doc_a"), col("doc_b"), col("hamming")),
+        Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("hamming"), lit(-1)).as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** d5 — embedding near-dup: cosine similarity over the embedding
@@ -252,6 +282,7 @@ object Dedup {
     "d2_ngram_jaccard"     -> d2NgramJaccard _,
     "d3_minhash_lsh"       -> d3MinhashLsh _,
     "d4_simhash"           -> d4Simhash _,
+    "d4_simhash_exactdup"  -> d4SimhashExactDup _,
     "d5_embedding_neardup" -> d5EmbeddingNearDup _,
   )
 
@@ -292,6 +323,11 @@ object Dedup {
         |  ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "d4_simhash_exactdup" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS tfp FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
+        |FROM f a JOIN f b ON a.tfp = b.tfp AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d3_minhash_lsh" ->
       """WITH sh AS (
         |  SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM (

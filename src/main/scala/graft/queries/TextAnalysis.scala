@@ -144,6 +144,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t5b — the oracle-checkable INVARIANTS of t5 (whose hash values
+    * DuckDB cannot reproduce): the window count is a pure function of the
+    * text's BYTE length (n_windows = max(byte_len - 7, 0) — DuckDB's
+    * `strlen` is byte length), and the winnowed fingerprint count obeys
+    * 0 < n_fp <= n_windows exactly when any window exists (value-level
+    * dedup means no tighter position-based lower bound holds — a
+    * repetitive document can collapse every window to one hash). The
+    * booleans are computed from engine-specific values but their TRUTH is
+    * engine-independent, so the driver's hash compare becomes a real
+    * differential gate over t5's algebra. */
+  def t5WinnowInvariants(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.{rolling_hash, sliding_min}
+    val w = 4
+    val fps = when(size(col("hs")) >= w,
+      array_distinct(sliding_min(col("hs"), w)))
+      .otherwise(array_distinct(col("hs")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), rolling_hash(col("text"), 8).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n_windows"), fps.as("fps"))
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        ((col("n_windows") === 0 && size(col("fps")) === 0) ||
+          (col("n_windows") >= 1 && size(col("fps")).between(1, col("n_windows"))))
+          .as("fp_count_ok"),
+        // every Rabin-Karp hash lives in [0, 2^31-1)
+        (size(col("fps")) === 0 ||
+          (array_min(col("fps")) >= 0 && array_max(col("fps")) < 2147483647L))
+          .as("fp_range_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t6 — deterministic content-hash train/val split: a document's split
     * is a pure function of its id (first md5 hex byte < 0xcd ≈ 80.1%),
     * so the assignment is stable across runs, engines, partitionings and
@@ -165,6 +197,7 @@ object TextAnalysis {
     "t3_langid"        -> t3LangId _,
     "t4_fingerprint"   -> t4Fingerprint _,
     "t5_winnow_fingerprint" -> t5WinnowFingerprint _,
+    "t5_winnow_invariants"  -> t5WinnowInvariants _,
     "t6_train_val_split"    -> t6TrainValSplit _,
   )
 
@@ -225,6 +258,12 @@ object TextAnalysis {
         |       count(DISTINCT md5(text)) AS distinct_fp,
         |       min(md5(text)) AS min_fp
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t5_winnow_invariants" ->
+      """SELECT doc_id,
+        |       greatest(strlen(text) - 7, 0) AS n_windows,
+        |       TRUE AS fp_count_ok,
+        |       TRUE AS fp_range_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t6_train_val_split" ->
       """SELECT lang,
         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
