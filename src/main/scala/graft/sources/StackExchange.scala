@@ -66,9 +66,12 @@ object StackExchange {
     StructField("RelatedPostId", IntegerType),
     StructField("LinkTypeId", IntegerType)))
 
-  /** The five queried tables as one unit (the engine's working set). */
+  /** The seven loaded tables as one unit (the engine's working set —
+    * surface parity with the reference's load of all seven,
+    * RDataFramesSQL.Rmd:61-67; Tags/PostLinks are never queried). */
   case class Data(posts: DataFrame, votes: DataFrame, users: DataFrame,
-      comments: DataFrame, badges: DataFrame) {
+      comments: DataFrame, badges: DataFrame,
+      tags: Option[DataFrame] = None, postLinks: Option[DataFrame] = None) {
     /** The sqldf analogue (SURVEY.md §1.4): expose the working set to the
       * SQL front-end as temp views. */
     def register(): Unit = {
@@ -77,6 +80,8 @@ object StackExchange {
       users.createOrReplaceTempView("Users")
       comments.createOrReplaceTempView("Comments")
       badges.createOrReplaceTempView("Badges")
+      tags.foreach(_.createOrReplaceTempView("Tags"))
+      postLinks.foreach(_.createOrReplaceTempView("PostLinks"))
     }
   }
 
@@ -87,11 +92,22 @@ object StackExchange {
       .csv(path)
 
   /** Load a directory of `<Table>.csv` files (the reference's read.csv
-    * layout, RDataFramesSQL.Rmd:61-67). */
-  def readCsvDir(s: SparkSession, dir: String): Data = Data(
-    posts = csv(s, postsSchema, s"$dir/Posts.csv"),
-    votes = csv(s, votesSchema, s"$dir/Votes.csv"),
-    users = csv(s, usersSchema, s"$dir/Users.csv"),
-    comments = csv(s, commentsSchema, s"$dir/Comments.csv"),
-    badges = csv(s, badgesSchema, s"$dir/Badges.csv"))
+    * layout, RDataFramesSQL.Rmd:61-67). Tags/PostLinks are part of the
+    * reference's load but queried by nothing, so a directory without them
+    * is still a complete working set (local-path existence check only —
+    * this loader is for local dumps/fixtures, not object storage). */
+  def readCsvDir(s: SparkSession, dir: String): Data = {
+    def optional(schema: StructType, name: String): Option[DataFrame] = {
+      val path = s"$dir/$name.csv"
+      if (new java.io.File(path).isFile) Some(csv(s, schema, path)) else None
+    }
+    Data(
+      posts = csv(s, postsSchema, s"$dir/Posts.csv"),
+      votes = csv(s, votesSchema, s"$dir/Votes.csv"),
+      users = csv(s, usersSchema, s"$dir/Users.csv"),
+      comments = csv(s, commentsSchema, s"$dir/Comments.csv"),
+      badges = csv(s, badgesSchema, s"$dir/Badges.csv"),
+      tags = optional(tagsSchema, "Tags"),
+      postLinks = optional(postLinksSchema, "PostLinks"))
+  }
 }
