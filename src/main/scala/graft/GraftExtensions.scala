@@ -84,33 +84,48 @@ object GraftExtensions {
         org.apache.spark.sql.types.StringType))
   }
 
-  /** Translate SQLite strftime tokens to a Java datetime pattern. Bare
-    * letters outside tokens are quoted (they would otherwise be pattern
-    * chars); unsupported tokens fail fast. */
+  /** Translate SQLite strftime tokens to a Java datetime pattern.
+    * Literal text between tokens is accumulated into ONE quoted section
+    * per run (quoting letters one at a time would turn 'hours' into
+    * 'h''o''u''r''s', where the doubled quotes read back as literal
+    * quote characters); embedded single quotes are doubled, the quoted
+    * section's escape. Runs with no letters or quotes stay bare.
+    * Unsupported tokens fail fast. */
   private[graft] def strftimeToJavaPattern(fmt: String): String = {
     val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(c => c.isLetter || c == '\'')) {
+        out += '\''
+        out ++= s.replace("'", "''")
+        out += '\''
+      } else out ++= s
+      lit.clear()
+    }
     var i = 0
     while (i < fmt.length) {
       val c = fmt.charAt(i)
       if (c == '%' && i + 1 < fmt.length) {
         fmt.charAt(i + 1) match {
-          case 'Y' => out ++= "yyyy"
-          case 'm' => out ++= "MM"
-          case 'd' => out ++= "dd"
-          case 'H' => out ++= "HH"
-          case 'M' => out ++= "mm"
-          case 'S' => out ++= "ss"
-          case 'j' => out ++= "DDD"
-          case '%' => out += '%'
+          case 'Y' => flush(); out ++= "yyyy"
+          case 'm' => flush(); out ++= "MM"
+          case 'd' => flush(); out ++= "dd"
+          case 'H' => flush(); out ++= "HH"
+          case 'M' => flush(); out ++= "mm"
+          case 'S' => flush(); out ++= "ss"
+          case 'j' => flush(); out ++= "DDD"
+          case '%' => lit += '%'
           case t => throw new IllegalArgumentException(
             s"strftime token %$t is not supported")
         }
         i += 2
       } else {
-        if (c.isLetter) { out += '\''; out += c; out += '\'' } else out += c
+        lit += c
         i += 1
       }
     }
+    flush()
     out.toString
   }
 

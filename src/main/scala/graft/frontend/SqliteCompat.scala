@@ -214,10 +214,10 @@ object SqliteCompat {
 
   // ───────────── rewrite 3: alias reference inside WHERE ──────────────
 
-  /** All `expr AS name` alias definitions with their defining expression,
-    * extracted by scanning back from each `AS` to the nearest same-depth
-    * comma or SELECT keyword. */
-  private[graft] def aliasDefs(t: String): List[(String, String)] = {
+  /** All `expr AS name` alias definitions with their defining expression
+    * and the position of the `AS` keyword, extracted by scanning back
+    * from each `AS` to the nearest same-depth comma or SELECT keyword. */
+  private[graft] def aliasDefsWithPos(t: String): List[(String, String, Int)] = {
     val sh = shadowOf(t)
     val dep = depths(sh)
     matches(sh, AliasDefRe).map { m =>
@@ -227,34 +227,56 @@ object SqliteCompat {
       val selBefore = matchesAtDepth(sh, dep, SelectRe, d, 0, m.start).lastOption
       val start = math.max(lastComma.map(_ + 1).getOrElse(0),
         selBefore.map(_.end).getOrElse(0))
-      (m.group(1), t.substring(start, m.start).trim)
+      (m.group(1), t.substring(start, m.start).trim, m.start)
     }.filter(_._2.nonEmpty)
+  }
+
+  private[graft] def aliasDefs(t: String): List[(String, String)] =
+    aliasDefsWithPos(t).map { case (n, e, _) => (n, e) }
+
+  /** Start of the scope containing `from` at depth `d`: the position
+    * after the last depth-drop below `d`, else text start. */
+  private def scopeStart(dep: Array[Int], d: Int, from: Int): Int = {
+    var i = from
+    while (i > 0 && dep(i) >= d) i -= 1
+    i
   }
 
   /** Inline `alias`'s defining expression at every standalone use of the
     * alias inside a WHERE clause (SQLite lets WHERE see select aliases;
-    * Spark does not). */
+    * Spark does not). Only WHERE clauses in the SAME select scope as the
+    * alias's definition are touched — a sibling subquery whose WHERE uses
+    * the same name as a real column resolves natively and must not be
+    * rewritten; the region scan is clamped to that scope so a keyword in
+    * a later sibling subquery can never mark this WHERE's end. */
   private[graft] def rewriteAliasInWhere(t: String, alias: String): String = {
-    val defs = aliasDefs(t).toMap
-    val expr = defs.getOrElse(alias,
-      return t) // unknown alias: leave text unchanged → caller rethrows
+    val defs = aliasDefsWithPos(t).collect {
+      case (n, e, p) if n.equalsIgnoreCase(alias) => (e, p)
+    }
+    if (defs.isEmpty) return t // unknown alias: unchanged → caller rethrows
     val sh = shadowOf(t)
     val dep = depths(sh)
     val useRe = ("(?i)\\b" + Regex.quote(alias) + "\\b").r
-    case class Edit(start: Int, end: Int)
+    case class Edit(start: Int, end: Int, expr: String)
     val edits = scala.collection.mutable.ListBuffer[Edit]()
     for (w <- matches(sh, WhereRe)) {
       val d = dep(w.start)
-      val regionEnd = matchesAtDepth(sh, dep, AfterWhereRe, d, w.end, sh.length)
-        .headOption.map(_.start).getOrElse(scopeEnd(dep, d, w.end))
-      for (u <- useRe.findAllMatchIn(sh.substring(w.end, regionEnd))) {
-        val abs = w.end + u.start
-        val qualified = abs > 0 && sh(abs - 1) == '.'
-        if (!qualified) edits += Edit(abs, w.end + u.end)
-      }
+      val sStart = scopeStart(dep, d, w.start)
+      val sEnd = scopeEnd(dep, d, w.end)
+      // the alias must be defined in this WHERE's own select scope
+      defs.find { case (_, p) => dep(p) == d && p >= sStart && p < sEnd }
+        .foreach { case (expr, _) =>
+          val regionEnd = matchesAtDepth(sh, dep, AfterWhereRe, d, w.end, sEnd)
+            .headOption.map(_.start).getOrElse(sEnd)
+          for (u <- useRe.findAllMatchIn(sh.substring(w.end, regionEnd))) {
+            val abs = w.end + u.start
+            val qualified = abs > 0 && sh(abs - 1) == '.'
+            if (!qualified) edits += Edit(abs, w.end + u.end, expr)
+          }
+        }
     }
     edits.sortBy(-_.start).foldLeft(t) { (acc, e) =>
-      acc.substring(0, e.start) + "(" + expr + ")" + acc.substring(e.end)
+      acc.substring(0, e.start) + "(" + e.expr + ")" + acc.substring(e.end)
     }
   }
 }

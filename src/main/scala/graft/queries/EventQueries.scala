@@ -14,7 +14,8 @@ import graft.sources.Tables
   *
   * Timestamp contract: the parquet files carry TIMESTAMP(NANOS), which
   * Spark only reads as raw Long nanos (`spark.sql.legacy.parquet
-  * .nanosAsLong`, set in [[graft.sources.Tables.events]]) while DuckDB
+  * .nanosAsLong`, set by the session builders — BenchSupport, Verify,
+  * and the test harness's SparkSpec) while DuckDB
   * truncates to microsecond timestamps. Both engines therefore operate on
   * `ts_us = ns DIV 1000` (integral division — going through a double
   * would lose precision at 1e18 nanos), and every derived duration stays

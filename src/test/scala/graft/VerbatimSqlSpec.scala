@@ -176,6 +176,23 @@ class VerbatimSqlSpec extends SparkSpec {
       "yyyy-MM-dd'T'HH:mm:ss")
   }
 
+  test("strftime: literal runs become one quoted section; embedded " +
+       "quotes escaped (ADVICE r3)") {
+    // one quoted run, not 'h''o''u''r''s'
+    assert(GraftExtensions.strftimeToJavaPattern("%H hours") == "HH' hours'")
+    // a literal single quote doubles inside the quoted section
+    assert(GraftExtensions.strftimeToJavaPattern("%d o'clock") == "dd' o''clock'")
+    // %% joins the surrounding literal run
+    assert(GraftExtensions.strftimeToJavaPattern("%Y %% done") == "yyyy' % done'")
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT strftime('%H hours', '2019-05-01 12:30:00') AS h,
+        |       strftime('%d o''clock', '2019-05-01') AS oc""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "12 hours")
+    assert(r.getString(1) == "01 o'clock")
+  }
+
   test("bare-column rewrite: only non-grouped bare items wrapped, " +
        "subquery blocks handled independently") {
     val in =
@@ -203,5 +220,19 @@ class VerbatimSqlSpec extends SparkSpec {
     assert(out.contains("WHERE (a.x - b.y) > 50"))
     assert(out.contains("ORDER BY Diff DESC")) // alias is legal there
     assert(out.contains("AS Diff"))            // definition untouched
+  }
+
+  test("alias-in-WHERE rewrite: confined to the defining select scope — " +
+       "a sibling subquery's WHERE with the same name as a real column " +
+       "is untouched (ADVICE r3)") {
+    val in =
+      """SELECT * FROM
+        |(SELECT a.x - a.y AS Diff FROM a WHERE Diff > 50) t
+        |JOIN (SELECT * FROM b WHERE Diff = 1 GROUP BY k) u ON t.id = u.id""".stripMargin
+    val out = SqliteCompat.rewriteAliasInWhere(in, "Diff")
+    assert(out.contains("WHERE (a.x - a.y) > 50"),
+      s"defining scope not rewritten: $out")
+    assert(out.contains("WHERE Diff = 1"),
+      s"sibling scope's real column was rewritten: $out")
   }
 }
