@@ -22,16 +22,25 @@ object BenchSupport {
 
   /** One timed noop-sink run (noop computes every output column; count()
     * would let Catalyst prune the compute away). Returns -1 on failure —
-    * a failing query must not kill the whole run. */
+    * a failing query must not kill the whole run. Caches are cleared
+    * AFTER the timed region: queries that cache multi-branch
+    * intermediates (d3/d4) pay that cost inside their own measurement,
+    * and nothing they materialized survives to pressure — or subsidize —
+    * any later run (the r4 bench's ±6x per-query noise on unchanged code
+    * traced in part to caches accumulating across the run). */
   def once(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
-    try SparkEntry.queries(name)(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      return -1.0
-    }
-    (System.nanoTime() - t0) / 1e9
+    val elapsed =
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
+    spark.catalog.clearCache()
+    elapsed
   }
 
   /** Smallest-SF sibling of the target dir for the warmup pass, so JVM/

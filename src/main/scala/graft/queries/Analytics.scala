@@ -29,16 +29,23 @@ object Analytics {
 
   /** x2 — set operations: customers ordering in both 1995 and 1996
     * (INTERSECT), either-but-not-both (symmetric EXCEPTs unioned), and
-    * the union (UNION/DISTINCT) — reported as labeled counts. */
+    * the union (UNION/DISTINCT) — reported as labeled counts.
+    *
+    * Multi-branch reuse WITHOUT cache: both cohorts are filters over ONE
+    * per-customer year-flag aggregate, so every set-op branch contains
+    * the same exchange subtree and Spark's exchange reuse executes the
+    * scan+shuffle once (PlanSpec pins the ReusedExchange). r4 cached two
+    * distinct-key tables here with no unpersist point — a session-
+    * lifetime leak this formulation removes entirely. */
   def x2SetOps(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy").as("y"))
-    // cached: each cohort feeds three of the four set-op branches; uncached
-    // every branch would rescan the parquet and redo the distinct shuffle
-    // (same multi-branch-reuse tradeoff as Dedup.d3 — lazy return, so the
-    // small distinct-key tables stay cached for the session)
-    val a = o.filter(col("y") === "1995").select(col("o_custkey")).distinct().cache()
-    val b = o.filter(col("y") === "1996").select(col("o_custkey")).distinct().cache()
+      .filter(col("y").isin("1995", "1996"))
+    val flags = o.groupBy(col("o_custkey"))
+      .agg(bool_or(col("y") === "1995").as("in95"),
+        bool_or(col("y") === "1996").as("in96"))
+    val a = flags.filter(col("in95")).select(col("o_custkey"))
+    val b = flags.filter(col("in96")).select(col("o_custkey"))
     def labeled(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
     labeled("both_years", a.intersect(b))
@@ -64,6 +71,17 @@ object Analytics {
         round(abs(col("approx_custs") - col("exact_custs"))
           .cast("double") / col("exact_custs"), 4))
       .orderBy(col("o_orderstatus"))
+
+  /** x3b — the oracle-checkable slice of x3 (same trick as d4b/t5b): the
+    * exact distinct count is engine-independent, and the HLL estimate's
+    * 2%-rsd contract is asserted as a generous boolean bound (5 sigma)
+    * DuckDB states as a literal. A sketch regression that drifts past the
+    * bound flips the boolean and hash-mismatches the oracle; the estimate
+    * VALUES themselves stay engine-specific in x3. */
+  def x3bApproxDistinctBounded(s: SparkSession, dir: String): DataFrame =
+    x3ApproxDistinct(s, dir)
+      .select(col("o_orderstatus"), col("exact_custs"),
+        (col("rel_err") <= 0.10).as("approx_ok"))
 
   /** x4 — salted two-stage aggregation for skewed keys: `event_type` has
     * only 5 values, so a direct groupBy reduces on 5 tasks no matter how
@@ -119,6 +137,7 @@ object Analytics {
     "x1_rollup"          -> x1Rollup _,
     "x2_setops"          -> x2SetOps _,
     "x3_approx_distinct" -> x3ApproxDistinct _,
+    "x3_approx_distinct_bounded" -> x3bApproxDistinctBounded _,
     "x4_salted_agg"      -> x4SaltedAgg _,
     "x5_pivot"           -> x5Pivot _,
     "x6_percentiles"     -> x6Percentiles _,
@@ -148,6 +167,10 @@ object Analytics {
         |SELECT 'either_year', count(*) FROM (
         |  SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
         |ORDER BY op""".stripMargin,
+    "x3_approx_distinct_bounded" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custs,
+        |       TRUE AS approx_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "x4_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)

@@ -13,23 +13,34 @@ import graft.sources.Tables
   * Three tiers, mirroring a production ANN stack:
   *   s1 brute force  — exact cosine top-k; the ground truth and the
   *                     correctness baseline (DuckDB-oracle-checked)
-  *   s2 IVF          — coarse quantization into cells, probe the nearest
-  *                     cells only; reports measured recall@10 vs brute
-  *   s3 LSH          — 16 random-hyperplane sign bits, multiprobe at
-  *                     Hamming <= 1; reports measured recall@10 vs brute
+  *   s2 IVF          — coarse quantization into a FIXED number of cells,
+  *                     probe the nearest cells only; reports measured
+  *                     recall@10 vs brute (DuckDB-oracle-checked: the
+  *                     centroid rule is deterministic SQL)
+  *   s3 LSH          — multi-table random-hyperplane sign buckets;
+  *                     reports measured recall@10 vs brute (DuckDB-
+  *                     oracle-checked: the planes are embedded as
+  *                     literals in the oracle SQL)
   *
   * Scale design: the query set is tiny and broadcast; the corpus side is
   * only ever scanned, never collected. s1 is one broadcast-nested-loop
   * over the corpus + per-query top-k (TakeOrdered shape). s2/s3 shrink
   * the scanned fraction to the probed cells/buckets — at 100 TB the
   * bucket column becomes the partition key so a probe touches only its
-  * partitions. The cosine kernel is the fused codegen
-  * [[graft.functions.CosineSim]] expression.
+  * partitions. s2's centroid count is FIXED (not a fraction of the
+  * corpus), so the assignment pass is O(N·K) with an O(K) broadcast —
+  * the every-100th-vector rule it replaces made assignment O(N²/100)
+  * and grew the broadcast with the corpus. The cosine kernel is the
+  * fused codegen [[graft.functions.CosineSim]] expression.
   */
 object Similarity {
 
   private val K = 10          // top-k neighbors
   private val NumQueries = 5  // vec_id < 5 are the query vectors
+  // s2: fixed-size coarse codebook + probe count. At a real 100 TB run
+  // K grows like sqrt(N) (capped by broadcast budget), never like N.
+  private val NumCentroids = 16
+  private val ProbeCells = 4
   // s3: multi-table sign-LSH. Collision prob per bit for neighbors at
   // cosine ~0.45 is ~0.65, so one table of many bits has hopeless recall;
   // L tables of k bits give recall 1-(1-0.65^k)^L ≈ 0.5 at (6, 5) while
@@ -44,6 +55,17 @@ object Similarity {
     Array.fill(NumTables * BitsPerTable)(
       Array.fill(64)(if (rnd.nextBoolean()) 1f else -1f))
   }
+
+  /** Deterministic pseudo-random id mix BOTH engines can compute with
+    * plain BIGINT arithmetic (a Knuth-style affine mix — NOT xxhash64,
+    * which DuckDB cannot reproduce). Safe under ANSI overflow for ids up
+    * to ~8e9; beyond that, split the multiply. The s2 centroids are the
+    * [[NumCentroids]] vectors with the smallest (mix, vec_id). */
+  private val MixA = 1103515245L
+  private val MixB = 12345L
+  private val MixM = 2147483648L
+  private def idMix(id: Column): Column =
+    pmod(id * lit(MixA) + lit(MixB), lit(MixM))
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -91,29 +113,34 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
-  /** s2 — IVF: centroid seeds are every 100th vector (deterministic);
-    * every vector is assigned to its max-cosine cell (one broadcast pass);
-    * queries probe their 2 nearest cells and search only those. */
+  /** s2 — IVF: [[NumCentroids]] deterministic sampled centroid seeds
+    * (smallest id-mix values — an O(N) TakeOrdered scan, fixed-size
+    * broadcast); every vector is assigned to its max-cosine cell in one
+    * broadcast pass; queries probe their [[ProbeCells]] nearest cells and
+    * search only those. Cosines are rounded to 4 decimals BEFORE ranking
+    * (with c_id / vec_id tie-breaks) so the DuckDB oracle reproduces the
+    * assignment and probe choices bit-for-bit. */
   def s2AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val cent = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val cent = e.orderBy(idMix(col("vec_id")), col("vec_id"))
+      .limit(NumCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     // cell assignment: argmax cosine over centroids (row_number on the
     // small per-vector × per-centroid product; centroid side broadcast)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id").asc)
     val cells = e.join(broadcast(cent), lit(true))
-      .withColumn("c_cos", cosine_sim(col("embedding"), col("c_emb")))
+      .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-    // probe list: 2 nearest cells per query
+    // probe list: nearest cells per query
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("c_id").asc)
     val probes = querySet(e).join(broadcast(cent), lit(true))
-      .withColumn("c_cos", cosine_sim(col("q_emb"), col("c_emb")))
+      .withColumn("c_cos", round(cosine_sim(col("q_emb"), col("c_emb")), 4))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= ProbeCells)
       .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
     // search only the probed cells
     val wTop = Window.partitionBy(col("q_id"))
@@ -125,7 +152,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= K)
-    recallVsBrute(e, approx, Seq(lit(2).as("probed_cells")))
+    recallVsBrute(e, approx, Seq(lit(ProbeCells).as("probed_cells")))
   }
 
   /** s3 — multi-table sign-random-projection LSH: each of the 6 tables
@@ -170,38 +197,156 @@ object Similarity {
     "s3_ann_lsh"   -> s3AnnLsh _,
   )
 
-  /** s2/s3 outputs depend on measured recall of hash/centroid choices
-    * DuckDB cannot reproduce cheaply → rows-only gate + SimilaritySpec
-    * assertions; s1 is fully oracle-checked. */
+  // ---- DuckDB oracle construction -----------------------------------
+  //
+  // s2/s3 are fully differential: the centroid rule (affine id mix) and
+  // the hyperplanes (fixed-seed ±1 literals) are deterministic, so the
+  // oracle replays the whole pipeline — assignment, probing, candidate
+  // ranking, and the recall@10 arithmetic — in SQL. Every cosine that
+  // feeds an ORDER BY is rounded to 4 decimals with an id tie-break in
+  // BOTH engines (the established CosineSim↔list_sum bit-parity contract).
+
+  /** Dot product of two list columns, left-to-right — the oracle half of
+    * the [[graft.functions.CosineSim]] determinism contract. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSql(a: String, an: String, b: String, bn: String): String =
+    s"round(${dotSql(a, b)} / ($an * $bn), 4)"
+
+  /** Shared oracle CTEs: normed corpus `en`, normed queries `qn`, and the
+    * exact brute-force top-10 `brute` (the same text as the s1 oracle). */
+  private def commonCtes: String =
+    s"""en AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_sum(list_transform(embedding,
+       |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |),
+       |qn AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM en WHERE vec_id < $NumQueries
+       |),
+       |brute AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT qn.q_id, en.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY qn.q_id
+       |             ORDER BY ${cosSql("qn.q_emb", "qn.q_nrm", "en.embedding", "en.nrm")} DESC,
+       |                      en.vec_id ASC) AS rank
+       |    FROM qn JOIN en ON en.vec_id <> qn.q_id
+       |  ) WHERE rank <= $K
+       |)""".stripMargin
+
+  /** Recall report over an `approx(q_id, neighbor_id)` CTE — mirrors
+    * [[recallVsBrute]] (anchored on the query list, zero-filled). */
+  private def recallSql(extraCol: String): String =
+    s"""SELECT qn.q_id, $extraCol,
+       |       coalesce(r.n_returned, 0) AS n_returned,
+       |       round(CAST(coalesce(h.hits, 0) AS DOUBLE) / $K, 4) AS recall_at_10
+       |FROM qn
+       |LEFT JOIN (SELECT q_id, count(*) AS n_returned FROM approx GROUP BY q_id) r
+       |  ON r.q_id = qn.q_id
+       |LEFT JOIN (SELECT a.q_id, count(*) AS hits
+       |           FROM approx a JOIN brute b
+       |             ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+       |           GROUP BY a.q_id) h
+       |  ON h.q_id = qn.q_id
+       |ORDER BY qn.q_id""".stripMargin
+
+  private def s2OracleSql: String =
+    s"""WITH $commonCtes,
+       |cent AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM en
+       |  ORDER BY (vec_id * $MixA + $MixB) % $MixM, vec_id
+       |  LIMIT $NumCentroids
+       |),
+       |cells AS (
+       |  SELECT vec_id, embedding, nrm, cell FROM (
+       |    SELECT en.vec_id, en.embedding, en.nrm, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY en.vec_id
+       |             ORDER BY ${cosSql("en.embedding", "en.nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |                      c.c_id ASC) AS rn
+       |    FROM en CROSS JOIN cent c
+       |  ) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT q_id, q_emb, q_nrm, cell FROM (
+       |    SELECT qn.q_id, qn.q_emb, qn.q_nrm, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY qn.q_id
+       |             ORDER BY ${cosSql("qn.q_emb", "qn.q_nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |                      c.c_id ASC) AS rn
+       |    FROM qn CROSS JOIN cent c
+       |  ) WHERE rn <= $ProbeCells
+       |),
+       |approx AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT p.q_id, a.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY p.q_id
+       |             ORDER BY ${cosSql("p.q_emb", "p.q_nrm", "a.embedding", "a.nrm")} DESC,
+       |                      a.vec_id ASC) AS rank
+       |    FROM probes p JOIN cells a ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |  ) WHERE rank <= $K
+       |)
+       |${recallSql(s"CAST($ProbeCells AS INTEGER) AS probed_cells")}""".stripMargin
+
+  /** The engine's table-bucket rule as oracle SQL: for table t, bucket =
+    * t·2^bits + Σ_b (dot(emb, plane[t·bits+b]) > 0 ? 2^b : 0). */
+  private def bucketsSql(emb: String, t: Int): String = {
+    val bits = (0 until BitsPerTable).map { b =>
+      val plane = planes(t * BitsPerTable + b)
+      val lit = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, len($emb)), i -> CAST($emb[i] AS DOUBLE) * ($lit)[i])) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"$bits + ${t * (1 << BitsPerTable)}"
+  }
+
+  private def s3OracleSql: String = {
+    val eb = (0 until NumTables).map { t =>
+      s"SELECT vec_id, ${bucketsSql("embedding", t)} AS bucket FROM en"
+    }.mkString("\nUNION ALL\n")
+    val qb = (0 until NumTables).map { t =>
+      s"SELECT q_id, ${bucketsSql("q_emb", t)} AS bucket FROM qn"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $commonCtes,
+       |eb AS (
+       |$eb
+       |),
+       |qb AS (
+       |$qb
+       |),
+       |cand AS (
+       |  SELECT DISTINCT qb.q_id, eb.vec_id
+       |  FROM qb JOIN eb ON eb.bucket = qb.bucket AND eb.vec_id <> qb.q_id
+       |),
+       |approx AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT c.q_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY c.q_id
+       |             ORDER BY ${cosSql("qn.q_emb", "qn.q_nrm", "en.embedding", "en.nrm")} DESC,
+       |                      c.vec_id ASC) AS rank
+       |    FROM cand c
+       |    JOIN qn ON qn.q_id = c.q_id
+       |    JOIN en ON en.vec_id = c.vec_id
+       |  ) WHERE rank <= $K
+       |)
+       |${recallSql(s"CAST($NumTables AS INTEGER) AS probed_tables")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "s1_knn_brute" ->
-      """WITH q AS (
-        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
-        |), n AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_sum(list_transform(embedding,
-        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings
-        |), qn AS (
-        |  SELECT q_id, q_emb,
-        |         sqrt(list_sum(list_transform(q_emb,
-        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_nrm
-        |  FROM q
-        |), scored AS (
-        |  SELECT qn.q_id, n.vec_id AS neighbor_id,
-        |         round(list_sum(list_transform(
-        |                 generate_series(1, len(qn.q_emb)),
-        |                 i -> CAST(qn.q_emb[i] AS DOUBLE)
-        |                      * CAST(n.embedding[i] AS DOUBLE)))
-        |               / (qn.q_nrm * n.nrm), 4) AS cosine
-        |  FROM qn JOIN n ON n.vec_id <> qn.q_id
-        |), ranked AS (
-        |  SELECT q_id, neighbor_id, cosine,
-        |         row_number() OVER (PARTITION BY q_id
-        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT q_id, neighbor_id, rank, cosine FROM ranked
-        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+      s"""WITH $commonCtes,
+         |ranked AS (
+         |  SELECT qn.q_id, en.vec_id AS neighbor_id,
+         |         ${cosSql("qn.q_emb", "qn.q_nrm", "en.embedding", "en.nrm")} AS cosine,
+         |         row_number() OVER (PARTITION BY qn.q_id
+         |           ORDER BY ${cosSql("qn.q_emb", "qn.q_nrm", "en.embedding", "en.nrm")} DESC,
+         |                    en.vec_id ASC) AS rank
+         |  FROM qn JOIN en ON en.vec_id <> qn.q_id
+         |)
+         |SELECT q_id, neighbor_id, rank, cosine FROM ranked
+         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    "s2_ann_ivf" -> s2OracleSql,
+    "s3_ann_lsh" -> s3OracleSql,
   )
 }
