@@ -17,7 +17,8 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = BenchSupport.session(cpus)
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq
+      .filterNot(SparkEntry.benchExclude).sorted
     val wDir = BenchSupport.warmupDir(sfDir)
     names.foreach(BenchSupport.once(spark, _, wDir))
     val timed = names.map { n =>

@@ -40,6 +40,12 @@ object BenchSupport {
         -1.0
       }
     spark.catalog.clearCache()
+    // clearCache only drops CacheManager entries; blocks persisted by
+    // localCheckpoint (SPARK_GRAFT_MATERIALIZE=localCheckpoint) live in
+    // the block manager until the plan is GC'd — release them too, or the
+    // cross-run memory isolation this cleanup exists for silently breaks
+    // under that mode
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     elapsed
   }
 

@@ -21,8 +21,9 @@ import org.apache.spark.sql.DataFrame
   *   - `none`              — no materialization (every branch recomputes;
   *                           useful to measure what the reuse is worth)
   *
-  * DedupSpec pins that d3 under `localCheckpoint` returns the same rows as
-  * under the default.
+  * DedupSpec pins that d3 under `localCheckpoint` AND under `none` returns
+  * the same rows as under the default; MATBENCH.md records what each mode
+  * costs at sf0.1.
   */
 object Materialize {
   val Prop = "graft.materialize"

@@ -23,6 +23,14 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++ EventQueries.queries ++
       Analytics.queries
 
+  /** Queries [[Bench]] skips: correctness slices that are pure
+    * PROJECTIONS of an already-benched query (x3b = x3 plus a boolean
+    * column, m2b = m2 minus two columns) — timing them would charge the
+    * same underlying aggregate/decode twice and pad the total with a
+    * duplicate number. Slices that do INDEPENDENT work (d4b's md5 ground
+    * truth + candidate join, t5b's invariant recheck) stay benched. */
+  val benchExclude: Set[String] = Set("x3_approx_distinct_bounded", "m2_decode_dims")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =

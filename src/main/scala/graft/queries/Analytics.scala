@@ -77,7 +77,9 @@ object Analytics {
     * 2%-rsd contract is asserted as a generous boolean bound (5 sigma)
     * DuckDB states as a literal. A sketch regression that drifts past the
     * bound flips the boolean and hash-mismatches the oracle; the estimate
-    * VALUES themselves stay engine-specific in x3. */
+    * VALUES themselves stay engine-specific in x3. Being x3 plus a
+    * projection, it is excluded from Bench ([[graft.SparkEntry.benchExclude]])
+    * so the exact countDistinct isn't timed twice. */
   def x3bApproxDistinctBounded(s: SparkSession, dir: String): DataFrame =
     x3ApproxDistinct(s, dir)
       .select(col("o_orderstatus"), col("exact_custs"),

@@ -97,14 +97,31 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m2b — the oracle-checkable slice of the decode pipeline (the
+    * d4b/t5b/x3b trick): of [[MediaFeat]]'s six features, four are pure
+    * functions of the payload LENGTH ([[StubDecoder]]'s dims/frame
+    * arithmetic), which DuckDB derives independently from `octet_length`.
+    * The slice runs the REAL `mapPartitions` decode path — a decoder that
+    * drops rows, scrambles doc_ids, or miscomputes the dims arithmetic
+    * hash-mismatches the oracle. Only `top_bin`/`intensity` (byte-content
+    * aggregates with no SQL equivalent) stay spec-covered in
+    * MultimodalSpec. */
+  def m2bDecodeDims(s: SparkSession, dir: String): DataFrame =
+    m2DecodeFeatures(s, dir)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_frames"), col("sampled_frames"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta"  -> m1MultimodalMeta _,
     "m2_decode_features"  -> m2DecodeFeatures _,
+    "m2_decode_dims"      -> m2bDecodeDims _,
   )
 
   /** m2's byte-histogram output is impractical to express in SQL → rows-
-    * only gate + MultimodalSpec; m1 is fully oracle-checked (byte length,
-    * modality tag and md5 all have exact DuckDB equivalents). */
+    * only gate + MultimodalSpec + the m2b differential slice; m1 is fully
+    * oracle-checked (byte length, modality tag and md5 all have exact
+    * DuckDB equivalents). */
   val oracleSql: Map[String, String] = Map(
     "m1_multimodal_meta" ->
       """SELECT doc_id,
@@ -112,5 +129,18 @@ object Multimodal {
         |       octet_length(CAST(text AS BLOB)) AS byte_len,
         |       md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirrors StubDecoder.decode's length-derived arithmetic exactly:
+    // width = 64 + len%64, height = 64 + (len/64)%64, n_frames = len/100+1,
+    // sampled_frames = every-10th-frame rounding up
+    "m2_decode_dims" ->
+      """WITH p AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len FROM documents
+        |)
+        |SELECT doc_id,
+        |       64 + len % 64 AS width,
+        |       64 + (len // 64) % 64 AS height,
+        |       len // 100 + 1 AS n_frames,
+        |       (len // 100 + 1 + 9) // 10 AS sampled_frames
+        |FROM p ORDER BY doc_id""".stripMargin,
   )
 }

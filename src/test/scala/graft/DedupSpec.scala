@@ -129,6 +129,96 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(r.collect()(0).getDouble(0) - 1.0) < 1e-12)
   }
 
+  /** Degenerate corpus for the cap/collapse tests: docs 1–5 are five
+    * byte-IDENTICAL copies of one text (the boilerplate cluster every
+    * crawl contains), docs 101–120 are twenty pairwise-DISTINCT near-dups
+    * of a second base (each appends its own marker word → pairwise
+    * Jaccard 28/30 ≈ 0.933, all above d3's 0.5 threshold), doc 200 is
+    * unrelated. Brute-force ground truth: C(5,2)=10 pairs at 1.0 and
+    * C(20,2)=190 pairs at 0.9333, nothing else. */
+  lazy val degenerateDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup-degen").toString
+    val baseA = (1 to 25).map(i => s"alpha$i").mkString(" ")
+    val baseB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val rows =
+      (1 to 5).map(i => (i.toLong, baseA, "en", "s0", baseA.length.toLong)) ++
+      (1 to 20).map(i => (100L + i.toLong, s"$baseB marker$i", "en", "s0", 10L)) ++
+      Seq((200L, "wholly different vocabulary sharing no trigram with either cluster at all",
+        "en", "s1", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d3 degenerate cluster, default caps: collapse+expansion reproduces " +
+       "brute force exactly (10 within-group pairs at 1.0 + 190 flood pairs)") {
+    val pairs = Dedup.d3MinhashLsh(spark, degenerateDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val within = pairs.filter { case (a, _, _) => a <= 5L }
+    val flood = pairs.filter { case (a, _, _) => a > 100L }
+    assert(within.length == 10 && within.forall(_._3 == 1.0))
+    assert(flood.length == 190 && flood.forall(_._3 == 0.9333))
+    assert(pairs.length == 200, s"unexpected extra pairs: ${pairs.length}")
+  }
+
+  test("d3/d4 lowered caps: oversized buckets are dropped (bounded work) " +
+       "while exact-dup pairs survive via group expansion") {
+    sys.props("graft.d3.maxBandBucket") = "4"
+    sys.props("graft.d4.maxChunkBucket") = "4"
+    try {
+      val pairs = Dedup.d3MinhashLsh(spark, degenerateDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val within = pairs.filter { case (a, _, _) => a <= 5L }
+      val flood = pairs.filter { case (a, _, _) => a > 100L }
+      // collapse immunity: the identical cluster is ONE rep — its pairs
+      // come from group expansion, never from (capped) bucketing
+      assert(within.length == 10 && within.forall(_._3 == 1.0))
+      // cap engagement: the 20-rep flood overflows 4-slot buckets, so
+      // candidates are dropped — and every pair that IS emitted still
+      // carries the exact verified Jaccard (the cap loses rows, never
+      // corrupts them)
+      assert(flood.length < 190, "cap did not engage on the flood cluster")
+      assert(flood.forall(_._3 == 0.9333))
+      // d4's hamming-0 immunity, through the oracle-slice surface: every
+      // identical pair must surface at hamming 0 (-1 = lost)
+      val d4 = Dedup.d4SimhashExactDup(spark, degenerateDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(d4.length == 10 && d4.forall(_._3 == 0))
+    } finally {
+      sys.props.remove("graft.d3.maxBandBucket")
+      sys.props.remove("graft.d4.maxChunkBucket")
+    }
+  }
+
+  test("band/chunk bucket occupancy on the harness corpus stays far below " +
+       "the 256 caps (the headroom claim)") {
+    val d3max = Dedup.d3Buckets(Dedup.d3Signatures(Dedup.d3ShingledDocs(spark, sfDir)))
+      .groupBy("band", "bh").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(d3max <= Dedup.MaxBandBucket / 4,
+      s"d3 band bucket occupancy $d3max too close to cap ${Dedup.MaxBandBucket}")
+    val d4max = Dedup.d4Chunks(Dedup.d4Signatures(spark, sfDir))
+      .groupBy("chunk_idx", "chunk").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(d4max <= Dedup.MaxChunkBucket / 4,
+      s"d4 chunk bucket occupancy $d4max too close to cap ${Dedup.MaxChunkBucket}")
+  }
+
+  test("d3 returns identical rows under cache, localCheckpoint, and none " +
+       "materialization (the Materialize knob parity pin)") {
+    def run(): Seq[(Long, Long, Double)] =
+      Dedup.d3MinhashLsh(spark, plantedDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val base = run() // default: cache
+    assert(base.nonEmpty)
+    for (mode <- Seq("localCheckpoint", "none")) {
+      sys.props(Materialize.Prop) = mode
+      try assert(run() == base, s"materialize mode '$mode' diverged")
+      finally sys.props.remove(Materialize.Prop)
+    }
+  }
+
   test("d5 embedding near-dup on harness data: bounded cosine, blocked by label") {
     val rows = Dedup.d5EmbeddingNearDup(spark, sfDir).collect()
     assert(rows.length == 20)

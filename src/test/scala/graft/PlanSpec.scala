@@ -58,6 +58,18 @@ class PlanSpec extends SparkSpec {
       s"unused columns not pruned: $readSchema")
   }
 
+  test("x2: set-op branches share ONE aggregate exchange (ReusedExchange)") {
+    // the x2 rewrite exists to replace r4's cached cohort tables with
+    // plan-level exchange reuse; this is what notices if it regresses.
+    // AQE hides reuse inside AdaptiveSparkPlan until execution — disable
+    // it so the static plan shows the ReusedExchange nodes.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(Analytics.x2SetOps(spark, sfDir))
+      assert(p.contains("ReusedExchange"), s"no exchange reuse in:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen covers the scan->project hot path of t2") {
     // AQE's plan string hides codegen annotation until execution; disable
     // it for this one plan so the `*(n)` codegen markers are visible
