@@ -127,9 +127,13 @@ object SqliteCompat {
   private val SelectRe = "(?i)\\bSELECT\\b".r
   private val FromRe = "(?i)\\bFROM\\b".r
   private val GroupByRe = "(?i)\\bGROUP\\s+BY\\b".r
-  private val AfterGroupRe = "(?i)\\b(HAVING|ORDER|LIMIT|WINDOW|UNION)\\b".r
+  private val AfterGroupRe = "(?i)\\b(HAVING|ORDER|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT)\\b".r
   private val WhereRe = "(?i)\\bWHERE\\b".r
-  private val AfterWhereRe = "(?i)\\b(GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION)\\b".r
+  private val AfterWhereRe = "(?i)\\b(GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT)\\b".r
+  /** Set operators split same-depth text into independent SELECT branches
+    * (no parens required), so every same-depth scan must clamp at them:
+    * SQLite resolves aliases per branch, never across a UNION. */
+  private val SetOpRe = "(?i)\\b(UNION|INTERSECT|EXCEPT)\\b".r
   private val BareItemRe =
     "(?s)^\\s*([A-Za-z_][\\w]*(?:\\.[A-Za-z_][\\w]*)*)\\s*(?:(?i:AS)\\s+([A-Za-z_][\\w]*))?\\s*$".r
   private val AggRe = "(?i)\\b(MAX|MIN)\\s*\\(".r
@@ -158,7 +162,12 @@ object SqliteCompat {
 
     for (sel <- matches(sh, SelectRe)) {
       val d = dep(sel.start)
-      val blockEnd = scopeEnd(dep, d, sel.end)
+      // clamp the block at the next same-depth set operator: a UNION
+      // branch must not borrow the NEXT branch's GROUP BY for its own
+      // bare-column decisions
+      val blockEnd0 = scopeEnd(dep, d, sel.end)
+      val blockEnd = matchesAtDepth(sh, dep, SetOpRe, d, sel.end, blockEnd0)
+        .headOption.map(_.start).getOrElse(blockEnd0)
       matchesAtDepth(sh, dep, FromRe, d, sel.end, blockEnd).headOption.foreach { from =>
         val listStart = sel.end
         val listEnd = from.start
