@@ -23,13 +23,16 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++ EventQueries.queries ++
       Analytics.queries
 
-  /** Queries [[Bench]] skips: correctness slices that are pure
-    * PROJECTIONS of an already-benched query (x3b = x3 plus a boolean
-    * column, m2b = m2 minus two columns) — timing them would charge the
-    * same underlying aggregate/decode twice and pad the total with a
-    * duplicate number. Slices that do INDEPENDENT work (d4b's md5 ground
-    * truth + candidate join, t5b's invariant recheck) stay benched. */
-  val benchExclude: Set[String] = Set("x3_approx_distinct_bounded", "m2_decode_dims")
+  /** Queries [[Bench]] skips: correctness slices whose dominant cost is
+    * a pipeline the bench already times once — x3b (x3 plus a boolean
+    * column), m2b (m2 minus two columns), and d4b (the full d4
+    * simhashCandidates pipeline re-run against its md5 ground truth;
+    * the pipeline's cost is d4_simhash's number, the rest is the
+    * differential harness). Timing them would charge the same operator
+    * twice and pad the total with duplicate numbers. t5b stays benched:
+    * its invariant recheck is its own single pass. */
+  val benchExclude: Set[String] =
+    Set("x3_approx_distinct_bounded", "m2_decode_dims", "d4_simhash_exactdup")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */

@@ -270,9 +270,19 @@ object SqliteCompat {
     val edits = scala.collection.mutable.ListBuffer[Edit]()
     for (w <- matches(sh, WhereRe)) {
       val d = dep(w.start)
-      val sStart = scopeStart(dep, d, w.start)
-      val sEnd = scopeEnd(dep, d, w.end)
-      // the alias must be defined in this WHERE's own select scope
+      val pStart = scopeStart(dep, d, w.start)
+      val pEnd = scopeEnd(dep, d, w.end)
+      // clamp the paren scope at same-depth set operators: UNION/
+      // INTERSECT/EXCEPT split it into independent SELECT branches, and
+      // SQLite resolves aliases per branch — a definition in a SIBLING
+      // branch must not satisfy this WHERE (defs.find failing leaves the
+      // text unchanged, so the caller rethrows the analyzer error, which
+      // is also what SQLite does for a cross-branch alias reference)
+      val sStart = matchesAtDepth(sh, dep, SetOpRe, d, pStart, w.start)
+        .lastOption.map(_.end).getOrElse(pStart)
+      val sEnd = matchesAtDepth(sh, dep, SetOpRe, d, w.end, pEnd)
+        .headOption.map(_.start).getOrElse(pEnd)
+      // the alias must be defined in this WHERE's own select branch
       defs.find { case (_, p) => dep(p) == d && p >= sStart && p < sEnd }
         .foreach { case (expr, _) =>
           val regionEnd = matchesAtDepth(sh, dep, AfterWhereRe, d, w.end, sEnd)

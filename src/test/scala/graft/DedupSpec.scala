@@ -181,10 +181,13 @@ class DedupSpec extends SparkSpec {
       assert(flood.length < 190, "cap did not engage on the flood cluster")
       assert(flood.forall(_._3 == 0.9333))
       // d4's hamming-0 immunity, through the oracle-slice surface: every
-      // identical pair must surface at hamming 0 (-1 = lost)
+      // identical pair must surface at hamming 0 (-1 = lost). 11 pairs:
+      // C(5,2)=10 from the identical cluster plus doc 200's planted
+      // augmentation copy (200 % D4bEvery == 0).
       val d4 = Dedup.d4SimhashExactDup(spark, degenerateDir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-      assert(d4.length == 10 && d4.forall(_._3 == 0))
+      assert(d4.length == 11 && d4.forall(_._3 == 0))
+      assert(d4.contains((200L, 200L + Dedup.D4bIdShift, 0)))
     } finally {
       sys.props.remove("graft.d3.maxBandBucket")
       sys.props.remove("graft.d4.maxChunkBucket")
@@ -198,7 +201,8 @@ class DedupSpec extends SparkSpec {
       .agg(max("count")).collect()(0).getLong(0)
     assert(d3max <= Dedup.MaxBandBucket / 4,
       s"d3 band bucket occupancy $d3max too close to cap ${Dedup.MaxBandBucket}")
-    val d4max = Dedup.d4Chunks(Dedup.d4Signatures(spark, sfDir))
+    val d4max = Dedup.d4Chunks(
+        Dedup.d4Signatures(graft.sources.Tables.documents(spark, sfDir)))
       .groupBy("chunk_idx", "chunk").count()
       .agg(max("count")).collect()(0).getLong(0)
     assert(d4max <= Dedup.MaxChunkBucket / 4,
@@ -207,9 +211,21 @@ class DedupSpec extends SparkSpec {
 
   test("d3 returns identical rows under cache, localCheckpoint, and none " +
        "materialization (the Materialize knob parity pin)") {
-    def run(): Seq[(Long, Long, Double)] =
-      Dedup.d3MinhashLsh(spark, plantedDir).collect()
+    // CacheManager substitutes cached plans into ANY matching query, so a
+    // leftover cache entry from one mode would silently serve the next
+    // mode's run through the cached path instead of its own. Drop both the
+    // CacheManager entries and any block-manager blocks (localCheckpoint
+    // persists outside the CacheManager) around every run.
+    def dropMaterializedState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    def run(): Seq[(Long, Long, Double)] = {
+      dropMaterializedState()
+      try Dedup.d3MinhashLsh(spark, plantedDir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      finally dropMaterializedState()
+    }
     val base = run() // default: cache
     assert(base.nonEmpty)
     for (mode <- Seq("localCheckpoint", "none")) {

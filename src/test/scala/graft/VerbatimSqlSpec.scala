@@ -235,4 +235,36 @@ class VerbatimSqlSpec extends SparkSpec {
     assert(out.contains("WHERE Diff = 1"),
       s"sibling scope's real column was rewritten: $out")
   }
+
+  test("alias-in-WHERE rewrite: clamped at set operators — a sibling " +
+       "UNION branch's definition never crosses into this branch's " +
+       "WHERE (ADVICE r6)") {
+    // branch 2's WHERE must NOT receive branch 1's definition of Diff:
+    // SQLite resolves aliases per branch and rejects this query, so the
+    // rewrite must leave the text unchanged (→ caller rethrows)
+    val crossBranch =
+      """SELECT a.x - a.y AS Diff FROM a
+        |UNION
+        |SELECT b.x FROM b WHERE Diff > 5""".stripMargin
+    assert(SqliteCompat.rewriteAliasInWhere(crossBranch, "Diff") == crossBranch)
+    // when several branches define the same alias, each WHERE takes its
+    // OWN branch's definition, not the first branch's
+    val perBranch =
+      """SELECT a.x - a.y AS Diff FROM a WHERE Diff > 1
+        |UNION ALL
+        |SELECT b.u + b.v AS Diff FROM b WHERE Diff > 2""".stripMargin
+    val out = SqliteCompat.rewriteAliasInWhere(perBranch, "Diff")
+    assert(out.contains("WHERE (a.x - a.y) > 1"), s"branch 1 wrong: $out")
+    assert(out.contains("WHERE (b.u + b.v) > 2"), s"branch 2 wrong: $out")
+    // end-to-end: the cross-branch alias reference surfaces the original
+    // analyzer error instead of silently borrowing the sibling definition
+    graft.sources.Tables.registerAll(spark, sfDir)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      SqliteCompat.sql(spark,
+        """SELECT n_nationkey - n_regionkey AS Diff FROM nation
+          |UNION
+          |SELECT r_regionkey FROM region WHERE Diff > 1""".stripMargin).collect()
+    }
+    assert(err.getMessage.contains("Diff"))
+  }
 }
