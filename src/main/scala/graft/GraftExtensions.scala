@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, EvalMode, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Concat, DateFormatClass, DayOfWeek, DayOfYear, EvalMode, Expression, ExpressionInfo, IntegralDivide, Literal, Pmod, StringLPad, Subtract, UnixSeconds}
+import org.apache.spark.sql.types.{StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{CosineSim, RollingHash, SlidingMin, WordShingleHashes}
@@ -67,7 +67,20 @@ object GraftExtensions {
     * whole call becomes `date_format(try_cast(ts AS timestamp), pattern)`
     * — TEXT out like SQLite, NULL for unparseable input like SQLite
     * (TRY cast), evaluated by codegen'd built-ins. Format must be a
-    * literal (it is part of the expression, as in every sane call). */
+    * literal (it is part of the expression, as in every sane call).
+    *
+    * Three SQLite tokens have no Java-pattern equivalent and are computed
+    * as expressions instead — the call then becomes a `concat` of
+    * date_format chunks and computed parts (still all codegen'd
+    * built-ins; `concat` is null-intolerant, so the NULL-on-malformed
+    * contract is preserved):
+    *
+    *   %w  weekday 0-6, Sunday = 0      → dayofweek(ts) - 1
+    *   %W  Monday-first week of year,   → (yday0 + 7 - mondayDow0) div 7
+    *       00-53 (days before the first   zero-padded to 2 (the C
+    *       Monday are week 00)            strftime definition)
+    *   %s  unix epoch seconds           → unix_seconds(ts)
+    */
   private def buildStrftime(children: Seq[Expression]): Expression = {
     require(children.length == 2,
       "strftime expects exactly (format, datetime); modifiers unsupported")
@@ -78,10 +91,56 @@ object GraftExtensions {
       case other => throw new IllegalArgumentException(
         s"strftime format must be a string literal, got $other")
     }
-    DateFormatClass(
-      Cast(children(1), TimestampType, None, EvalMode.TRY),
-      Literal(UTF8String.fromString(strftimeToJavaPattern(fmt)),
-        org.apache.spark.sql.types.StringType))
+    val ts = Cast(children(1), TimestampType, None, EvalMode.TRY)
+    def pattern(p: String): Expression = DateFormatClass(ts,
+      Literal(UTF8String.fromString(strftimeToJavaPattern(p)), StringType))
+    strftimeSegments(fmt) match {
+      case Nil            => pattern("")
+      case Left(p) :: Nil => pattern(p) // pure-pattern fast path: one date_format
+      case segs =>
+        Concat(segs.map {
+          case Left(p)    => pattern(p)
+          case Right('w') => Cast(Subtract(DayOfWeek(ts), Literal(1)), StringType)
+          case Right('W') =>
+            // mondayDow0: 0 = Monday .. 6 = Sunday (Spark dayofweek is
+            // 1 = Sunday); validated against C strftime across year
+            // starts, leap days, and year ends in VerbatimSqlSpec
+            val mondayDow0 = Pmod(Add(DayOfWeek(ts), Literal(5)), Literal(7))
+            val week = new IntegralDivide(
+              Subtract(Add(DayOfYear(ts), Literal(6)), mondayDow0), Literal(7))
+            StringLPad(Cast(week, StringType), Literal(2),
+              Literal(UTF8String.fromString("0"), StringType))
+          case Right(_)   => Cast(UnixSeconds(ts), StringType) // 's'
+        })
+    }
+  }
+
+  /** Tokens computed as expressions, not pattern text (see
+    * [[buildStrftime]]). */
+  private val ComputedTokens = Set('w', 'W', 's')
+
+  /** Split a format into pattern chunks (Left) and computed tokens
+    * (Right). `%%`, `%f`, and unknown tokens stay inside chunks for
+    * [[strftimeToJavaPattern]] to translate or reject; a trailing lone
+    * `%` stays literal, matching the pattern translator. */
+  private def strftimeSegments(fmt: String): List[Either[String, Char]] = {
+    val out = scala.collection.mutable.ListBuffer[Either[String, Char]]()
+    val chunk = new StringBuilder
+    def flush(): Unit =
+      if (chunk.nonEmpty) { out += Left(chunk.toString); chunk.clear() }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        if (ComputedTokens(fmt.charAt(i + 1))) { flush(); out += Right(fmt.charAt(i + 1)) }
+        else { chunk += '%'; chunk += fmt.charAt(i + 1) }
+        i += 2
+      } else {
+        chunk += fmt.charAt(i)
+        i += 1
+      }
+    }
+    flush()
+    out.toList
   }
 
   /** Translate SQLite strftime tokens to a Java datetime pattern.
@@ -114,6 +173,7 @@ object GraftExtensions {
           case 'H' => flush(); out ++= "HH"
           case 'M' => flush(); out ++= "mm"
           case 'S' => flush(); out ++= "ss"
+          case 'f' => flush(); out ++= "ss.SSS" // SQLite: SS.SSS
           case 'j' => flush(); out ++= "DDD"
           case '%' => lit += '%'
           case t => throw new IllegalArgumentException(

@@ -193,6 +193,34 @@ class VerbatimSqlSpec extends SparkSpec {
     assert(r.getString(1) == "01 o'clock")
   }
 
+  test("strftime: computed tokens %w %W %s and pattern token %f " +
+       "(values validated against C strftime; backlog item since r3)") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT strftime('%w', '2015-01-04') AS sun,
+        |       strftime('%w', '2015-01-05') AS mon,
+        |       strftime('%w', '2016-12-31') AS sat,
+        |       strftime('%W', '2015-01-01') AS w00,
+        |       strftime('%W', '2015-01-05') AS w01,
+        |       strftime('%W', '2016-12-31') AS w52,
+        |       strftime('%W', '2020-02-29') AS w08,
+        |       strftime('%s', '1970-01-01 00:01:40') AS s100,
+        |       strftime('%f', '2019-05-01 12:34:56.789') AS frac,
+        |       strftime('%Y-%m-%d week %W day %w', '2017-01-02') AS mixed,
+        |       strftime('%s', 'not a date') AS bad""".stripMargin).collect().head
+    assert(r.getString(0) == "0" && r.getString(1) == "1" && r.getString(2) == "6")
+    assert(r.getString(3) == "00" && r.getString(4) == "01")
+    assert(r.getString(5) == "52" && r.getString(6) == "08")
+    assert(r.getString(7) == "100")         // session tz is UTC
+    assert(r.getString(8) == "56.789")
+    assert(r.getString(9) == "2017-01-02 week 01 day 1")
+    assert(r.isNullAt(10))                  // NULL propagates through concat
+    // unsupported tokens still fail fast
+    intercept[Exception] {
+      spark.sql("SELECT strftime('%z', '2019-01-01')").collect()
+    }
+  }
+
   test("bare-column rewrite: only non-grouped bare items wrapped, " +
        "subquery blocks handled independently") {
     val in =
