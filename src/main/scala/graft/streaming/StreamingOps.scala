@@ -50,6 +50,38 @@ object StreamingOps {
         col("event_type"), col("n"),
         (col("cents").cast("double") / 100.0).as("value_sum"))
 
+  /** Streaming exact dedup — the batch d1 operator
+    * ([[graft.queries.Dedup.d1DedupExact]]) over an unbounded ingest
+    * stream: FIRST-seen wins per text fingerprint, re-arrivals are
+    * dropped while the fingerprint is still in state. State is bounded
+    * by the watermark horizon (`dropDuplicatesWithinWatermark` evicts a
+    * fingerprint once the watermark passes its expiry), so state memory
+    * is O(docs per horizon), not O(corpus) — the property that makes
+    * streaming dedup viable on an unbounded crawl, where an
+    * ever-growing fingerprint set would OOM the state store. The
+    * honest trade (the standard one for streaming ingestion): a
+    * duplicate arriving AFTER its fingerprint was evicted passes;
+    * whole-corpus dedup remains the batch d1's job.
+    *
+    * Fingerprint is md5 of the text (same ground truth as d1), dropped
+    * from the output. The state shuffle is keyed by the fingerprint —
+    * the same partitioning a 1000-executor run needs.
+    *
+    * Batch symmetry (the module contract): Spark rejects
+    * `dropDuplicatesWithinWatermark` on a batch frame outright, so the
+    * batch branch is an explicit `dropDuplicates` — one representative
+    * per text over the whole frame (batch has no arrival order, so
+    * "first-seen" degenerates to "one"; the id-deterministic batch
+    * dedup is d1's job). */
+  def dedupExact(docs: DataFrame, tsCol: String, horizon: String): DataFrame = {
+    val fp = docs.withColumn("fp", md5(col("text").cast("binary")))
+    val deduped =
+      if (docs.isStreaming)
+        fp.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark("fp")
+      else fp.dropDuplicates("fp")
+    deduped.drop("fp")
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (`flatMapGroupsWithState`): per user, events in each micro-batch are
     * merged with the open session carried in state; sessions separated by

@@ -93,6 +93,64 @@ class StreamingSpec extends SparkSpec {
     assert(closed.toSeq == Seq((1L, us(500), us(2000), 3)))
   }
 
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("ts", TimestampType)))
+
+  test("streaming exact dedup: first-seen wins across micro-batches; " +
+       "state is bounded by the watermark horizon") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:${min}%02d:00")
+    def writeBatch(rows: Seq[(Long, String, java.sql.Timestamp)], name: String): Unit =
+      rows.toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/$name")
+    writeBatch(Seq(
+      (1L, "aaa", ts(0)),
+      (2L, "aaa", ts(5)),   // in-batch duplicate: dropped
+      (3L, "bbb", ts(10))), "b1")
+    val in = spark.readStream.schema(docSchema).parquet(s"$dir/b*")
+    val q = StreamingOps.dedupExact(in, "ts", "20 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def ids(): Set[Long] =
+      spark.table("dedup_stream").collect().map(_.getAs[Long]("doc_id")).toSet
+    try {
+      q.processAllAvailable()
+      assert(ids() == Set(1L, 3L), "in-batch duplicate must be dropped")
+      // next micro-batch: "aaa" again, within the horizon of first-seen
+      // (watermark after b1 = 10:10 - 20min = 09:50 < expiry 10:20) —
+      // dropped; a fresh text passes
+      writeBatch(Seq(
+        (4L, "aaa", ts(15)),
+        (5L, "ccc", ts(18))), "b2")
+      q.processAllAvailable()
+      assert(ids() == Set(1L, 3L, 5L), "cross-batch duplicate must be dropped")
+      // advance the watermark far past every fingerprint's expiry...
+      writeBatch(Seq((6L, "ddd", ts(50))), "b3")
+      q.processAllAvailable()
+      // ...then a re-arrival of "aaa" AFTER eviction passes — the
+      // documented horizon trade that keeps state bounded
+      writeBatch(Seq((7L, "aaa", ts(55))), "b4")
+      q.processAllAvailable()
+      assert(ids() == Set(1L, 3L, 5L, 6L, 7L),
+        "evicted fingerprint must pass (bounded state, not corpus state)")
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: batch input degrades to plain first-wins " +
+       "dedup (the module's batch-symmetry contract)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa", java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, "aaa", java.sql.Timestamp.valueOf("2026-01-01 10:05:00")),
+      (3L, "bbb", java.sql.Timestamp.valueOf("2026-01-01 10:10:00"))
+    ).toDF("doc_id", "text", "ts")
+    val kept = StreamingOps.dedupExact(docs, "ts", "20 minutes")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.contains(3L) && kept.size == 2 && (kept - 3L).subsetOf(Set(1L, 2L)))
+  }
+
   test("stateful sessionizer across micro-batches via memory sink") {
     import spark.implicits._
     val sessions = StreamingOps.sessionize(
