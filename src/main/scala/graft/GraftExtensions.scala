@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Concat, DateFormatC
 import org.apache.spark.sql.types.{StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CosineSim, RollingHash, SlidingMin, WordShingleHashes}
+import graft.functions.{CosineSim, MinHashSig, RollingHash, SimHash64, SlidingMin, WordShingleHashes}
 
 /** Session-extension wiring (SURVEY.md §7 custom-op ladder, step (c)):
   * registers graft's native expressions with the SQL function registry so
@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.rollingHashDescriptor)
     e.injectFunction(GraftExtensions.slidingMinDescriptor)
     e.injectFunction(GraftExtensions.wordShingleHashesDescriptor)
+    e.injectFunction(GraftExtensions.minhashSigDescriptor)
+    e.injectFunction(GraftExtensions.simhash64Descriptor)
     e.injectFunction(GraftExtensions.strftimeDescriptor)
   }
 }
@@ -60,6 +62,16 @@ object GraftExtensions {
   private def buildWordShingleHashes(children: Seq[Expression]): Expression = {
     require(children.length == 2, "word_shingle_hashes expects exactly 2 arguments")
     WordShingleHashes(children.head, literalWindow("word_shingle_hashes", children(1)))
+  }
+
+  private def buildMinhashSig(children: Seq[Expression]): Expression = {
+    require(children.length == 1, "minhash_sig expects exactly 1 argument")
+    MinHashSig(children.head)
+  }
+
+  private def buildSimhash64(children: Seq[Expression]): Expression = {
+    require(children.length == 1, "simhash64 expects exactly 1 argument")
+    SimHash64(children.head)
   }
 
   /** SQLite `STRFTIME(format, datetime)` (RDataFramesSQL.Rmd:75): the
@@ -209,6 +221,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordShingleHashes].getCanonicalName, "word_shingle_hashes"),
     buildWordShingleHashes _)
 
+  private val minhashSigDescriptor = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getCanonicalName, "minhash_sig"),
+    buildMinhashSig _)
+
+  private val simhash64Descriptor = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
+    buildSimhash64 _)
+
   private val strftimeDescriptor = (
     FunctionIdentifier("strftime"),
     new ExpressionInfo(classOf[DateFormatClass].getCanonicalName, "strftime"),
@@ -221,6 +243,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("rolling_hash", buildRollingHash, "scala_udf")
     reg.createOrReplaceTempFunction("sliding_min", buildSlidingMin, "scala_udf")
     reg.createOrReplaceTempFunction("word_shingle_hashes", buildWordShingleHashes, "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig", buildMinhashSig, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", buildSimhash64, "scala_udf")
     reg.createOrReplaceTempFunction("strftime", buildStrftime, "scala_udf")
   }
 }

@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scan-side MinHash signature: the 64 permutation minima of a shingle-
+  * hash array in ONE pass, as a native codegen expression.
+  *
+  * Bit-compatibility contract (pinned in DedupSpec): element i equals
+  * `min(pmod(pmod(h, P) * a_i + b_i, P))` over the array's elements —
+  * exactly the per-group aggregate composition it replaces. The
+  * coefficients are the fixed-seed permutation set shared with the
+  * dedup pipeline ([[MinHashSig.HashA]]/[[MinHashSig.HashB]]).
+  *
+  * Why it exists: the aggregate formulation explodes every shingle into
+  * a row and runs 64 `min` aggregate columns (plus a `collect_set`,
+  * which forces ObjectHashAggregate) over the exploded table — per-row
+  * aggregation machinery around 64 multiplications per shingle. At
+  * 100 TB the exploded table is trillions of rows of aggregate-buffer
+  * traffic; this kernel does the same 64 multiplications per shingle in
+  * a tight JIT loop at the scan, so the downstream group-by only
+  * carries one 512-byte signature per document. Empty input yields an
+  * empty array (docs too short to shingle are filtered before grouping,
+  * matching the explode path where they simply produce no rows).
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<bigint> without null elements, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    new GenericArrayData(MinHashSig.sig(arr.toLongArray()))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = MinHashSig.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $helper.sig($c.toLongArray()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val NumHashes = 64
+
+  /** 31-bit Mersenne prime: keeps `a*(h mod P)+b <= 2^62` in plain Long
+    * arithmetic (Spark 4 runs ANSI mode — overflow would throw in the
+    * aggregate formulation this kernel must match). */
+  val P = 2147483647L
+
+  /** Deterministic permutation coefficients, fixed seed — results must
+    * be reproducible run-over-run for the differential oracle. (One
+    * sequential Random(42): a-draws first, then b-draws.) */
+  val (hashA: Array[Long], hashB: Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue - 1).toLong + 1L),
+     Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** The 64 permutation minima of `hs` (empty in → empty out). Shared by
+    * interpreted eval and generated code. */
+  def sig(hs: Array[Long]): Array[Long] = {
+    if (hs.isEmpty) return Array.emptyLongArray
+    val out = new Array[Long](NumHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      var hb = hs(j) % P
+      if (hb < 0) hb += P // pmod semantics for negative hashes
+      var i = 0
+      while (i < NumHashes) {
+        val v = (hb * hashA(i) + hashB(i)) % P
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+}
+
+/** Scan-side 64-bit SimHash fingerprint of a text in ONE pass, as a
+  * native codegen expression.
+  *
+  * Bit-compatibility contract (pinned in DedupSpec): equals the
+  * aggregate composition it replaces — `split(text, " ")` (EMPTY words
+  * included, exactly Spark's split semantics), `xxhash64(word)` per
+  * occurrence (term-frequency weighted, not distinct), per-bit counter
+  * `+1` if the hash's bit is set else `-1`, fingerprint bit set iff the
+  * counter is strictly positive. Word spans are hashed in place with
+  * Spark's own XXH64 (seed 42) — word boundaries are single 0x20 bytes,
+  * so no word string is ever materialized (same span trick as
+  * [[WordShingleHashes]]).
+  *
+  * Replaces an explode of every WORD into a row followed by 64
+  * conditional-sum aggregate columns per text group — the same
+  * row-machinery-around-a-tight-loop argument as [[MinHashSig]], and
+  * the fingerprint of a duplicate group equals any member's fingerprint
+  * (group sums are member sums scaled by a positive count, which cannot
+  * change a sign), so the collapse grouping only needs `first(fp)`.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.fingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = SimHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.fingerprint($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Term-frequency-weighted 64-bit SimHash of `s` (see class doc for
+    * the exact contract). Shared by interpreted eval and generated code. */
+  def fingerprint(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    val counts = new Array[Int](64)
+    var wordStart = 0
+    var i = 0
+    while (i <= len) {
+      val atSpace = i < len &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20
+      if (atSpace || i == len) {
+        // the span [wordStart, i) is one word (possibly empty — split
+        // keeps empty segments around consecutive/leading/trailing spaces)
+        val h = XXH64.hashUnsafeBytes(base, off + wordStart, i - wordStart, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        wordStart = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+}
+
+object SketchFunctions {
+  /** Column-API entry point: `minhash_sig($"shingle_hashes")`. */
+  def minhash_sig(c: Column): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
+
+  /** Column-API entry point: `simhash64($"text")`. */
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+}

@@ -64,6 +64,60 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash_sig == the 64 permutation-min aggregate composition, " +
+       "element for element (edge cases + real harness docs)") {
+    import graft.functions.MinHashSig
+    import graft.functions.SketchFunctions.minhash_sig
+    import graft.functions.TextHashFunctions.word_shingle_hashes
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(word_shingle_hashes(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val refCols = (0 until MinHashSig.NumHashes).map { i =>
+      array_min(transform(col("shs"), h =>
+        pmod(pmod(h, lit(MinHashSig.P)) * lit(MinHashSig.hashA(i))
+          + lit(MinHashSig.hashB(i)), lit(MinHashSig.P))))
+    }
+    val mismatches = docs
+      .select(minhash_sig(col("shs")).as("sig"), array(refCols: _*).as("ref"))
+      .filter(not(col("sig") === col("ref")))
+      .count()
+    assert(mismatches == 0)
+    // empty array in → empty array out (callers filter before grouping)
+    import spark.implicits._
+    val empty = Seq(Array.emptyLongArray).toDF("shs")
+      .select(minhash_sig(col("shs"))).collect()
+    assert(empty(0).getSeq[Long](0).isEmpty)
+  }
+
+  test("simhash64 == the explode-every-word + conditional-sum aggregate " +
+       "composition (edge cases + real harness docs)") {
+    import spark.implicits._
+    import graft.functions.SketchFunctions.simhash64
+    val edge = Seq("", "a", "a  b", " a b ", "x y z x y z").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val harness = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(edge, harness)) {
+      val bitSums = (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
+      }
+      val fpRef = (0 until 64)
+        .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
+        .reduce(_ + _)
+      val ref = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+        .groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), fpRef.as("ref_fp"))
+      val mismatches = docs
+        .select(col("doc_id"), simhash64(col("text")).as("fast"))
+        .join(ref, "doc_id")
+        .filter(not(col("fast") === col("ref_fp")))
+        .count()
+      assert(mismatches == 0)
+    }
+  }
+
   test("d1 exact dedup groups identical texts, keeps lowest doc_id") {
     val rows = Dedup.d1DedupExact(spark, plantedDir).collect()
     val byId = rows.map(r => r.getLong(0) -> r).toMap
