@@ -191,6 +191,41 @@ object TextAnalysis {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** t7's per-stratum keep rates, expressed as the 4-hex-digit md5-prefix
+    * threshold they compile to (rate r keeps prefixes < hex(r·16⁴)) and
+    * the 1/r importance weight a downsampled corpus must carry into
+    * training. `en` dominates the harness corpus and is cut to 1/4; `zh`
+    * is kept at 3/4; the rest at 1/2. */
+  private val t7Strata: Seq[(String, String, Double)] = Seq(
+    ("en", "4000", 4.0), ("zh", "c000", 1.3333))
+  private val t7Default: (String, Double) = ("8000", 2.0)
+
+  /** t7 — deterministic stratified (language-rebalancing) sampling: keep
+    * a document iff a 16-bit uniform derived from its id-hash falls under
+    * its stratum's rate, and attach the 1/rate importance weight. Same
+    * engine-independence contract as t6: membership is a pure function of
+    * doc_id, so the sample is identical across runs, engines, partition
+    * layouts and scale factors — `df.sample()` guarantees none of these.
+    * At 100 TB this is a scan-side filter (no shuffle, no state): the
+    * rate schedule is a constant-folded CASE, and adding strata means
+    * editing a literal table, not re-shuffling the corpus. Output is the
+    * row-level sample itself, so the oracle check is membership-exact. */
+  def t7StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val prefix = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+    val th = t7Strata.foldLeft(null: Column) { case (acc, (lang, hex, _)) =>
+      if (acc == null) when(col("lang") === lang, hex)
+      else acc.when(col("lang") === lang, hex)
+    }.otherwise(t7Default._1)
+    val weight = t7Strata.foldLeft(null: Column) { case (acc, (lang, _, w)) =>
+      if (acc == null) when(col("lang") === lang, w)
+      else acc.when(col("lang") === lang, w)
+    }.otherwise(t7Default._2)
+    Tables.documents(s, dir)
+      .filter(prefix < th)
+      .select(col("doc_id"), col("lang"), weight.as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -199,6 +234,7 @@ object TextAnalysis {
     "t5_winnow_fingerprint" -> t5WinnowFingerprint _,
     "t5_winnow_invariants"  -> t5WinnowInvariants _,
     "t6_train_val_split"    -> t6TrainValSplit _,
+    "t7_stratified_sample"  -> t7StratifiedSample _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -270,5 +306,15 @@ object TextAnalysis {
         |            THEN 'train' ELSE 'val' END AS split,
         |       count(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "t7_stratified_sample" -> {
+      val thCase = t7Strata.map { case (l, hex, _) => s"WHEN '$l' THEN '$hex'" }
+        .mkString("CASE lang ", " ", s" ELSE '${t7Default._1}' END")
+      val wCase = t7Strata.map { case (l, _, w) => s"WHEN '$l' THEN $w" }
+        .mkString("CASE lang ", " ", s" ELSE ${t7Default._2} END")
+      s"""SELECT doc_id, lang, CAST($wCase AS DOUBLE) AS weight
+         |FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < $thCase
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

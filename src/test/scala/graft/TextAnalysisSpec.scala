@@ -104,6 +104,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twin(0).getAs[Int]("n_fingerprints") == twin(1).getAs[Int]("n_fingerprints"))
   }
 
+  test("t7 stratified sample: rates honored per stratum, weights exact, id-stable") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.t7StratifiedSample(spark, sfDir)
+    val byLang = out.groupBy("lang")
+      .agg(count(lit(1)).as("n"), first("weight").as("w"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("w"))).toMap
+    // corpus: en 218, zh 75, de 70, es 73, fr 64 (sf0.01). A 16-bit md5
+    // uniform at rate r keeps ~r·n ± binomial noise; bounds are ~4 sigma.
+    val expect = Map("en" -> (218, 0.25, 4.0), "zh" -> (75, 0.75, 1.3333),
+      "de" -> (70, 0.5, 2.0), "es" -> (73, 0.5, 2.0), "fr" -> (64, 0.5, 2.0))
+    for ((lang, (n, rate, w)) <- expect) {
+      val (got, gotW) = byLang(lang)
+      val sigma = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(got - n * rate) <= 4 * sigma + 1,
+        s"$lang: kept $got of $n at rate $rate")
+      assert(gotW == w, s"$lang weight $gotW != $w")
+    }
+    // membership is a pure function of doc_id: the same corpus under a
+    // different partition layout yields the identical sample (the
+    // property a seeded sample() lacks — its draw depends on partition
+    // boundaries)
+    val dir = java.nio.file.Files.createTempDirectory("graft-t7").toString
+    spark.read.parquet(s"$sfDir/documents.parquet").repartition(7)
+      .write.parquet(s"$dir/documents.parquet")
+    val again = TextAnalysis.t7StratifiedSample(spark, dir)
+    assert(out.collect().toSeq == again.collect().toSeq)
+  }
+
   test("t4 fingerprints: md5 is stable and distinct_fp <= n_docs") {
     val out = TextAnalysis.t4Fingerprint(spark, sfDir).collect()
     assert(out.length == 20) // 20 sources
