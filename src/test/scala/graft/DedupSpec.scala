@@ -289,6 +289,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains contract to min-root stars; components stay separate") {
+    import spark.implicits._
+    // a 12-node path (worst case for naive diameter-bound propagation),
+    // a triangle with a redundant edge, and a 2-node component
+    val path = (1L to 11L).map(i => (i, i + 1))
+    val edges = (path ++ Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)))
+      .toDF("u", "v")
+    val stars = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (2L to 12L).map((1L, _)).toSet ++
+      Set((20L, 21L), (20L, 22L), (30L, 31L))
+    assert(stars == expect)
+    // edge direction/duplication must not matter
+    val messy = edges.select(col("v").as("u"), col("u").as("v"))
+      .unionAll(edges).unionAll(edges.limit(3))
+    val stars2 = Dedup.connectedComponents(messy)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stars2 == expect)
+  }
+
+  test("d6 dup clusters: pairs transitively closed, min-id canonical, sizes consistent") {
+    val pairs = Dedup.d3MinhashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Dedup.d6DupClusters(spark, sfDir).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair's endpoints land in the same cluster; every clustered
+    // doc came from some pair
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    assert(cluster.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // cluster id is the minimum member; exactly one canonical per cluster
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid)
+      assert(members.count(_.getBoolean(3)) == 1)
+      assert(members.forall(_.getLong(2) == members.length))
+    }
+  }
+
   test("d5 embedding near-dup on harness data: bounded cosine, blocked by label") {
     val rows = Dedup.d5EmbeddingNearDup(spark, sfDir).collect()
     assert(rows.length == 20)
