@@ -122,6 +122,87 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Raw dot product of two float vectors — the [[CosineSim]] kernel minus
+  * the norms. Needed where the SCALE of the vectors matters (product-
+  * quantization distances, reconstruction norms) and cosine's
+  * normalization would destroy it. Same determinism contract: float
+  * elements widened to double exactly, one left-to-right accumulation —
+  * bit-compatible with the oracle's `list_sum(list_transform(...))` —
+  * and the same null semantics (null input/element or length mismatch
+  * poisons to NULL). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private def elementNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
+  /** Always nullable — see [[CosineSim.nullable]]: every codegen path
+    * that can assign `ev.isNull` (length mismatch, null element) must be
+    * matched by `nullable = true` or Janino fails and the interpreter
+    * fallback's null is coerced to 0.0. */
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires array<float> inputs, got " +
+          s"${left.dataType.sql} / ${right.dataType.sql}")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val elementCheck =
+        if (elementNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val assign = s"${ev.value} = $dot;"
+      val guardedAssign =
+        if (elementNullable) s"if (!${ev.isNull}) { $assign }" else assign
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elementCheck
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  $guardedAssign
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-API entry point: `cosine_sim($"a", $"b")`. Inputs must be
     * `array<float>` (the harness embedding type); enforced at analysis
@@ -129,4 +210,9 @@ object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API entry point: `dot_product($"a", $"b")`. */
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.cosine_sim
+import graft.functions.VectorFunctions.{cosine_sim, dot_product}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -191,10 +191,91 @@ object Similarity {
     recallVsBrute(e, approx, Seq(lit(NumTables).as("probed_tables")))
   }
 
+  // s4: product quantization — 4 subspaces × 16 dims, 16 sub-centroids
+  // per subspace (the s2 seed vectors, sliced), ADC-scored shortlist of
+  // 40 re-ranked exactly.
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqShortlist = 40
+
+  private def pqSub(c: Column, m: Int): Column =
+    slice(c, m * PqSubDim + 1, PqSubDim)
+
+  /** s4 — product-quantization ANN: encode every vector as [[PqM]] small
+    * codes (nearest sub-centroid per 16-dim slice, standard PQ argmin-L2
+    * via the expanded form |c|² − 2·v·c), score candidates against a
+    * query with asymmetric distance computation (ADC: cosine between the
+    * query and the vector's RECONSTRUCTION from sub-centroids), then
+    * exactly re-rank a [[PqShortlist]]-deep shortlist. Reports measured
+    * recall@10 vs brute force.
+    *
+    * THE memory-compression scale path: at 100 TB an ADC scan touches
+    * 4 bytes of codes per vector instead of 256 bytes of floats (64×
+    * less memory bandwidth), and the per-query lookup table (dot of each
+    * query slice with each sub-centroid — [[NumCentroids]]·[[PqM]] rows)
+    * is O(K·M) regardless of corpus size. Encoding is one broadcast
+    * pass: per (vector, seed) distances feed a partial-agg'd `min_by`
+    * per subspace, so the map-side combine reduces K·N rows to N before
+    * the one shuffle. Everything — codebook, argmin tie-breaks, ADC
+    * arithmetic order — is deterministic and replayed exactly by the
+    * DuckDB oracle. */
+  def s4AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val seeds = e.orderBy(idMix(col("vec_id")), col("vec_id"))
+      .limit(NumCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val joined = e.join(broadcast(seeds), lit(true))
+    val codeAggs = (0 until PqM).map { m =>
+      val csq = dot_product(pqSub(col("c_emb"), m), pqSub(col("c_emb"), m))
+      val d2 = round(
+        csq - lit(2.0) * dot_product(pqSub(col("embedding"), m), pqSub(col("c_emb"), m)), 6)
+      min_by(struct(col("c_id").as("id"), csq.as("csq")),
+        struct(d2.as("d"), col("c_id").as("c"))).as(s"k$m")
+    }
+    val codes = joined.groupBy(col("vec_id")).agg(codeAggs.head, codeAggs.tail: _*)
+    // per-query ADC lookup table: dot of each query slice with each
+    // sub-centroid — NumQueries × NumCentroids rows, broadcast
+    val q = querySet(e)
+      .withColumn("q_nrm", sqrt(dot_product(col("q_emb"), col("q_emb"))))
+    val lut = q.join(broadcast(seeds), lit(true))
+      .select(col("q_id").as("l_qid") +: col("c_id").as("l_cid") +:
+        (0 until PqM).map(m =>
+          dot_product(pqSub(col("q_emb"), m), pqSub(col("c_emb"), m)).as(s"dp$m")): _*)
+    var adc = codes
+      .join(broadcast(q.select(col("q_id"), col("q_nrm"))), lit(true))
+      .filter(col("vec_id") =!= col("q_id"))
+    for (m <- 0 until PqM) {
+      val l = lut.select(col("l_qid").as(s"lq$m"), col("l_cid").as(s"lc$m"), col(s"dp$m"))
+      adc = adc.join(broadcast(l),
+        col("q_id") === col(s"lq$m") && col(s"k$m.id") === col(s"lc$m"))
+    }
+    val dpSum = (0 until PqM).map(m => col(s"dp$m")).reduce(_ + _)
+    val csqSum = (0 until PqM).map(m => col(s"k$m.csq")).reduce(_ + _)
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val shortlist = adc
+      .withColumn("adc", round(dpSum / (col("q_nrm") * sqrt(csqSum)), 4))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= PqShortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank of the tiny shortlist
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val approx = shortlist
+      .join(e, "vec_id")
+      .join(broadcast(querySet(e)), "q_id")
+      .withColumn("cosine", round(cosine_sim(col("q_emb"), col("embedding")), 4))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+    recallVsBrute(e, approx, Seq(lit(PqM).as("m_subspaces")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> s1KnnBrute _,
     "s2_ann_ivf"   -> s2AnnIvf _,
     "s3_ann_lsh"   -> s3AnnLsh _,
+    "s4_ann_pq"    -> s4AnnPq _,
   )
 
   // ---- DuckDB oracle construction -----------------------------------
@@ -333,6 +414,71 @@ object Similarity {
        |${recallSql(s"CAST($NumTables AS INTEGER) AS probed_tables")}""".stripMargin
   }
 
+  /** DuckDB dot product over one PQ subspace's index range — same
+    * left-to-right accumulation as [[dot_product]] over the slice. */
+  private def pqSubDotSql(a: String, b: String, m: Int): String = {
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    s"list_sum(list_transform(generate_series($lo, $hi), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  }
+
+  private def s4OracleSql: String = {
+    val cms = (0 until PqM).map { m =>
+      val csq = pqSubDotSql("s.c_emb", "s.c_emb", m)
+      val dot = pqSubDotSql("e.embedding", "s.c_emb", m)
+      s"""cm$m AS (
+         |  SELECT vec_id, c_id, csq FROM (
+         |    SELECT e.vec_id, s.c_id, $csq AS csq,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round($csq - 2.0 * $dot, 6), s.c_id) AS rn
+         |    FROM en e CROSS JOIN seeds s
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val seedJoins = (1 until PqM).map(m =>
+      s"JOIN cm$m c$m ON c$m.vec_id = c0.vec_id").mkString("\n  ") + "\n  " +
+      (0 until PqM).map(m =>
+        s"JOIN seeds s$m ON s$m.c_id = c$m.c_id").mkString("\n  ")
+    val dpSum = (0 until PqM).map(m => pqSubDotSql("q.q_emb", s"s$m.c_emb", m))
+      .mkString(" + ")
+    val csqSum = (0 until PqM).map(m => s"c$m.csq").mkString(" + ")
+    s"""WITH $commonCtes,
+       |seeds AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb
+       |  FROM en
+       |  ORDER BY (vec_id * $MixA + $MixB) % $MixM, vec_id
+       |  LIMIT $NumCentroids
+       |),
+       |$cms,
+       |adc AS (
+       |  SELECT q.q_id, c0.vec_id,
+       |         round(($dpSum) / (q.q_nrm * sqrt($csqSum)), 4) AS adc
+       |  FROM qn q CROSS JOIN cm0 c0
+       |  $seedJoins
+       |  WHERE c0.vec_id <> q.q_id
+       |),
+       |shortlist AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY adc DESC, vec_id ASC) AS rn
+       |    FROM adc
+       |  ) WHERE rn <= $PqShortlist
+       |),
+       |approx AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT sl.q_id, sl.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY sl.q_id
+       |             ORDER BY ${cosSql("qn.q_emb", "qn.q_nrm", "en.embedding", "en.nrm")} DESC,
+       |                      sl.vec_id ASC) AS rank
+       |    FROM shortlist sl
+       |    JOIN qn ON qn.q_id = sl.q_id
+       |    JOIN en ON en.vec_id = sl.vec_id
+       |  ) WHERE rank <= $K
+       |)
+       |${recallSql(s"CAST($PqM AS INTEGER) AS m_subspaces")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "s1_knn_brute" ->
       s"""WITH $commonCtes,
@@ -348,5 +494,6 @@ object Similarity {
          |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
     "s2_ann_ivf" -> s2OracleSql,
     "s3_ann_lsh" -> s3OracleSql,
+    "s4_ann_pq"  -> s4OracleSql,
   )
 }

@@ -74,6 +74,29 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("property: dot_product bit-exact vs the aggregate(zip_with) " +
+       "composition it fuses; nulls and length mismatch poison to NULL") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.dot_product
+    val gen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
+    val vecs = (1 to 200).flatMap(_ => gen.sample).map(_.toArray)
+    val pairs = vecs.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    val rows = pairs.toDF("a", "b")
+      .select(
+        dot_product(col("a"), col("b")).as("dp"),
+        aggregate(zip_with(col("a"), col("b"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-exact
+    val bad = Seq(
+      (Array(1f, 2f), Array(1f)),          // length mismatch
+      (Array(1f, 2f), null)                // null input
+    ).toDF("a", "b")
+    assert(bad.select(dot_product(col("a"), col("b"))).collect()
+      .forall(_.isNullAt(0)))
+  }
+
   test("cosine_sim: length mismatch poisons to NULL (truncated embedding " +
        "must not yield a plausible similarity)") {
     import spark.implicits._

@@ -29,6 +29,22 @@ class SimilaritySpec extends SparkSpec {
       s"IVF mean recall too low: ${recalls.mkString(",")}")
   }
 
+  test("s4 PQ: full result sets, recall non-degenerate, ADC shortlist honest") {
+    val rows = Similarity.s4AnnPq(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      // a 40-deep shortlist always fills the top-10
+      assert(r.getAs[Long]("n_returned") == 10L)
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // 4x16 codebooks + exact re-rank must beat random (10/499 ~ 0.02 per
+    // slot); observed mean on the harness corpus is 0.36
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    assert(recalls.sum / recalls.length >= 0.2,
+      s"PQ mean recall too low: ${recalls.mkString(",")}")
+  }
+
   test("s3 multi-table LSH: all queries reported even if probes miss, " +
        "recall bounded and non-degenerate overall") {
     val rows = Similarity.s3AnnLsh(spark, sfDir).collect()
