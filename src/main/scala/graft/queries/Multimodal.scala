@@ -112,10 +112,52 @@ object Multimodal {
         col("n_frames"), col("sampled_frames"))
       .orderBy(col("doc_id"))
 
+  /** m3's frame geometry — shared with [[StubDecoder]]'s arithmetic
+    * (`n_frames = len/100 + 1`, every-10th sampling) so the manifest,
+    * the decode features and the frame sample agree on frame counts. */
+  private val FrameBytes = 100
+  private val FrameStride = 10
+
+  /** m3 — deterministic frame sampling over the opaque binary payload:
+    * treat the payload as fixed-[[FrameBytes]] frames, keep every
+    * [[FrameStride]]-th, and emit each sampled frame's byte length and
+    * content fingerprint. This is the codec-free half of video handling —
+    * a real pipeline samples frames BEFORE decoding (seek offsets are
+    * byte arithmetic), then hands only the sampled frames to the
+    * expensive decoder (m2's seam). Everything here is scan-side codegen
+    * (sequence + explode + substr + md5): no shuffle at all before the
+    * final sort, and output volume is 1/[[FrameStride]] of the corpus —
+    * the reduction that makes downstream feature extraction affordable
+    * at 100 TB.
+    *
+    * Fingerprint contract: md5 over the LOWERCASE HEX of the frame bytes
+    * (not the raw bytes) — DuckDB's md5 only accepts VARCHAR and its
+    * substring cannot slice BLOBs, but `hex(blob)` is common ground, and
+    * a byte slice is exactly a 2×-offset slice of the hex text. */
+  def m3FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast("binary")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), payload.as("payload"),
+        (floor(length(payload) / lit(FrameBytes.toDouble)) + 1)
+          .cast("int").as("n_frames"))
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(FrameStride)))
+          .as("frame_idx"))
+      .withColumn("frame",
+        col("payload").substr(
+          col("frame_idx") * lit(FrameBytes) + 1, lit(FrameBytes)))
+      .select(
+        col("doc_id"), col("frame_idx"), col("n_frames"),
+        length(col("frame")).as("frame_len"),
+        md5(lower(hex(col("frame"))).cast("binary")).as("frame_fp"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta"  -> m1MultimodalMeta _,
     "m2_decode_features"  -> m2DecodeFeatures _,
     "m2_decode_dims"      -> m2bDecodeDims _,
+    "m3_frame_sample"     -> m3FrameSample _,
   )
 
   /** m2's byte-histogram output is impractical to express in SQL → rows-
@@ -142,5 +184,29 @@ object Multimodal {
         |       len // 100 + 1 AS n_frames,
         |       (len // 100 + 1 + 9) // 10 AS sampled_frames
         |FROM p ORDER BY doc_id""".stripMargin,
+    // byte slice [i, i+100) of the payload == hex-char slice
+    // [2i, 2i+200) of hex(payload); md5 is over the lowercase hex text
+    // (the engine applies the identical contract)
+    "m3_frame_sample" -> {
+      val hexBytes = 2 * FrameBytes
+      s"""WITH p AS (
+         |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+         |         CAST(floor(octet_length(CAST(text AS BLOB)) / $FrameBytes.0)
+         |              AS INT) + 1 AS n_frames
+         |  FROM documents
+         |),
+         |fr AS (
+         |  SELECT doc_id, hx, n_frames,
+         |         unnest(generate_series(0, n_frames - 1, $FrameStride))
+         |           AS frame_idx
+         |  FROM p
+         |)
+         |SELECT doc_id, frame_idx, n_frames,
+         |       CAST(len(substr(hx, frame_idx * $hexBytes + 1, $hexBytes)) / 2
+         |            AS INT) AS frame_len,
+         |       md5(lower(substr(hx, frame_idx * $hexBytes + 1, $hexBytes)))
+         |         AS frame_fp
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+    },
   )
 }

@@ -44,4 +44,38 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 128)
     }
   }
+
+  test("m3 frame sample: per-doc sample count == m2's sampled_frames; " +
+       "frame bytes and fingerprints exact on a planted payload") {
+    val rows = Multimodal.m3FrameSample(spark, sfDir).collect()
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id")).map {
+      case (id, rs) => id -> rs.length
+    }
+    val m2 = Multimodal.m2DecodeFeatures(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("sampled_frames")).toMap
+    assert(perDoc == m2) // identical frame geometry across the m-family
+    rows.foreach { r =>
+      assert(r.getAs[Int]("frame_idx") % 10 == 0)
+      assert(r.getAs[Int]("frame_len") <= 100)
+      assert(r.getAs[String]("frame_fp").matches("[0-9a-f]{32}"))
+    }
+    // planted 1050-byte payload: frames 0..10, sampled {0, 10}; frame 10
+    // holds the last 50 bytes; fingerprint = md5(lowercase hex of slice)
+    import spark.implicits._
+    val text = ("x" * 1000) + ("y" * 50)
+    val dir = java.nio.file.Files.createTempDirectory("graft-m3").toString
+    Seq((7L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val planted = Multimodal.m3FrameSample(spark, dir).collect()
+    assert(planted.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 10))
+    assert(planted.map(_.getAs[Int]("frame_len")).toSeq == Seq(100, 50))
+    def fp(slice: String): String = {
+      val hex = slice.getBytes("UTF-8").map("%02x".format(_)).mkString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(planted(0).getAs[String]("frame_fp") == fp("x" * 100))
+    assert(planted(1).getAs[String]("frame_fp") == fp("y" * 50))
+  }
 }
