@@ -132,4 +132,101 @@ object StreamingOps {
           closed.result().iterator
       }
   }
+
+  /** One (doc, band) occupancy row feeding [[nearDupCandidates]]'s keyed
+    * state; `bh` is the LSH band-bucket hash. */
+  case class BandRow(doc_id: Long, band: Int, bh: Long, ts: java.sql.Timestamp)
+
+  /** Candidate near-dup pair emitted by [[nearDupCandidates]]
+    * (doc_a < doc_b; the same pair can surface from several bands —
+    * exact-verification downstream dedupes, as in batch d3). */
+  case class Cand(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Streaming MinHash LSH near-dup CANDIDATE detection — the batch d3
+    * banding stage ([[graft.queries.Dedup.d3MinhashLsh]]) over an
+    * unbounded ingest stream. Each arriving document's 64-hash MinHash
+    * signature is computed scan-side (the same codegen kernels as batch),
+    * hashed into 16 band buckets, and matched against the documents
+    * already resident in each bucket's state: an arrival emits one
+    * candidate pair per stored co-bucket document, then joins the state.
+    *
+    * Scale/state contract:
+    *   - state is keyed by (band, bucket-hash) — the same shuffle key as
+    *     the batch banding join, so a 1000-executor run partitions the
+    *     stream identically;
+    *   - per-bucket state is HARD-CAPPED at `maxBucket` doc ids (the
+    *     batch [[graft.queries.Dedup.MaxBandBucket]] discipline): once
+    *     full, new arrivals emit nothing and are not stored — bounded
+    *     memory AND bounded per-arrival work on a degenerate boilerplate
+    *     cluster. (Batch drops the whole oversized bucket retroactively;
+    *     a stream cannot un-emit, so the cap semantics differ beyond the
+    *     cap — both are recall-only losses on stop-shingle buckets.)
+    *   - a bucket idle past `horizonMs` (event time) is evicted wholesale,
+    *     so total state is O(active buckets per horizon), not O(corpus).
+    *     Same honest trade as [[dedupExact]]: a near-dup of an evicted
+    *     document passes; whole-corpus dedup remains batch d3's job.
+    *
+    * Emits CANDIDATES only (like the batch banding stage before its
+    * exact-Jaccard verify): verification needs both shingle sets, which
+    * do not belong in per-bucket state — it runs as a downstream batch
+    * join against the corpus, exactly like batch d3's verify step. */
+  def nearDupCandidates(docs: DataFrame, tsCol: String, horizonMs: Long,
+      maxBucket: Int = 256): Dataset[Cand] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.SketchFunctions.minhash_sig
+    import graft.functions.TextHashFunctions.word_shingle_hashes
+    val sig = docs
+      .withColumn("shs", word_shingle_hashes(col("text"), 3))
+      .filter(size(col("shs")) > 0)
+      .withColumn("sig", minhash_sig(col("shs")))
+    // band j's bucket hash: xxhash64 over signature rows 4j..4j+3 — the
+    // identical arithmetic to the batch d3Buckets banding
+    val bandCols = (0 until 16).map { j =>
+      xxhash64((0 until 4).map(r => element_at(col("sig"), 4 * j + r + 1)): _*)
+    }
+    val exploded = sig
+      .select(col("doc_id"), col(tsCol).as("ts"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val rows =
+      (if (docs.isStreaming)
+        exploded.withWatermark("ts", s"$horizonMs milliseconds")
+      else exploded)
+        .select(col("doc_id"), col("band"), col("bh"), col("ts"))
+        .as[BandRow]
+    // plain local, NOT `docs.isStreaming` inside the closure: the state
+    // function runs on executors, where the captured Dataset has no plan
+    val streaming = docs.isStreaming
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[List[Long], Cand](
+        OutputMode.Append, timeoutConf) {
+        (_: (Int, Long), batch: Iterator[BandRow], state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // arrival order within a micro-batch: (ts, doc_id) — the
+            // same total order as the exact-dedup/sessionizer contract
+            val sorted = batch.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var stored = state.getOption.getOrElse(Nil)
+            val out = Seq.newBuilder[Cand]
+            sorted.foreach { r =>
+              if (stored.size < maxBucket && !stored.contains(r.doc_id)) {
+                stored.foreach { d =>
+                  out += Cand(math.min(d, r.doc_id), math.max(d, r.doc_id), r.band)
+                }
+                stored = r.doc_id :: stored
+              }
+            }
+            state.update(stored)
+            if (state.exists && sorted.nonEmpty && streaming) {
+              val maxTs = sorted.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(maxTs + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

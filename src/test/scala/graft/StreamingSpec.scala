@@ -138,6 +138,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: candidates equal the batch banding " +
+       "on the same corpus; horizon evicts idle buckets") {
+    import spark.implicits._
+    val tA = "the quick brown fox jumps over the lazy dog again and again today"
+    val tB = "the quick brown fox jumps over the lazy cat again and again today"
+    val tU = "completely different content about distributed query engines at scale"
+    val tV = "yet another unrelated sentence mentioning parquet files and shuffles"
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$min%02d:00")
+    val dir = Files.createTempDirectory("graft-stream-neardup").toString
+    def writeBatch(rows: Seq[(Long, String, java.sql.Timestamp)], name: String): Unit =
+      rows.toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/$name")
+    writeBatch(Seq((1L, tA, ts(10, 0)), (2L, tB, ts(10, 1))), "b1")
+    writeBatch(Seq((3L, tA, ts(10, 2)), (4L, tU, ts(10, 3))), "b2")
+    val horizonMs = 30L * 60 * 1000
+    val in = spark.readStream.schema(docSchema).parquet(s"$dir/b*")
+    val q = StreamingOps.nearDupCandidates(in, "ts", horizonMs)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    def cands(): Set[(Long, Long, Int)] =
+      spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    try {
+      q.processAllAvailable()
+      // batch-symmetry: the streamed candidate set equals the batch
+      // banding over the same 4 documents (no eviction within horizon)
+      val batchDocs = Seq((1L, tA, ts(10, 0)), (2L, tB, ts(10, 1)),
+        (3L, tA, ts(10, 2)), (4L, tU, ts(10, 3))).toDF("doc_id", "text", "ts")
+      val expected = StreamingOps.nearDupCandidates(batchDocs, "ts", horizonMs)
+        .collect().map(c => (c.doc_a, c.doc_b, c.band)).toSet
+      assert(cands() == expected)
+      // identical texts share all 16 band buckets
+      assert(cands().count { case (a, b, _) => a == 1L && b == 3L } == 16)
+      val before = cands()
+      // idle the tA/tB buckets past the horizon: watermark passes their
+      // expiry during b3 (no data for them), so b3's timeout pass evicts
+      // them; the tA re-arrival in b4 then finds empty buckets
+      writeBatch(Seq((5L,
+        "fresh watermark advancing filler text with entirely new tokens here",
+        ts(12, 0))), "b3")
+      q.processAllAvailable()
+      writeBatch(Seq((6L, tV, ts(12, 10))), "b4")
+      q.processAllAvailable()
+      writeBatch(Seq((7L, tA, ts(12, 15))), "b5")
+      q.processAllAvailable()
+      assert(cands() == before,
+        "near-dup of an evicted document must pass unflagged (bounded state)")
+    } finally q.stop()
+  }
+
+  test("streaming minhash near-dup: bucket cap bounds state and per-arrival " +
+       "work (third identical doc emits nothing at cap 2)") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, t, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, t, java.sql.Timestamp.valueOf("2026-01-01 10:01:00")),
+      (3L, t, java.sql.Timestamp.valueOf("2026-01-01 10:02:00"))
+    ).toDF("doc_id", "text", "ts")
+    val out = StreamingOps.nearDupCandidates(docs, "ts", 1000L, maxBucket = 2)
+      .collect()
+    assert(out.length == 16) // one (1,2) pair per band; doc 3 capped out
+    assert(out.forall(c => c.doc_a == 1L && c.doc_b == 2L))
+  }
+
   test("streaming exact dedup: batch input degrades to plain first-wins " +
        "dedup (the module's batch-symmetry contract)") {
     import spark.implicits._
