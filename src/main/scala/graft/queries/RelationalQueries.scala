@@ -156,13 +156,15 @@ object RelationalQueries {
     val part = Tables.part(s, dir)
     // Scale-free "rare badge" analogue: rank brands by part count and keep
     // ranks 3..12 (BETWEEN on a post-aggregate value; a fixed count range
-    // would select nothing as SF grows). The unpartitioned window runs on
-    // the ~25-row post-aggregate, not the base table.
+    // would select nothing as SF grows). Ranks 3..12 of a global order are
+    // offset(2).limit(10) — no unpartitioned window, so the ~25-row
+    // post-aggregate sort never routes through a single-partition
+    // WindowExec (the SQL front-end keeps the row_number formulation;
+    // SqlParitySpec pins the two equivalent).
     val midBrands = part.groupBy(col("p_brand"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("cnt").desc, col("p_brand").asc)))
-      .filter(col("rnk").between(3, 12))
+      .orderBy(col("cnt").desc, col("p_brand").asc)
+      .offset(2).limit(10)
       .select(col("p_brand"))
     val midParts = part.join(midBrands, Seq("p_brand"), "left_semi")
       .select(col("p_partkey"), col("p_brand"))
