@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextHashFunctions.word_shingle_hashes
 import graft.sources.Tables
 
 /** Text-analysis operators for a training-data pipeline, over the harness
@@ -226,6 +227,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Shingle width for the t8 contamination check. 5-gram word shingles
+    * discriminate on this corpus: 3-grams flag every val doc (stop-phrase
+    * collisions), 5-grams flag only genuine cross-split text reuse. Real
+    * decontamination pipelines use 8–13; the width is a single literal. */
+  private val ContamN = 5
+
+  /** t8: train→val contamination check (benchmark-decontamination shape).
+    * Splits the corpus with t6's deterministic md5 rule, builds the
+    * DISTINCT train-side shingle set, and scores every val doc by the
+    * fraction of its distinct 5-gram shingles that appear anywhere in
+    * train. Flagged docs are what a pipeline would quarantine before
+    * using `val` as an eval set.
+    *
+    * Scale shape: both sides come off one scan; the join key is the
+    * 8-byte shingle hash (word_shingle_hashes kernel, same contract as
+    * d2). Because the train side is DISTINCT, every val shingle matches
+    * at most ONE train row — stop-shingle skew cannot amplify the join
+    * output (unlike pair expansion in d2, which needs a doc-freq cap), so
+    * the whole check is two shuffles (distinct + join-then-agg) with
+    * output exactly |val shingles| rows. No cap, no cross-row floats:
+    * the frac is a per-row integer division rounded at the end. */
+  def t8Contamination(s: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), (bucket < "cd").as("is_train"),
+        word_shingle_hashes(col("text"), ContamN).as("shs"))
+      .select(col("doc_id"), col("is_train"), explode(col("shs")).as("sh"))
+    val trainSh = ex.filter(col("is_train")).select(col("sh")).distinct()
+    ex.filter(!col("is_train"))
+      .join(trainSh.withColumn("hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_sh").cast("double"), 4)
+          .as("contam_frac"))
+      .orderBy(col("contam_frac").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -235,6 +275,7 @@ object TextAnalysis {
     "t5_winnow_invariants"  -> t5WinnowInvariants _,
     "t6_train_val_split"    -> t6TrainValSplit _,
     "t7_stratified_sample"  -> t7StratifiedSample _,
+    "t8_contamination"      -> t8Contamination _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -315,6 +356,30 @@ object TextAnalysis {
          |FROM documents
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < $thCase
          |ORDER BY doc_id""".stripMargin
+    },
+    "t8_contamination" -> {
+      val joins = (0 until ContamN)
+        .map(k => s"string_split(text, ' ')[i+$k]").mkString(" || ' ' || ")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS is_train,
+         |         unnest(shs) AS sh
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(string_split(text, ' ')) >= $ContamN THEN
+         |        list_distinct(list_transform(
+         |          generate_series(1, len(string_split(text, ' ')) - ${ContamN - 1}),
+         |          i -> $joins))
+         |      ELSE CAST([] AS VARCHAR[]) END AS shs
+         |    FROM documents)
+         |),
+         |tr AS (SELECT DISTINCT sh FROM sh WHERE is_train)
+         |SELECT s.doc_id, count(*) AS n_sh, count(t.sh) AS n_hit,
+         |       round(CAST(count(t.sh) AS DOUBLE) / count(*), 4) AS contam_frac
+         |FROM sh s LEFT JOIN tr t ON s.sh = t.sh
+         |WHERE NOT s.is_train
+         |GROUP BY s.doc_id
+         |ORDER BY contam_frac DESC, doc_id LIMIT 20""".stripMargin
     },
   )
 }

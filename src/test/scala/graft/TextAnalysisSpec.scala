@@ -133,6 +133,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.collect().toSeq == again.collect().toSeq)
   }
 
+  test("t8 contamination: planted cross-split dup scores 1.0, partial " +
+       "overlap counts exactly its shared shingles, clean doc scores 0.0") {
+    import spark.implicits._
+    // split membership is md5(doc_id)[0,2) < "cd": ids 1,2 -> train
+    // (c4…, c8…); ids 3,5,10 -> val (ec…, e4…, d3…)
+    val trainText = (1 to 10).map(i => s"w$i").mkString(" ")  // 6 5-shingles
+    val halfText = ((1 to 5).map(i => s"w$i") ++ (1 to 5).map(i => s"n$i"))
+      .mkString(" ")                       // shares exactly 1 shingle: w1..w5
+    val rows = Seq(
+      (1L, trainText, "en", "s0", trainText.length.toLong),
+      (2L, (1 to 9).map(i => s"q$i").mkString(" "), "en", "s0", 10L),
+      (3L, trainText, "en", "s0", trainText.length.toLong),
+      (5L, halfText, "en", "s0", halfText.length.toLong),
+      (10L, (1 to 10).map(i => s"z$i").mkString(" "), "en", "s0", 10L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-t8").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.t8Contamination(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (3L, 6L, 6L, 1.0),      // byte-identical leak across the split
+      (5L, 6L, 1L, 0.1667),   // one shared 5-shingle of six
+      (10L, 6L, 0L, 0.0)))    // clean val doc still reported
+  }
+
   test("t4 fingerprints: md5 is stable and distinct_fp <= n_docs") {
     val out = TextAnalysis.t4Fingerprint(spark, sfDir).collect()
     assert(out.length == 20) // 20 sources
