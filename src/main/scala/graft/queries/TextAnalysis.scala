@@ -266,6 +266,41 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** A token is "rare" when its whole-corpus occurrence count is at or
+    * below this. ≤2 keeps hapax/dis legomena — the gibberish signal. */
+  private val RareMaxFreq = 2L
+
+  /** t9: corpus-frequency quality filter (the two-pass CCNet shape:
+    * derive a statistic FROM the corpus, then score each doc against
+    * it). Pass 1 builds whole-corpus token frequencies; pass 2 scores
+    * every doc by the fraction of its token occurrences that are rare
+    * (corpus freq ≤ [[RareMaxFreq]]). High rare_ratio = likely gibberish,
+    * OCR noise, or boilerplate IDs — what an LM-quality filter drops.
+    *
+    * Scale shape: two scans of the corpus (inherent to two-pass corpus
+    * statistics; a pipeline would cache the token projection). The probe
+    * join's build side is pre-filtered to the RARE vocab slice, and rare
+    * tokens have ≤ [[RareMaxFreq]] occurrences BY CONSTRUCTION, so no
+    * join key on either side is hot — frequent tokens ("the") simply
+    * miss the left join and amplify nothing. All arithmetic is integer
+    * counts plus one final per-row division (no logs, no cross-row
+    * floats), so DuckDB reproduces the hash bit-for-bit. */
+  def t9RareTokens(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val rare = tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") <= RareMaxFreq)
+      .select(col("tok"), lit(1).as("rare"))
+    tok.join(rare, Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), count(col("rare")).as("n_rare"))
+      .select(col("doc_id"), col("n_tok"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_tok").cast("double"), 4)
+          .as("rare_ratio"))
+      .orderBy(col("rare_ratio").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -276,6 +311,7 @@ object TextAnalysis {
     "t6_train_val_split"    -> t6TrainValSplit _,
     "t7_stratified_sample"  -> t7StratifiedSample _,
     "t8_contamination"      -> t8Contamination _,
+    "t9_rare_tokens"        -> t9RareTokens _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -381,5 +417,18 @@ object TextAnalysis {
          |GROUP BY s.doc_id
          |ORDER BY contam_frac DESC, doc_id LIMIT 20""".stripMargin
     },
+    "t9_rare_tokens" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |),
+         |rare AS (
+         |  SELECT tok FROM (SELECT tok, count(*) AS freq FROM tok GROUP BY 1)
+         |  WHERE freq <= $RareMaxFreq
+         |)
+         |SELECT t.doc_id, count(*) AS n_tok, count(r.tok) AS n_rare,
+         |       round(CAST(count(r.tok) AS DOUBLE) / count(*), 4) AS rare_ratio
+         |FROM tok t LEFT JOIN rare r ON t.tok = r.tok
+         |GROUP BY t.doc_id
+         |ORDER BY rare_ratio DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

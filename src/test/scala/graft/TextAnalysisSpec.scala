@@ -158,6 +158,25 @@ class TextAnalysisSpec extends SparkSpec {
       (10L, 6L, 0L, 0.0)))    // clean val doc still reported
   }
 
+  test("t9 rare tokens: corpus frequencies drive per-doc rare ratios; " +
+       "every occurrence of a rare token counts") {
+    import spark.implicits._
+    // corpus freqs: a=3 (common), b=c=d=1, e=2 (all rare at <=2)
+    val rows = Seq(
+      (1L, "a a b", "en", "s0", 5L),   // 3 tokens, 1 rare -> 0.3333
+      (2L, "a c d", "en", "s0", 5L),   // 3 tokens, 2 rare -> 0.6667
+      (3L, "e e", "en", "s0", 3L))     // freq-2 token: both occurrences rare
+    val dir = java.nio.file.Files.createTempDirectory("graft-t9").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.t9RareTokens(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (3L, 2L, 2L, 1.0),
+      (2L, 3L, 2L, 0.6667),
+      (1L, 3L, 1L, 0.3333)))
+  }
+
   test("t4 fingerprints: md5 is stable and distinct_fp <= n_docs") {
     val out = TextAnalysis.t4Fingerprint(spark, sfDir).collect()
     assert(out.length == 20) // 20 sources
