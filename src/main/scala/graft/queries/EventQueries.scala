@@ -168,6 +168,52 @@ object EventQueries {
       .orderBy(col("user_id"), col("ts_us"))
   }
 
+  /** 10-minute bucket width in micros for e7's banded range join. */
+  private val E7BucketUs = 600000000L
+
+  /** e7 — point-in-interval range join, banded. Derives the 12 busiest
+    * 10-minute buckets ("incident windows", widened ±5 min), then joins
+    * every event into its containing windows and profiles each window
+    * (event count, distinct users, distinct types).
+    *
+    * Spark has no native range join, and the naive formulation — join on
+    * `ts BETWEEN start AND end` with no equi key — is a nested-loop
+    * scan of every event against every window. The scale-correct shape
+    * is BANDING: explode each window into the 10-minute buckets it
+    * covers (3 here: width 20 min ⇒ ≤3 covering buckets), equi-join
+    * events on their own bucket id, then apply the exact range as a
+    * residual filter. The join becomes a broadcast HASH join (codegen,
+    * one probe per event) while windows are few, and the identical plan
+    * degrades gracefully to a shuffle join on `bkt` when the interval
+    * table is itself SF-scaled — linear either way, never quadratic.
+    * The DuckDB oracle runs the straightforward inequality join: same
+    * semantics through a deliberately different physical strategy.
+    *
+    * Window membership is defined on floor-microsecond timestamps
+    * (`ts_us`, the repo-wide micros contract), so both engines classify
+    * boundary events identically; all outputs are integer counts. */
+  def e7RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+      .withColumn("bkt", expr(s"ts_us div $E7BucketUs"))
+    val win = ev.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bkt").asc).limit(12)
+      .select(col("bkt").as("w_bkt"),
+        (col("bkt") * E7BucketUs - E7BucketUs / 2).as("start_us"),
+        (col("bkt") * E7BucketUs + 3 * E7BucketUs / 2).as("end_us"))
+    val cover = win.select(col("w_bkt"), col("start_us"), col("end_us"),
+      explode(sequence(col("w_bkt") - 1, col("w_bkt") + 1)).as("bkt"))
+    ev.join(broadcast(cover), Seq("bkt"))
+      .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .groupBy(col("w_bkt"), col("start_us"), col("end_us"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))
+      .select(col("w_bkt").as("window_bkt"), col("start_us"), col("end_us"),
+        col("n_events"), col("n_users"), col("n_types"))
+      .orderBy(col("start_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_user_journey" -> e1UserJourney _,
     "e2_rolling_value" -> e2RollingValue _,
@@ -175,6 +221,7 @@ object EventQueries {
     "e4_hourly_mix"   -> e4HourlyMix _,
     "e5_json_extract" -> e5JsonExtract _,
     "e6_asof_join"    -> e6AsofJoin _,
+    "e7_range_join"   -> e7RangeJoin _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -260,5 +307,23 @@ object EventQueries {
         |FROM p ASOF LEFT JOIN er e
         |  ON p.user_id = e.user_id AND p.ts_us >= e.ts_us
         |ORDER BY p.user_id, p.ts_us""".stripMargin,
+    "e7_range_join" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         |         epoch_us(ts) // $E7BucketUs AS bkt
+         |  FROM events
+         |), win AS (
+         |  SELECT bkt AS window_bkt,
+         |         bkt * $E7BucketUs - ${E7BucketUs / 2} AS start_us,
+         |         bkt * $E7BucketUs + ${3 * E7BucketUs / 2} AS end_us
+         |  FROM (SELECT bkt, count(*) AS cnt FROM ev GROUP BY 1
+         |        ORDER BY cnt DESC, bkt ASC LIMIT 12)
+         |)
+         |SELECT w.window_bkt, w.start_us, w.end_us, count(*) AS n_events,
+         |       count(DISTINCT e.user_id) AS n_users,
+         |       count(DISTINCT e.event_type) AS n_types
+         |FROM win w JOIN ev e
+         |  ON e.ts_us >= w.start_us AND e.ts_us < w.end_us
+         |GROUP BY 1, 2, 3 ORDER BY w.start_us""".stripMargin,
   )
 }

@@ -77,6 +77,33 @@ class EventQueriesSpec extends SparkSpec {
       s"only-in-ours=${(ours -- builtIn).take(3)} only-in-builtin=${(builtIn -- ours).take(3)}")
   }
 
+  test("e7 range join: widened windows capture events from neighbor " +
+       "buckets through the residual filter; counts hand-verified") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-e7").toString
+    // ts column is long nanos; buckets are 600s of micros. Bucket 100
+    // holds 5 events, bucket 101 holds 2, bucket 105 holds 1 — fewer
+    // than the limit-12, so every bucket becomes a window.
+    def ns(bkt: Long, offSec: Long) = (bkt * 600L + offSec) * 1000000000L
+    val rows = Seq(
+      (0L, ns(100, 0), 1L, "a", 0.0, "{}"),
+      (1L, ns(100, 100), 1L, "b", 0.0, "{}"),
+      (2L, ns(100, 200), 2L, "a", 0.0, "{}"),
+      (3L, ns(100, 300), 3L, "a", 0.0, "{}"),   // in win(101)'s lead-in too
+      (4L, ns(100, 400), 3L, "c", 0.0, "{}"),   // in win(101)'s lead-in too
+      (5L, ns(101, 0), 4L, "a", 0.0, "{}"),     // in win(100)'s tail too
+      (6L, ns(101, 100), 4L, "b", 0.0, "{}"),   // in win(100)'s tail too
+      (7L, ns(105, 50), 9L, "z", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.e7RangeJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (100L, 7L, 4L, 3L),   // own 5 + first 300s of bucket 101
+      (101L, 4L, 2L, 3L),   // own 2 + last 300s of bucket 100
+      (105L, 1L, 1L, 1L)))
+  }
+
   test("e4 hourly mix shares sum to 1 per hour on harness data") {
     val rows = EventQueries.e4HourlyMix(spark, sfDir).collect()
     val byHour = rows.groupBy(_.getAs[Int]("hour"))
