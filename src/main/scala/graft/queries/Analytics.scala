@@ -62,10 +62,20 @@ object Analytics {
     * Estimates are engine-specific (no DuckDB oracle — its HLL differs);
     * AnalyticsSpec bounds the error instead. */
   def x3ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    // Dedupe (status, custkey) BEFORE aggregating. Asking for
+    // countDistinct and approx_count_distinct in ONE aggregate makes
+    // Spark key the partial aggregate by (status, custkey) — one HLL
+    // sketch PER DISTINCT CUSTOMER (~4 KB each at rsd 0.02; hundreds of
+    // GB of sketch state at 100 TB). HLL is duplicate-insensitive, so
+    // sketching the deduped keys gives the bit-identical estimate while
+    // only ever materializing one sketch per status (3 here). Same two
+    // exchanges the fused plan had; the second moves 3 rows. Measured
+    // 1.32 s → 0.45 s at sf0.1 (BENCH r7 vs r8).
     Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_custkey")).distinct()
       .groupBy(col("o_orderstatus"))
       .agg(
-        countDistinct(col("o_custkey")).as("exact_custs"),
+        count(lit(1)).as("exact_custs"),
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
       .withColumn("rel_err",
         round(abs(col("approx_custs") - col("exact_custs"))

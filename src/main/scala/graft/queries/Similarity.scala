@@ -164,11 +164,16 @@ object Similarity {
   def s3AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
     // array of NumTables bucket ids; table t's id is prefixed into the
-    // key space so tables never collide: bucket = t * 2^bits + signBits
+    // key space so tables never collide: bucket = t * 2^bits + signBits.
+    // Sign tests use the raw DOT, not cosine: positive norms can't flip
+    // the sign, and cosine_sim would recompute |emb| (and the constant
+    // plane's norm) for every one of the 30 planes — 3× the flops on the
+    // full-corpus bucketing scan for the identical bucket ids. This is
+    // also literally the oracle's formula (dot(emb, plane) > 0).
     def tableBuckets(emb: Column): Column = array((0 until NumTables).map { t =>
       (0 until BitsPerTable).map { b =>
         val plane = typedlit(planes(t * BitsPerTable + b))
-        when(cosine_sim(emb, plane) > 0, lit(1 << b)).otherwise(lit(0))
+        when(dot_product(emb, plane) > 0, lit(1 << b)).otherwise(lit(0))
       }.reduce(_ + _) + lit(t * (1 << BitsPerTable))
     }: _*)
     val bucketed = e
