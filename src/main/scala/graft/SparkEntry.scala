@@ -29,10 +29,13 @@ object SparkEntry {
     * simhashCandidates pipeline re-run against its md5 ground truth;
     * the pipeline's cost is d4_simhash's number, the rest is the
     * differential harness). Timing them would charge the same operator
-    * twice and pad the total with duplicate numbers. t5b stays benched:
-    * its invariant recheck is its own single pass. */
+    * twice and pad the total with duplicate numbers. d7 is excluded for
+    * the same reason: it re-runs d6's entire pipeline (d3 + connected
+    * components) and adds one join + aggregate of its own. t5b stays
+    * benched: its invariant recheck is its own single pass. */
   val benchExclude: Set[String] =
-    Set("x3_approx_distinct_bounded", "m2_decode_dims", "d4_simhash_exactdup")
+    Set("x3_approx_distinct_bounded", "m2_decode_dims", "d4_simhash_exactdup",
+      "d7_cleaned_corpus")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */

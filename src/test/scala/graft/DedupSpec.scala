@@ -248,6 +248,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d7 cleaned corpus: both degenerate clusters collapse to one " +
+       "survivor each; the unclustered doc survives untouched") {
+    val baseALen = (1 to 25).map(i => s"alpha$i").mkString(" ").length.toLong
+    val rows = Dedup.d7CleanedCorpus(spark, degenerateDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      // s0: 25 docs, keep roots 1 and 101 (chars baseA.length + 10)
+      ("s0", 25L, 2L, 23L, baseALen + 10L),
+      // s1: doc 200 is in no cluster, survives with its 10 chars
+      ("s1", 1L, 1L, 0L, 10L)))
+  }
+
   test("band/chunk bucket occupancy on the harness corpus stays far below " +
        "the 256 caps (the headroom claim)") {
     val d3max = Dedup.d3Buckets(Dedup.d3Signatures(Dedup.d3ShingledDocs(spark, sfDir)))
