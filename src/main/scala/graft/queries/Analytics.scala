@@ -145,6 +145,31 @@ object Analytics {
         round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90"))
       .orderBy(col("o_orderpriority"))
 
+  /** x7 — approx percentiles, held to an oracle-checkable bound. x6's
+    * exact `percentile` buffers every group value (fine for a report,
+    * not for a 100 TB profile pass); `percentile_approx` is the
+    * mergeable-sketch path whose state is O(accuracy) per group
+    * regardless of data size. This query computes BOTH and emits
+    * booleans pinning the approx within 2% relative of the exact — the
+    * DuckDB oracle states the booleans as literals (the x3b/t5b
+    * pattern), so a sketch regression past the bound flips a column and
+    * hash-fails. The exact values double as the x6-style answer; at
+    * accuracy 10000 the sketch's rank error is ≤ n/10000 — orders of
+    * magnitude inside the bound at every harness SF. */
+  def x7ApproxPercentileBound(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("a90"))
+      .select(col("o_orderpriority"), col("n"), col("p50"), col("p90"),
+        (abs(col("a50") - col("p50")) <= col("p50") * 0.02).as("p50_ok"),
+        (abs(col("a90") - col("p90")) <= col("p90") * 0.02).as("p90_ok"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_rollup"          -> x1Rollup _,
     "x2_setops"          -> x2SetOps _,
@@ -153,6 +178,7 @@ object Analytics {
     "x4_salted_agg"      -> x4SaltedAgg _,
     "x5_pivot"           -> x5Pivot _,
     "x6_percentiles"     -> x6Percentiles _,
+    "x7_approx_percentile_bound" -> x7ApproxPercentileBound _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -200,6 +226,12 @@ object Analytics {
       """SELECT o_orderpriority, count(*) AS n,
         |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
         |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x7_approx_percentile_bound" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |       TRUE AS p50_ok, TRUE AS p90_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
