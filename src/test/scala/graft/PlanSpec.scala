@@ -70,6 +70,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("e7: the range join is a banded HASH join, never a nested loop") {
+    // banding exists precisely so the point-in-interval predicate rides
+    // an equi-join; a refactor that drops the bucket key silently turns
+    // this into BroadcastNestedLoopJoin — correct rows, quadratic scan
+    val p = plan(EventQueries.e7RangeJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"no hash join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
+
+  test("x3: the HLL partial aggregate is keyed per status, never per customer") {
+    // the r8 fix: fusing countDistinct with approx_count_distinct made
+    // Spark build one sketch per DISTINCT CUSTOMER; pin that the sketch
+    // aggregate's keys no longer include the customer key
+    val p = plan(Analytics.x3ApproxDistinct(spark, sfDir))
+    val sketchAggs = p.linesIterator
+      .filter(_.contains("partial_approx_count_distinct")).toSeq
+    assert(sketchAggs.nonEmpty, s"no partial sketch aggregate in:\n$p")
+    sketchAggs.foreach { line =>
+      val keys = line.substring(0, line.indexOf("functions="))
+      assert(!keys.contains("o_custkey"),
+        s"sketch partial agg keyed by customer again:\n$line")
+    }
+  }
+
   test("whole-stage codegen covers the scan->project hot path of t2") {
     // AQE's plan string hides codegen annotation until execution; disable
     // it for this one plan so the `*(n)` codegen markers are visible
