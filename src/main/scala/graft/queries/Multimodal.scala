@@ -153,11 +153,31 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** m4 — modality alignment audit: FULL OUTER join of the text table
+    * against the embedding table on id, profiled as a lang × label grid.
+    * The join direction nobody writes until it bites: a pipeline that
+    * embeds documents must prove every doc got a vector and every vector
+    * still has a doc — orphans on either side surface here under
+    * sentinel groups (`<no_doc>` / `<no_vec>`) instead of silently
+    * vanishing through an inner join. One id-keyed shuffle join + one
+    * grid aggregation; both sides prune to two columns at the scan. */
+  def m4ModalityJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    d.join(e, d("doc_id") === e("vec_id"), "full_outer")
+      .groupBy(
+        coalesce(col("lang"), lit("<no_doc>")).as("lang"),
+        coalesce(col("label").cast("string"), lit("<no_vec>")).as("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta"  -> m1MultimodalMeta _,
     "m2_decode_features"  -> m2DecodeFeatures _,
     "m2_decode_dims"      -> m2bDecodeDims _,
     "m3_frame_sample"     -> m3FrameSample _,
+    "m4_modality_join"    -> m4ModalityJoin _,
   )
 
   /** m2's byte-histogram output is impractical to express in SQL → rows-
@@ -208,5 +228,11 @@ object Multimodal {
          |         AS frame_fp
          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
     },
+    "m4_modality_join" ->
+      """SELECT coalesce(d.lang, '<no_doc>') AS lang,
+        |       coalesce(CAST(e.label AS VARCHAR), '<no_vec>') AS label,
+        |       count(*) AS n
+        |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -78,4 +78,22 @@ class MultimodalSpec extends SparkSpec {
     assert(planted(0).getAs[String]("frame_fp") == fp("x" * 100))
     assert(planted(1).getAs[String]("frame_fp") == fp("y" * 50))
   }
+
+  test("m4 modality join: orphans on either side surface under sentinel " +
+       "groups; matched rows land in the lang x label grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-m4").toString
+    Seq((1L, "t", "en", "s0", 1L), (2L, "t", "de", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((2L, Array(0.1f), 7), (3L, Array(0.2f), 7))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Multimodal.m4ModalityJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("<no_doc>", "7", 1L),   // vec 3 lost its document
+      ("de", "7", 1L),         // doc 2 <-> vec 2
+      ("en", "<no_vec>", 1L))) // doc 1 was never embedded
+  }
 }
