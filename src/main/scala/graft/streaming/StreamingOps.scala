@@ -229,4 +229,49 @@ object StreamingOps {
           }
       }
   }
+
+  /** Ingest-time contamination screen — batch t8
+    * ([[graft.queries.TextAnalysis.t8Contamination]]) for an unbounded
+    * ingest stream. The frozen train split's distinct 5-gram shingles
+    * are folded ONCE into a Bloom filter (built distributed via
+    * `stat.bloomFilter` — the sketch is mergeable — then broadcast);
+    * each arriving doc probes the filter with its own shingle hashes.
+    *
+    * Why a Bloom probe and not the batch join: a stream-static join
+    * would re-shuffle every micro-batch on the shingle key, and a
+    * streaming per-doc aggregation would need watermark state. This
+    * formulation is STATELESS and shuffle-free on the stream side — a
+    * pure map over arriving docs, the only streaming shape that keeps up
+    * with ingest at 100 TB. The price is one-sided error: a Bloom false
+    * positive (rate `fpp`) can only OVER-count hits, i.e. over-flag — the
+    * conservative direction for decontamination. Size the filter with
+    * `expectedShingles` ≈ the train split's distinct-shingle count
+    * (~1.2 GB broadcast at 2³⁰ entries / 1% — standard for a dedup
+    * cluster, and the knob to trade memory against over-flagging).
+    *
+    * The per-doc probe loop is a Scala UDF by necessity — Spark's Bloom
+    * `might_contain` expression is internal to runtime filtering — but
+    * it is a pure function of (broadcast bits, shingle array): no state,
+    * no skew, identical results batch vs streaming (StreamingSpec pins
+    * that equivalence; filter construction is order-independent, so the
+    * two paths see identical bits). */
+  def contaminationScreen(docs: DataFrame, trainDocs: DataFrame,
+      expectedShingles: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.TextHashFunctions.word_shingle_hashes
+    val spark = docs.sparkSession
+    val bloom = trainDocs
+      .withColumn("shs", word_shingle_hashes(col("text"), 5))
+      .select(explode(col("shs")).as("sh"))
+      .stat.bloomFilter("sh", expectedShingles, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val hits = udf((shs: Seq[Long]) =>
+      shs.count(bloomB.value.mightContainLong).toLong)
+    docs
+      .withColumn("shs", word_shingle_hashes(col("text"), 5))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        hits(col("shs")).as("n_hit"))
+      .withColumn("contam_frac",
+        round(col("n_hit").cast("double") / col("n_sh").cast("double"), 4))
+  }
 }

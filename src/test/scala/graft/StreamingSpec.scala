@@ -241,4 +241,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamedSet.subsetOf(batchSessions),
       "streaming closed sessions must be a subset of batch sessions")
   }
+
+  test("contamination screen: streaming equals batch probe-for-probe; " +
+       "a full cross-split dup flags 1.0 and a clean doc stays low") {
+    import spark.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val trainText = (1 to 10).map(i => s"w$i").mkString(" ")
+    val train = Seq((100L, trainText),
+      (101L, (1 to 9).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val valDir = Files.createTempDirectory("graft-stream-contam").toString
+    Seq((1L, trainText),                              // exact leak -> 1.0
+        (2L, (1 to 10).map(i => s"z$i").mkString(" "))) // novel vocab
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(valDir)
+
+    val streaming = StreamingOps.contaminationScreen(
+      spark.readStream.schema(docSchema).parquet(valDir), train)
+    val q = streaming.writeStream.format("memory").queryName("contam")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("contam").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+
+    val leak = streamed.find(_._1 == 1L).get
+    assert(leak == (1L, 6L, 6L, 1.0))
+    val clean = streamed.find(_._1 == 2L).get
+    assert(clean._4 < 0.5, s"clean doc over-flagged: $clean") // FP headroom
+
+    // batch path over the identical input sees the identical Bloom bits
+    // (filter construction is order-independent) -> equal rows
+    val batch = StreamingOps.contaminationScreen(
+      spark.read.schema(docSchema).parquet(valDir), train).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
