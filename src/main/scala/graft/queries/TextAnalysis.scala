@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHashFunctions.word_shingle_hashes
@@ -301,6 +302,39 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Context-window width (tokens) for t10's concat-and-chunk packing. */
+  private val PackWindow = 2048L
+
+  /** t10 — sequence-packing provenance (the concat-and-chunk prep every
+    * LLM pretraining run does: documents concatenated in a deterministic
+    * order, the token stream chunked into fixed context windows). Each
+    * doc's window is the chunk its FIRST token lands in — computed from
+    * the running token count via one ordered window per source — and the
+    * output profiles every chunk: docs starting there, their token mass,
+    * and the fill ratio (can exceed 1 where a long doc straddles chunks;
+    * that's the straddle accounting, not an error).
+    *
+    * Scale shape: ONE shuffle on `source` then an in-partition sort by
+    * doc_id — a running sum is inherently sequential within its pack
+    * unit, so the pack key IS the parallelism knob: real runs pack per
+    * (source, shard) with shard = a hash of doc_id to bound partition
+    * size; the harness corpus packs per source. Integer token counts and
+    * integer division keep both engines bit-identical. */
+  def t10SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", expr(s"cum_before div $PackWindow"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+      .select(col("source"), col("bin"), col("n_docs"), col("n_tok"),
+        round(col("n_tok").cast("double") / PackWindow, 4).as("fill_ratio"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -312,6 +346,7 @@ object TextAnalysis {
     "t7_stratified_sample"  -> t7StratifiedSample _,
     "t8_contamination"      -> t8Contamination _,
     "t9_rare_tokens"        -> t9RareTokens _,
+    "t10_sequence_packing"  -> t10SequencePacking _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -430,5 +465,22 @@ object TextAnalysis {
          |FROM tok t LEFT JOIN rare r ON t.tok = r.tok
          |GROUP BY t.doc_id
          |ORDER BY rare_ratio DESC, doc_id LIMIT 20""".stripMargin,
+    "t10_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+         |  FROM documents
+         |), c AS (
+         |  SELECT source, n_tok,
+         |         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |                               ROWS UNBOUNDED PRECEDING) - n_tok
+         |              AS BIGINT) AS cum_before
+         |  FROM t
+         |)
+         |SELECT source, cum_before // $PackWindow AS bin,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |       round(CAST(sum(n_tok) AS DOUBLE) / $PackWindow, 4)
+         |         AS fill_ratio
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -177,6 +177,30 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 3L, 1L, 0.3333)))
   }
 
+  test("t10 sequence packing: chunk of a doc = window of its first token; " +
+       "straddling docs keep their mass in the starting chunk") {
+    import spark.implicits._
+    def toks(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // s0 stream: 2000 + 100 + 100 tokens -> cum_before 0, 2000, 2100:
+    // docs 1,2 start in chunk 0 (mass 2100, fill > 1), doc 3 in chunk 1.
+    // s1: one 10-token doc -> chunk 0.
+    val rows = Seq(
+      (1L, toks(2000), "en", "s0", 1L),
+      (2L, toks(100), "en", "s0", 1L),
+      (3L, toks(100), "en", "s0", 1L),
+      (4L, toks(10), "en", "s1", 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-t10").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.t10SequencePacking(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("s0", 0L, 2L, 2100L, 1.0254),
+      ("s0", 1L, 1L, 100L, 0.0488),
+      ("s1", 0L, 1L, 10L, 0.0049)))
+  }
+
   test("t4 fingerprints: md5 is stable and distinct_fp <= n_docs") {
     val out = TextAnalysis.t4Fingerprint(spark, sfDir).collect()
     assert(out.length == 20) // 20 sources
