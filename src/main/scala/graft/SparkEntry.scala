@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Dedup, EventQueries, Multimodal, RelationalQueries, Similarity, TextAnalysis}
+import graft.queries.{Analytics, Dedup, EventQueries, Multimodal, Pipeline, RelationalQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventQueries.queries ++
-      Analytics.queries
+      Analytics.queries ++ Pipeline.queries
 
   /** Queries [[Bench]] skips: correctness slices whose dominant cost is
     * a pipeline the bench already times once — x3b (x3 plus a boolean
@@ -42,5 +42,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ EventQueries.oracleSql ++
-      Analytics.oracleSql
+      Analytics.oracleSql ++ Pipeline.oracleSql
 }

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** End-to-end composition: the curation funnel a corpus run actually
+  * executes, as ONE query. The individual operators (quality scoring,
+  * language ID, exact dedup) live in [[TextAnalysis]] and [[Dedup]];
+  * this module proves they COMPOSE — the property a user of the library
+  * cares about — and reports the funnel every pipeline prints: docs and
+  * tokens surviving each cumulative stage.
+  *
+  * Stages (cumulative — each applies on top of the previous):
+  *   a_ingest   every document
+  *   b_quality  t2 quality score ≥ 0.5 (thresholded UNROUNDED — both
+  *              engines compute the identical IEEE expression tree)
+  *   c_langid   t3's predicted language is a supported one (drops und/zh)
+  *   d_dedup    d1's keep-lowest-doc_id-per-md5 policy, applied AMONG the
+  *              stage-c survivors (dedup after filtering, the real order:
+  *              no token budget wasted deduping docs already dropped)
+  *
+  * Scale shape: one corpus scan computes every per-doc flag; the dedup
+  * stage is one shuffle on the md5 fingerprint with a running-count
+  * window (first l-surviving doc per fingerprint — no join-back, no
+  * second scan); the funnel itself is a single 4-way stack of one
+  * aggregated row. Token totals are exact integers. */
+object Pipeline {
+
+  def p1CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        TextAnalysis.qualityExpr(col("text"), col("n_chars")).as("quality"),
+        TextAnalysis.predictedExpr(col("text")).as("predicted"),
+        md5(col("text").cast("binary")).as("fp"))
+      .withColumn("q_pass", col("quality") >= 0.5)
+      .withColumn("l_pass",
+        col("q_pass") && col("predicted").isin("en", "de", "fr", "es"))
+    // first stage-c survivor per fingerprint, via a running count of
+    // prior survivors in the same fingerprint group (one window, no
+    // self-join): d_pass = l_pass && no earlier l_pass doc shares fp
+    val wPrev = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = flagged.withColumn("d_pass",
+      col("l_pass") &&
+        coalesce(sum(when(col("l_pass"), 1L).otherwise(0L)).over(wPrev),
+          lit(0L)) === 0L)
+    staged
+      .agg(
+        count(lit(1)).as("n0"), sum(col("tok")).as("t0"),
+        sum(when(col("q_pass"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("q_pass"), col("tok")).otherwise(0L)).as("t1"),
+        sum(when(col("l_pass"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("l_pass"), col("tok")).otherwise(0L)).as("t2"),
+        sum(when(col("d_pass"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("d_pass"), col("tok")).otherwise(0L)).as("t3"))
+      .selectExpr(
+        """stack(4,
+          |  'a_ingest',  n0, t0,
+          |  'b_quality', n1, t1,
+          |  'c_langid',  n2, t2,
+          |  'd_dedup',   n3, t3) AS (stage, n_docs, n_tokens)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_curation_funnel" -> p1CurationFunnel _,
+  )
+
+  /** The funnel replayed in DuckDB: identical quality/langid expression
+    * trees (lifted from the t2/t3 oracles), the same running-count dedup
+    * window, and a UNION ALL in place of stack. */
+  val oracleSql: Map[String, String] = Map(
+    "p1_curation_funnel" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              w -> w IN ('the','a','of','to','in','and'))) AS DOUBLE)
+        |           AS stop_hits,
+        |         CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |           / CAST(n_chars AS DOUBLE) AS punct_ratio,
+        |         len(list_filter(string_split(text, ' '),
+        |             w -> w IN ('the','a','of','to','in','and'))) AS he,
+        |         len(list_filter(string_split(text, ' '),
+        |             w -> w IN ('der','die','und','das','ein','von'))) AS hd,
+        |         len(list_filter(string_split(text, ' '),
+        |             w -> w IN ('le','la','les','et','un','des'))) AS hf,
+        |         len(list_filter(string_split(text, ' '),
+        |             w -> w IN ('el','los','las','una','que','es'))) AS hs,
+        |         len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+        |         md5(text) AS fp
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, tok, fp,
+        |         0.5 * least(n_words / 50.0, 1.0)
+        |           + 0.3 * (1.0 - punct_ratio)
+        |           + 0.2 * least((stop_hits / n_words) * 5.0, 1.0) >= 0.5
+        |           AS q_pass,
+        |         CASE WHEN cjk > 0 THEN 'zh'
+        |              WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |              WHEN he >= greatest(hd, hf, hs) THEN 'en'
+        |              WHEN hd >= greatest(hf, hs) THEN 'de'
+        |              WHEN hf >= hs THEN 'fr'
+        |              ELSE 'es' END AS predicted
+        |  FROM d
+        |), g AS (
+        |  SELECT doc_id, tok, fp, q_pass,
+        |         q_pass AND predicted IN ('en','de','fr','es') AS l_pass
+        |  FROM f
+        |), h AS (
+        |  SELECT *,
+        |         l_pass AND coalesce(
+        |           CAST(sum(CASE WHEN l_pass THEN 1 ELSE 0 END)
+        |             OVER (PARTITION BY fp ORDER BY doc_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             AS BIGINT), 0) = 0 AS d_pass
+        |  FROM g
+        |)
+        |SELECT * FROM (
+        |  SELECT 'a_ingest' AS stage, count(*) AS n_docs,
+        |         CAST(sum(tok) AS BIGINT) AS n_tokens FROM h
+        |  UNION ALL
+        |  SELECT 'b_quality', count(*) FILTER (q_pass),
+        |         CAST(coalesce(sum(tok) FILTER (q_pass), 0) AS BIGINT) FROM h
+        |  UNION ALL
+        |  SELECT 'c_langid', count(*) FILTER (l_pass),
+        |         CAST(coalesce(sum(tok) FILTER (l_pass), 0) AS BIGINT) FROM h
+        |  UNION ALL
+        |  SELECT 'd_dedup', count(*) FILTER (d_pass),
+        |         CAST(coalesce(sum(tok) FILTER (d_pass), 0) AS BIGINT) FROM h
+        |) ORDER BY stage""".stripMargin,
+  )
+}

@@ -61,23 +61,34 @@ object TextAnalysis {
     * the usual cheap heuristics for corpus filtering. All arithmetic is
     * per-row IEEE double (no cross-row accumulation), so Spark and DuckDB
     * agree bit-for-bit before the display rounding. */
+  /** The t2 quality formula as a reusable expression (same term order in
+    * the DuckDB mirror — IEEE ops are exactly specified, so identical
+    * expression trees produce identical bits; [[Pipeline]] thresholds on
+    * the UNROUNDED value and stays differential). */
+  private[queries] def qualityExpr(text: Column, nChars: Column): Column = {
+    val nWords = size(words(text)).cast("double")
+    val stopRatio = stopHits(text, stopEn).cast("double") / nWords
+    val punctRatio =
+      regexp_count(text, lit("[^a-z0-9 ]")).cast("double") /
+        nChars.cast("double")
+    lit(0.5) * least(nWords / lit(50.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.2) * least(stopRatio * lit(5.0), lit(1.0))
+  }
+
   def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
     val nWords = size(words(col("text"))).cast("double")
     val stopRatio = stopHits(col("text"), stopEn).cast("double") / nWords
     val punctRatio =
       regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
         col("n_chars").cast("double")
-    val lengthScore = least(nWords / lit(50.0), lit(1.0))
-    val quality = lit(0.5) * lengthScore +
-      lit(0.3) * (lit(1.0) - punctRatio) +
-      lit(0.2) * least(stopRatio * lit(5.0), lit(1.0))
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
         nWords.cast("int").as("n_words"),
         round(stopRatio, 4).as("stop_ratio"),
         round(punctRatio, 4).as("punct_ratio"),
-        round(quality, 4).as("quality"))
+        round(qualityExpr(col("text"), col("n_chars")), 4).as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -86,21 +97,25 @@ object TextAnalysis {
     * by hits of its function words, CJK codepoints short-circuit to "zh",
     * argmax with a fixed tie-break order, "und" when nothing matches.
     * Output = confusion counts vs the table's `lang` ground truth. */
-  def t3LangId(s: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
+  /** The t3 language-ID decision as a reusable expression ([[Pipeline]]
+    * gates its langid stage on this exact chain). */
+  private[queries] def predictedExpr(t: Column): Column = {
     val he = stopHits(t, stopEn); val hd = stopHits(t, stopDe)
     val hf = stopHits(t, stopFr); val hs = stopHits(t, stopEs)
     // Java regex unicode escape; the DuckDB oracle spells the same class
     // as RE2 \x{...} — same codepoint range.
     val cjk = regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]"))
-    val predicted = when(cjk > 0, "zh")
+    when(cjk > 0, "zh")
       .when(greatest(he, hd, hf, hs) === 0, "und")
       .when(he >= greatest(hd, hf, hs), "en")
       .when(hd >= greatest(hf, hs), "de")
       .when(hf >= hs, "fr")
       .otherwise("es")
+  }
+
+  def t3LangId(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
-      .select(col("lang"), predicted.as("predicted"))
+      .select(col("lang"), predictedExpr(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
