@@ -170,6 +170,29 @@ object Analytics {
         (abs(col("a90") - col("p90")) <= col("p90") * 0.02).as("p90_ok"))
       .orderBy(col("o_orderpriority"))
 
+  /** x8 — explicit GROUPING SETS: the general multi-level-aggregation
+    * operator ROLLUP (x1) and CUBE are sugar for. The set list here —
+    * (priority, status), (priority), (status) — is a cube minus the
+    * grand total, a shape neither rollup nor cube can express alone.
+    * Like x1, every level computes in ONE exchange (a single Expand +
+    * hash aggregate), not one pass per set. `grouping()` flags
+    * disambiguate a subtotal's NULL from a data NULL — the portable
+    * contract (DuckDB's GROUPING() matches) — and double as the
+    * deterministic sort keys. */
+  def x8GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping(col("o_orderpriority")).as("g_pri"),
+        grouping(col("o_orderstatus")).as("g_stat"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("g_pri"), col("g_stat"),
+        coalesce(col("o_orderpriority"), lit("~")),
+        coalesce(col("o_orderstatus"), lit("~")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_rollup"          -> x1Rollup _,
     "x2_setops"          -> x2SetOps _,
@@ -179,6 +202,7 @@ object Analytics {
     "x5_pivot"           -> x5Pivot _,
     "x6_percentiles"     -> x6Percentiles _,
     "x7_approx_percentile_bound" -> x7ApproxPercentileBound _,
+    "x8_grouping_sets"   -> x8GroupingSets _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -233,5 +257,15 @@ object Analytics {
         |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
         |       TRUE AS p50_ok, TRUE AS p90_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x8_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |       GROUPING(o_orderpriority) AS g_pri,
+        |       GROUPING(o_orderstatus) AS g_stat,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), (o_orderstatus))
+        |ORDER BY g_pri, g_stat, coalesce(o_orderpriority, '~'),
+        |         coalesce(o_orderstatus, '~')""".stripMargin,
   )
 }

@@ -350,6 +350,36 @@ object TextAnalysis {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** t11 — repetition signals (the Gopher-report repetition filters,
+    * Rae et al. 2021 §A1.1, word-level): per doc, the fraction of token
+    * OCCURRENCES belonging to a repeated type (`rep_ratio`) and the
+    * single most frequent type's share (`top_share`). Machine-generated
+    * or template text scores high on both; t2's length/punct heuristics
+    * can't see it.
+    *
+    * Scale shape: explode → count per (doc, type) → re-aggregate per
+    * doc. Both shuffles key on doc_id(+type) — fine-grained by
+    * construction, partial-agg'd map-side, no hot key possible (a doc's
+    * own length bounds its group). Deliberately NOT the per-row
+    * `transform(array_distinct(...), count-occurrences)` composition:
+    * that is O(types × tokens) per document — quadratic in doc length,
+    * a scale-killer on book-length docs — while this shape stays O(n).
+    * Integer counts + one final division keep DuckDB bit-identical. */
+  def t11Repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n")).as("n_tok"), count(lit(1)).as("n_types"),
+        max(col("n")).as("top_freq"),
+        sum(when(col("n") > 1L, col("n")).otherwise(lit(0L))).as("rep_occ"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("n_types"),
+        round(col("rep_occ").cast("double") / col("n_tok"), 4).as("rep_ratio"),
+        round(col("top_freq").cast("double") / col("n_tok"), 4).as("top_share"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -362,6 +392,7 @@ object TextAnalysis {
     "t8_contamination"      -> t8Contamination _,
     "t9_rare_tokens"        -> t9RareTokens _,
     "t10_sequence_packing"  -> t10SequencePacking _,
+    "t11_repetition"        -> t11Repetition _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -497,5 +528,19 @@ object TextAnalysis {
          |       round(CAST(sum(n_tok) AS DOUBLE) / $PackWindow, 4)
          |         AS fill_ratio
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t11_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, source, tok, count(*) AS n FROM tok GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, source,
+        |       CAST(sum(n) AS BIGINT) AS n_tok,
+        |       count(*) AS n_types,
+        |       round(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+        |             / sum(n), 4) AS rep_ratio,
+        |       round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_share
+        |FROM cnt GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
   )
 }

@@ -29,6 +29,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(m("either_year") > 0)
   }
 
+  test("x8 grouping sets: exactly the three requested levels, each " +
+       "consistent with the leaves, and NO grand total") {
+    val rows = Analytics.x8GroupingSets(spark, sfDir).collect()
+    val leaves = rows.filter(r => r.getAs[Byte]("g_pri") == 0 &&
+      r.getAs[Byte]("g_stat") == 0)
+    val byPri = rows.filter(r => r.getAs[Byte]("g_pri") == 0 &&
+      r.getAs[Byte]("g_stat") == 1)
+    val byStat = rows.filter(r => r.getAs[Byte]("g_pri") == 1 &&
+      r.getAs[Byte]("g_stat") == 0)
+    // the set list is cube minus the grand total: (1,1) must not appear
+    assert(rows.length == leaves.length + byPri.length + byStat.length)
+    assert(leaves.nonEmpty && byPri.nonEmpty && byStat.nonEmpty)
+    byPri.foreach { st =>
+      val p = st.getString(0)
+      assert(st.isNullAt(1), "subtotal must null the aggregated-away key")
+      assert(st.getAs[Long]("n") ==
+        leaves.filter(_.getString(0) == p).map(_.getAs[Long]("n")).sum,
+        s"priority $p subtotal mismatch")
+    }
+    byStat.foreach { st =>
+      val stat = st.getString(1)
+      assert(st.isNullAt(0))
+      assert(st.getAs[Long]("n") ==
+        leaves.filter(_.getString(1) == stat).map(_.getAs[Long]("n")).sum,
+        s"status $stat subtotal mismatch")
+    }
+  }
+
   test("x4 salted agg: two-stage result identical to direct aggregation") {
     import org.apache.spark.sql.functions._
     val salted = Analytics.x4SaltedAgg(spark, sfDir).collect()

@@ -201,6 +201,25 @@ class TextAnalysisSpec extends SparkSpec {
       ("s1", 0L, 1L, 10L, 0.0049)))
   }
 
+  test("t11 repetition: rep_ratio counts occurrences of repeated types, " +
+       "top_share is the modal type's mass") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a a a b", "en", "s0", 7L),  // types {a:3,b:1}: rep 3/4, top 3/4
+      (2L, "a b c d", "en", "s0", 7L),  // all singletons: rep 0, top 1/4
+      (3L, "x x", "en", "s1", 3L))      // fully repeated: rep 1, top 1
+    val dir = java.nio.file.Files.createTempDirectory("graft-t11").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.t11Repetition(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, "s0", 4L, 2L, 0.75, 0.75),
+      (2L, "s0", 4L, 4L, 0.0, 0.25),
+      (3L, "s1", 2L, 1L, 1.0, 1.0)))
+  }
+
   test("t4 fingerprints: md5 is stable and distinct_fp <= n_docs") {
     val out = TextAnalysis.t4Fingerprint(spark, sfDir).collect()
     assert(out.length == 20) // 20 sources
