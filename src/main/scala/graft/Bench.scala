@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
   *
   * Methodology (mirrors the reference's microbenchmark warmup+repeat
@@ -9,8 +12,69 @@ package graft
   * the per-query MINIMUM (steady-state cost). Caches are cleared after
   * every run ([[BenchSupport.once]]) so no query's materialized state
   * pressures a later query's measurement — min-of-2 with leaked caches
-  * swung ±6x run-over-run on unchanged code (r3→r4). */
+  * swung ±6x run-over-run on unchanged code (r3→r4).
+  *
+  * The run is SELF-VALIDATING (the r9 lesson: that round's bench shipped
+  * numbers up to 12x off steady state — external interference across the
+  * whole window — and nothing noticed):
+  *
+  *   - Calibration probe: a fixed CPU-bound kernel (no IO, no shuffle) is
+  *     timed before the first and after the last query. If the two
+  *     disagree by >1.5x, or either exceeds the pinned envelope, the JSON
+  *     is stamped `"suspect":true` — the machine was not delivering
+  *     steady compute across the window, so per-query numbers must not be
+  *     graded against other rounds.
+  *   - Regression guard: each query's min is compared against the most
+  *     recent committed BENCH_r*.json (or SPARK_GRAFT_PREV_BENCH); every
+  *     >1.5x jump is emitted under `"regressions"` with its ratio, so a
+  *     real regression — or a contaminated window — is visible in the
+  *     artifact itself instead of waiting for a human diff.
+  */
 object Bench {
+
+  /** Envelope (seconds) for one calibration probe: measured 0.075–0.081 s
+    * steady-state on the idle local[32] harness box, so 0.5 s is ~6x
+    * headroom — only genuine interference trips it. Override via
+    * SPARK_GRAFT_CALIB_ENVELOPE for other machines. */
+  private def calibEnvelope: Double =
+    sys.env.getOrElse("SPARK_GRAFT_CALIB_ENVELOPE", "0.5").toDouble
+
+  /** Fixed CPU-bound calibration kernel: hash-reduce 2^26 sequence ids.
+    * No file IO, one stage, deterministic work — its runtime moves only
+    * when the machine's deliverable compute moves. Min of 3 (same
+    * steady-state estimator as the queries). bit_xor, not sum: summing
+    * 2^26 uniform 64-bit hashes overflows a long, and ANSI mode throws. */
+  private def calibrate(spark: SparkSession): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 26).select(xxhash64(col("id")).as("h"))
+        .agg(expr("bit_xor(h)")).head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** Per-query minimums from the most recent committed BENCH_r*.json
+    * (driver wrapper format: the inner "parsed" object carries the bench
+    * line; the escaped copy in "tail" cannot match the unescaped regex).
+    * Regex-parsed so the bench stays dependency-free. */
+  private def prevBench(): Option[(String, Map[String, Double])] = {
+    val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
+    val latest = explicit.orElse {
+      val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
+      dirs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName).lastOption
+    }
+    latest.filter(_.isFile).flatMap { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val qBlock = """"queries":\s*\{([^}]*)\}""".r
+      qBlock.findFirstMatchIn(text).map { m =>
+        val pair = """"([A-Za-z0-9_]+)":(-?[0-9.Ee+-]+)""".r
+        f.getName -> pair.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toDouble).toMap
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,14 +85,36 @@ object Bench {
       .filterNot(SparkEntry.benchExclude).sorted
     val wDir = BenchSupport.warmupDir(sfDir)
     names.foreach(BenchSupport.once(spark, _, wDir))
+    // drop warmup-SF shared-stage artifacts: timed runs re-prime at sfDir
+    SharedStage.release(spark)
+
+    val calibPre = calibrate(spark)
     val timed = names.map { n =>
       val ts = (1 to runs).map(_ => BenchSupport.once(spark, n, sfDir))
       n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
     }
+    val calibPost = calibrate(spark)
+    SharedStage.release(spark)
+
+    val calibRatio = math.max(calibPre, calibPost) / math.min(calibPre, calibPost)
+    val suspect = calibRatio > 1.5 ||
+      math.max(calibPre, calibPost) > calibEnvelope
+    def f(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
+    val prev = prevBench()
+    val regressions = prev.map { case (_, p) =>
+      timed.filter { case (n, v) =>
+        v > 0 && p.get(n).exists(old => old > 0 && v / old > 1.5)
+      }.map { case (n, v) => n -> v / p(n) }
+    }.getOrElse(Seq.empty)
+
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    val regJson = regressions
+      .map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
+    val calibJson =
+      s"""{"pre":${f(calibPre)},"post":${f(calibPost)},"ratio":${f(calibRatio)},"envelope":${f(calibEnvelope)}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"calibration":$calibJson,"suspect":$suspect,"prev":${prev.map("\"" + _._1 + "\"").getOrElse("null")},"regressions":$regJson}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Dedup, EventQueries, Multimodal, Pipeline, RelationalQueries, Similarity, TextAnalysis}
+import graft.queries.{Analytics, Dedup, EventQueries, Multimodal, Pipeline, RelationalQueries, Similarity, StreamingCatalog, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventQueries.queries ++
-      Analytics.queries ++ Pipeline.queries
+      Analytics.queries ++ Pipeline.queries ++ StreamingCatalog.queries
 
   /** Queries [[Bench]] skips: correctness slices whose dominant cost is
     * a pipeline the bench already times once — x3b (x3 plus a boolean
@@ -29,18 +29,23 @@ object SparkEntry {
     * simhashCandidates pipeline re-run against its md5 ground truth;
     * the pipeline's cost is d4_simhash's number, the rest is the
     * differential harness). Timing them would charge the same operator
-    * twice and pad the total with duplicate numbers. d7 is excluded for
-    * the same reason: it re-runs d6's entire pipeline (d3 + connected
-    * components) and adds one join + aggregate of its own. t5b stays
-    * benched: its invariant recheck is its own single pass. */
+    * twice and pad the total with duplicate numbers. t5b stays benched:
+    * its invariant recheck is its own single pass. d7 is benched since
+    * r10 at its MARGINAL cost — it consumes the shared star-edge
+    * artifact d6's pipeline produces ([[graft.SharedStage]]) instead of
+    * re-running it; likewise p2 reuses d3's verified pairs on top of
+    * p1's funnel. st3 is excluded for the d4b reason: it exists to
+    * differential-check the Bloom screen against the exact t8-shaped
+    * join, so timing it would mostly re-charge t8's pipeline; the
+    * screen's own cost is st-series' probe over one scan. */
   val benchExclude: Set[String] =
     Set("x3_approx_distinct_bounded", "m2_decode_dims", "d4_simhash_exactdup",
-      "d7_cleaned_corpus")
+      "st3_contamination_bounds")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ EventQueries.oracleSql ++
-      Analytics.oracleSql ++ Pipeline.oracleSql
+      Analytics.oracleSql ++ Pipeline.oracleSql ++ StreamingCatalog.oracleSql
 }

@@ -70,7 +70,7 @@ object Analytics {
     // sketching the deduped keys gives the bit-identical estimate while
     // only ever materializing one sketch per status (3 here). Same two
     // exchanges the fused plan had; the second moves 3 rows. Measured
-    // 1.32 s → 0.45 s at sf0.1 (BENCH r7 vs r8).
+    // 1.449 s → 0.632 s at sf0.1 (BENCH_r07.json vs BENCH_r08.json).
     Tables.orders(s, dir)
       .select(col("o_orderstatus"), col("o_custkey")).distinct()
       .groupBy(col("o_orderstatus"))

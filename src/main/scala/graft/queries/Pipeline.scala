@@ -29,7 +29,10 @@ import graft.sources.Tables
   * aggregated row. Token totals are exact integers. */
 object Pipeline {
 
-  def p1CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** The per-doc staged flags shared by p1 and p2: one corpus scan
+    * computes tok/quality/langid/fingerprint, then the running-count
+    * window derives the dedup-survivor flag. */
+  private def stagedFlags(s: SparkSession, dir: String): DataFrame = {
     val flagged = Tables.documents(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("tok"),
@@ -44,11 +47,14 @@ object Pipeline {
     // self-join): d_pass = l_pass && no earlier l_pass doc shares fp
     val wPrev = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val staged = flagged.withColumn("d_pass",
+    flagged.withColumn("d_pass",
       col("l_pass") &&
         coalesce(sum(when(col("l_pass"), 1L).otherwise(0L)).over(wPrev),
           lit(0L)) === 0L)
-    staged
+  }
+
+  def p1CurationFunnel(s: SparkSession, dir: String): DataFrame =
+    stagedFlags(s, dir)
       .agg(
         count(lit(1)).as("n0"), sum(col("tok")).as("t0"),
         sum(when(col("q_pass"), 1L).otherwise(0L)).as("n1"),
@@ -64,18 +70,68 @@ object Pipeline {
           |  'c_langid',  n2, t2,
           |  'd_dedup',   n3, t3) AS (stage, n_docs, n_tokens)""".stripMargin)
       .orderBy(col("stage"))
+
+  /** p2 — the funnel with the NEAR-dup stage a real curation run adds
+    * after exact dedup: among the stage-d survivors, drop every
+    * non-canonical member of a transitive near-dup cluster (d6's
+    * keep-lowest-id policy over d3's verified pairs, restricted to
+    * survivors — pair membership is a per-pair property, so restricting
+    * the corpus-wide pair set to survivor endpoints equals computing the
+    * pairs on the survivor subset).
+    *
+    * The verified pairs are the [[Dedup.sharedVerifiedPairs]] pipeline
+    * artifact (p2 is downstream of the dedup ladder in the same run, so
+    * it consumes the materialized pairs rather than re-running
+    * signatures/banding/verify; first use computes, keeping the entry
+    * self-contained for Verify). The survivor-restricted connected
+    * components then run on a pair set that is a small fraction of the
+    * corpus — O(log² n) tiny rounds — and the funnel itself stays one
+    * aggregated row stacked five ways. */
+  def p2CurationFunnelNearDup(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedFlags(s, dir)
+    val surv = staged.filter(col("d_pass")).select(col("doc_id"))
+    val pairsAmong = Dedup.sharedVerifiedPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(surv.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // converged star edges: (root, member) with root < member, so `v` IS
+    // the non-canonical drop set (same property d7 uses)
+    val drops = Dedup.connectedComponents(pairsAmong)
+      .select(col("v").as("doc_id"), lit(1).as("nd"))
+    val staged2 = staged.join(drops, Seq("doc_id"), "left")
+      .withColumn("e_pass", col("d_pass") && col("nd").isNull)
+    staged2
+      .agg(
+        count(lit(1)).as("n0"), sum(col("tok")).as("t0"),
+        sum(when(col("q_pass"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("q_pass"), col("tok")).otherwise(0L)).as("t1"),
+        sum(when(col("l_pass"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("l_pass"), col("tok")).otherwise(0L)).as("t2"),
+        sum(when(col("d_pass"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("d_pass"), col("tok")).otherwise(0L)).as("t3"),
+        sum(when(col("e_pass"), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("e_pass"), col("tok")).otherwise(0L)).as("t4"))
+      .selectExpr(
+        """stack(5,
+          |  'a_ingest',  n0, t0,
+          |  'b_quality', n1, t1,
+          |  'c_langid',  n2, t2,
+          |  'd_dedup',   n3, t3,
+          |  'e_neardup', n4, t4) AS (stage, n_docs, n_tokens)""".stripMargin)
+      .orderBy(col("stage"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_curation_funnel" -> p1CurationFunnel _,
+    "p2_funnel_neardup"  -> p2CurationFunnelNearDup _,
   )
 
-  /** The funnel replayed in DuckDB: identical quality/langid expression
-    * trees (lifted from the t2/t3 oracles), the same running-count dedup
-    * window, and a UNION ALL in place of stack. */
-  val oracleSql: Map[String, String] = Map(
-    "p1_curation_funnel" ->
-      """WITH d AS (
+  /** The per-doc staged-flag CTE chain (d → f → g → h) shared by the p1
+    * and p2 oracles: identical quality/langid expression trees (lifted
+    * from the t2/t3 oracles) and the same running-count dedup window. */
+  private val funnelCtes: String =
+      """d AS (
         |  SELECT doc_id,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
@@ -120,7 +176,17 @@ object Pipeline {
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |             AS BIGINT), 0) = 0 AS d_pass
         |  FROM g
-        |)
+        |)""".stripMargin
+
+  /** The funnels replayed in DuckDB: [[funnelCtes]] for the staged flags,
+    * a UNION ALL in place of stack; p2 adds the brute-force near-dup
+    * pair set ([[Dedup.d3PairsSqlCtes]]) restricted to stage-d
+    * survivors, closed transitively by the same recursive CTE the d6
+    * oracle uses, with cluster id = min reachable label ≡ the engine's
+    * star root. */
+  val oracleSql: Map[String, String] = Map(
+    "p1_curation_funnel" ->
+      s"""WITH $funnelCtes
         |SELECT * FROM (
         |  SELECT 'a_ingest' AS stage, count(*) AS n_docs,
         |         CAST(sum(tok) AS BIGINT) AS n_tokens FROM h
@@ -133,6 +199,48 @@ object Pipeline {
         |  UNION ALL
         |  SELECT 'd_dedup', count(*) FILTER (d_pass),
         |         CAST(coalesce(sum(tok) FILTER (d_pass), 0) AS BIGINT) FROM h
+        |) ORDER BY stage""".stripMargin,
+    "p2_funnel_neardup" ->
+      s"""WITH RECURSIVE ${Dedup.d3PairsSqlCtes},
+        |$funnelCtes,
+        |sp AS (  -- verified pairs restricted to stage-d survivors
+        |  SELECT p.doc_a, p.doc_b FROM pairs p
+        |  JOIN h a ON a.doc_id = p.doc_a AND a.d_pass
+        |  JOIN h b ON b.doc_id = p.doc_b AND b.d_pass
+        |),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM sp
+        |  UNION SELECT doc_b, doc_a FROM sp
+        |),
+        |reach(node, lab) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+        |),
+        |comp AS (
+        |  SELECT node AS doc_id, min(lab) AS cluster_id
+        |  FROM reach GROUP BY node
+        |),
+        |nd AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+        |h2 AS (
+        |  SELECT h.*, h.d_pass AND nd.doc_id IS NULL AS e_pass
+        |  FROM h LEFT JOIN nd USING (doc_id)
+        |)
+        |SELECT * FROM (
+        |  SELECT 'a_ingest' AS stage, count(*) AS n_docs,
+        |         CAST(sum(tok) AS BIGINT) AS n_tokens FROM h2
+        |  UNION ALL
+        |  SELECT 'b_quality', count(*) FILTER (q_pass),
+        |         CAST(coalesce(sum(tok) FILTER (q_pass), 0) AS BIGINT) FROM h2
+        |  UNION ALL
+        |  SELECT 'c_langid', count(*) FILTER (l_pass),
+        |         CAST(coalesce(sum(tok) FILTER (l_pass), 0) AS BIGINT) FROM h2
+        |  UNION ALL
+        |  SELECT 'd_dedup', count(*) FILTER (d_pass),
+        |         CAST(coalesce(sum(tok) FILTER (d_pass), 0) AS BIGINT) FROM h2
+        |  UNION ALL
+        |  SELECT 'e_neardup', count(*) FILTER (e_pass),
+        |         CAST(coalesce(sum(tok) FILTER (e_pass), 0) AS BIGINT) FROM h2
         |) ORDER BY stage""".stripMargin,
   )
 }

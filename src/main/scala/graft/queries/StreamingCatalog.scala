@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHashFunctions.word_shingle_hashes
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Driver-gated BATCH entries for the streaming operators
+  * ([[graft.streaming.StreamingOps]]). The module's contract is
+  * batch/stream symmetry — every transform produces the same rows whether
+  * the input came from `spark.read` or `spark.readStream` — and
+  * StreamingSpec pins that equivalence micro-batch by micro-batch. These
+  * catalog entries put the BATCH HALF of each operator under the driver's
+  * DuckDB differential gate too, so the symmetry contract is anchored to
+  * an engine-independent oracle, not only to a self-referencing spec:
+  *
+  *   st1  dedupExact            ≡ first-seen-by-arrival exact dedup
+  *   st2  nearDupCandidates     → exact-verified ≡ d3's brute-force pairs
+  *   st3  contaminationScreen   bounded by the exact t8-shaped join
+  *
+  * Arrival time for st1/st2 is synthesized as `timestamp_micros(doc_id)`
+  * — a deterministic, strictly-increasing ingest order (the harness
+  * corpus has no arrival column), so "first seen" is well-defined and
+  * DuckDB-replayable.
+  */
+object StreamingCatalog {
+
+  /** st1 — the streaming exact dedup's batch half: first-seen (earliest
+    * arrival) row per text fingerprint. Same one-window-on-the-fp-shuffle
+    * shape as d1; the oracle replays the keep-earliest policy. */
+  def st1DedupFirstSeen(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .withColumn("ts", timestamp_micros(col("doc_id")))
+    StreamingOps.dedupExact(docs, "ts", "1 hour")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** st2 — the streaming MinHash-LSH candidate generator's batch half,
+    * run through the SAME downstream exact-Jaccard verification batch d3
+    * uses (candidates alone are a function of xxhash64 banding luck —
+    * unverifiable by an engine-independent oracle; the verified set is
+    * exactly the brute-force pair set whenever banding recall is 1 at
+    * the threshold, which holds on this corpus by the same argument
+    * d3's oracle rests on). A pair lost by the streaming state path —
+    * cap bug, eviction bug, ordering bug — would be missing here and
+    * hash-mismatch the oracle. */
+  def st2NearDupVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", timestamp_micros(col("doc_id")))
+    val cand = StreamingOps.nearDupCandidates(docs, "ts", horizonMs = 3600000L)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), word_shingle_hashes(col("text"), 3).as("shs"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shs").as("a_shs"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shs").as("b_shs"))
+    val inter = size(array_intersect(col("a_shs"), col("b_shs")))
+    val jac = inter.cast("double") /
+      (size(col("a_shs")) + size(col("b_shs")) - inter).cast("double")
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jaccard", round(jac, 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** st3 — the Bloom contamination screen differential-bounded by the
+    * exact t8-shaped join, in one query: the screen's probe count per
+    * val doc must sit between the TRUE hit count (Bloom has no false
+    * negatives — an undercount is a broken filter) and the doc's total
+    * shingle count. The booleans and the exact counts are
+    * engine-independent, so DuckDB states the bounds as literals; a
+    * probe regression in either direction flips a boolean and
+    * hash-mismatches. (The Bloom count itself is Spark-sketch-specific,
+    * like x3's HLL estimate, and stays out of the compared columns.)
+    * Same train/val split as t8 (md5 bucket < 'cd'). */
+  def st3ContaminationBounds(s: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), (bucket < "cd").as("is_train"))
+    val train = docs.filter(col("is_train")).select(col("doc_id"), col("text"))
+    val valDocs = docs.filter(!col("is_train")).select(col("doc_id"), col("text"))
+    val screened = StreamingOps.contaminationScreen(valDocs, train)
+    val ex = valDocs
+      .select(col("doc_id"), explode(word_shingle_hashes(col("text"), 5)).as("sh"))
+    val trainSh = train
+      .select(explode(word_shingle_hashes(col("text"), 5)).as("sh")).distinct()
+    val exact = ex.join(trainSh.withColumn("hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_exact"))
+    screened.select(col("doc_id"), col("n_hit"))
+      .join(exact, "doc_id")
+      .select(col("doc_id"), col("n_sh"), col("n_exact"),
+        (col("n_hit") >= col("n_exact")).as("no_undercount"),
+        (col("n_hit") <= col("n_sh")).as("within_total"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_dedup_first_seen"    -> st1DedupFirstSeen _,
+    "st2_neardup_verified"    -> st2NearDupVerified _,
+    "st3_contamination_bounds" -> st3ContaminationBounds _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // keep-earliest-arrival per md5(text); arrival order == doc_id order
+    // (timestamp_micros is strictly increasing in doc_id)
+    "st1_dedup_first_seen" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // the verified streaming candidates must equal the brute-force
+    // all-pairs Jaccard >= 0.5 set — the identical oracle d3 passes
+    "st2_neardup_verified" ->
+      s"""WITH ${Dedup.d3PairsSqlCtes}
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // exact counts via the t8-shaped distinct-shingle join (5-grams);
+    // the Bloom bounds are ground truth, stated as literals
+    "st3_contamination_bounds" -> {
+      val n = 5
+      val joins = (0 until n)
+        .map(k => s"string_split(text, ' ')[i+$k]").mkString(" || ' ' || ")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS is_train,
+         |         unnest(shs) AS sh
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(string_split(text, ' ')) >= $n THEN
+         |        list_distinct(list_transform(
+         |          generate_series(1, len(string_split(text, ' ')) - ${n - 1}),
+         |          i -> $joins))
+         |      ELSE CAST([] AS VARCHAR[]) END AS shs
+         |    FROM documents)
+         |),
+         |tr AS (SELECT DISTINCT sh FROM sh WHERE is_train)
+         |SELECT s.doc_id, count(*) AS n_sh, count(t.sh) AS n_exact,
+         |       TRUE AS no_undercount, TRUE AS within_total
+         |FROM sh s LEFT JOIN tr t ON s.sh = t.sh
+         |WHERE NOT s.is_train
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    },
+  )
+}

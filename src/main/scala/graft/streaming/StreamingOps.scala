@@ -69,16 +69,25 @@ object StreamingOps {
     *
     * Batch symmetry (the module contract): Spark rejects
     * `dropDuplicatesWithinWatermark` on a batch frame outright, so the
-    * batch branch is an explicit `dropDuplicates` — one representative
-    * per text over the whole frame (batch has no arrival order, so
-    * "first-seen" degenerates to "one"; the id-deterministic batch
-    * dedup is d1's job). */
+    * batch branch keeps the EARLIEST-`tsCol` row per fingerprint — batch
+    * "first seen" is first in event time (deterministic whenever tsCol
+    * is unique within a fingerprint group, which the st1 catalog entry
+    * guarantees by synthesizing a per-doc arrival time), via one
+    * row_number window on the same fp shuffle key the streaming state
+    * uses. For an in-order stream the two branches keep identical rows,
+    * which is what makes the operator driver-gateable (st1's DuckDB
+    * oracle replays the batch policy). */
   def dedupExact(docs: DataFrame, tsCol: String, horizon: String): DataFrame = {
     val fp = docs.withColumn("fp", md5(col("text").cast("binary")))
     val deduped =
       if (docs.isStreaming)
         fp.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark("fp")
-      else fp.dropDuplicates("fp")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col(tsCol))
+        fp.withColumn("__first_seen_rn", row_number().over(w))
+          .filter(col("__first_seen_rn") === 1).drop("__first_seen_rn")
+      }
     deduped.drop("fp")
   }
 
@@ -249,28 +258,45 @@ object StreamingOps {
     * (~1.2 GB broadcast at 2³⁰ entries / 1% — standard for a dedup
     * cluster, and the knob to trade memory against over-flagging).
     *
-    * The per-doc probe loop is a Scala UDF by necessity — Spark's Bloom
-    * `might_contain` expression is internal to runtime filtering — but
-    * it is a pure function of (broadcast bits, shingle array): no state,
-    * no skew, identical results batch vs streaming (StreamingSpec pins
-    * that equivalence; filter construction is order-independent, so the
-    * two paths see identical bits). */
+    * The probe is Spark's own codegen'd [[org.apache.spark.sql.catalyst
+    * .expressions.BloomFilterMightContain]] — the exact expression
+    * Catalyst injects for runtime bloom-filter joins — over the
+    * serialized filter as a foldable binary literal, folded per shingle
+    * inside a codegen'd `aggregate` lambda. No Scala UDF anywhere: the
+    * whole probe stays inside whole-stage codegen, and the expression
+    * deserializes the literal once per task (lazy in its eval path),
+    * exactly as Spark's injected runtime filters do. The literal rides
+    * the task closure like Spark's own injected filters (bounded by the
+    * same ~MB-scale sizing that governs
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumBits); results are
+    * identical batch vs streaming (StreamingSpec pins that equivalence;
+    * filter construction is order-independent — bit OR — so the two
+    * paths see identical bits). */
   def contaminationScreen(docs: DataFrame, trainDocs: DataFrame,
       expectedShingles: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
     import graft.functions.TextHashFunctions.word_shingle_hashes
-    val spark = docs.sparkSession
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val bloom = trainDocs
       .withColumn("shs", word_shingle_hashes(col("text"), 5))
       .select(explode(col("shs")).as("sh"))
       .stat.bloomFilter("sh", expectedShingles, fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val hits = udf((shs: Seq[Long]) =>
-      shs.count(bloomB.value.mightContainLong).toLong)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    def mightContain(sh: Column): Column = ColumnBridge.column(
+      BloomFilterMightContain(
+        ColumnBridge.expression(lit(bloomBytes)), ColumnBridge.expression(sh)))
     docs
       .withColumn("shs", word_shingle_hashes(col("text"), 5))
       .filter(size(col("shs")) > 0)
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
-        hits(col("shs")).as("n_hit"))
+        aggregate(col("shs"), lit(0L),
+          (acc, sh) => acc + when(mightContain(sh), 1L).otherwise(0L))
+          .as("n_hit"))
       .withColumn("contam_frac",
         round(col("n_hit").cast("double") / col("n_sh").cast("double"), 4))
   }
