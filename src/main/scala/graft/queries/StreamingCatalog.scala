@@ -19,6 +19,10 @@ import graft.streaming.StreamingOps
   *   st1  dedupExact            ≡ first-seen-by-arrival exact dedup
   *   st2  nearDupCandidates     → exact-verified ≡ d3's brute-force pairs
   *   st3  contaminationScreen   bounded by the exact t8-shaped join
+  *   st4  tumblingCounts        ≡ hour-floored grouped agg (exact cents)
+  *   st5  sessionize            ≡ e3's sessions minus each user's open tail
+  *
+  * With these five, EVERY StreamingOps operator has a driver-gated entry.
   *
   * Arrival time for st1/st2 is synthesized as `timestamp_micros(doc_id)`
   * — a deterministic, strictly-increasing ingest order (the harness
@@ -100,10 +104,45 @@ object StreamingCatalog {
       .orderBy(col("doc_id"))
   }
 
+  /** The events table in the module's (ts_us, …) shape — the same
+    * nanos→micros contract as [[EventQueries]] (integral `div 1000`;
+    * DuckDB's `epoch_us` truncates identically). */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+
+  /** st4 — the watermarked tumbling aggregation's batch half: hour
+    * windows over event time, counts + exact-cents value totals. The
+    * window start surfaces as epoch MICROS (a long both engines state
+    * exactly) rather than a timestamp rendering. */
+  def st4TumblingCounts(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.tumblingCounts(eventsUs(s, dir))
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("event_type"), col("n"), col("value_sum"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
+  /** st5 — the stateful sessionizer's batch half: every CLOSED session
+    * (the most recent session per user stays open in state and is
+    * deliberately not emitted — it could still grow). Equals e3's
+    * session set minus each user's last session, which is exactly how
+    * the oracle replays it. */
+  def st5SessionsClosed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = eventsUs(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+      .as[StreamingOps.Ev]
+    StreamingOps.sessionize(evs, gapUs = 30L * 60 * 1000000).toDF()
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_dedup_first_seen"    -> st1DedupFirstSeen _,
     "st2_neardup_verified"    -> st2NearDupVerified _,
     "st3_contamination_bounds" -> st3ContaminationBounds _,
+    "st4_tumbling_counts"     -> st4TumblingCounts _,
+    "st5_sessions_closed"     -> st5SessionsClosed _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -148,5 +187,44 @@ object StreamingCatalog {
          |GROUP BY s.doc_id
          |ORDER BY s.doc_id""".stripMargin
     },
+    // hour-floored integral micros; exact integer cents divided once at
+    // the end (the e2 cents contract — no cross-row float accumulation)
+    "st4_tumbling_counts" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+        |         event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT win_start_us, event_type, count(*) AS n,
+        |       CAST(sum(cents) AS DOUBLE) / 100.0 AS value_sum
+        |FROM e GROUP BY win_start_us, event_type
+        |ORDER BY win_start_us, event_type""".stripMargin,
+    // e3's session derivation verbatim, QUALIFY-dropping each user's
+    // final (still-open) session — the sessionizer's holdback contract
+    "st5_sessions_closed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |                   > 30 * 60 * 1000000 THEN 1
+        |              ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), s AS (
+        |  SELECT user_id, ts_us,
+        |         sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |         min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_idx
+        |)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM sess
+        |QUALIFY session_idx < max(session_idx) OVER (PARTITION BY user_id)
+        |ORDER BY user_id, start_us""".stripMargin,
   )
 }

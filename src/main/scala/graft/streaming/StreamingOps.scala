@@ -258,26 +258,21 @@ object StreamingOps {
     * (~1.2 GB broadcast at 2³⁰ entries / 1% — standard for a dedup
     * cluster, and the knob to trade memory against over-flagging).
     *
-    * The probe is Spark's own codegen'd [[org.apache.spark.sql.catalyst
-    * .expressions.BloomFilterMightContain]] — the exact expression
-    * Catalyst injects for runtime bloom-filter joins — over the
-    * serialized filter as a foldable binary literal, folded per shingle
-    * inside a codegen'd `aggregate` lambda. No Scala UDF anywhere: the
-    * whole probe stays inside whole-stage codegen, and the expression
-    * deserializes the literal once per task (lazy in its eval path),
-    * exactly as Spark's injected runtime filters do. The literal rides
-    * the task closure like Spark's own injected filters (bounded by the
-    * same ~MB-scale sizing that governs
-    * spark.sql.optimizer.runtime.bloomFilter.maxNumBits); results are
-    * identical batch vs streaming (StreamingSpec pins that equivalence;
-    * filter construction is order-independent — bit OR — so the two
-    * paths see identical bits). */
+    * The probe is the [[graft.functions.BloomHitCount]] codegen kernel:
+    * the filter built once distributed (`stat.bloomFilter` — the sketch
+    * is mergeable), serialized into the expression, deserialized once
+    * per executor JVM, and probed per shingle in a tight generated loop
+    * at the scan projection. No Scala UDF anywhere, and no interpreted
+    * higher-order-function fallback either (`aggregate`'s lambda is
+    * CodegenFallback — the kernel keeps the count inside whole-stage
+    * codegen, pinned in PlanSpec). Results are identical batch vs
+    * streaming (StreamingSpec pins that equivalence; filter construction
+    * is order-independent — bit OR — so the two paths see identical
+    * bits). */
   def contaminationScreen(docs: DataFrame, trainDocs: DataFrame,
       expectedShingles: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomFunctions.bloom_hit_count
     import graft.functions.TextHashFunctions.word_shingle_hashes
-    import org.apache.spark.sql.Column
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    import org.apache.spark.sql.graftbridge.ColumnBridge
     val bloom = trainDocs
       .withColumn("shs", word_shingle_hashes(col("text"), 5))
       .select(explode(col("shs")).as("sh"))
@@ -287,16 +282,11 @@ object StreamingOps {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    def mightContain(sh: Column): Column = ColumnBridge.column(
-      BloomFilterMightContain(
-        ColumnBridge.expression(lit(bloomBytes)), ColumnBridge.expression(sh)))
     docs
       .withColumn("shs", word_shingle_hashes(col("text"), 5))
       .filter(size(col("shs")) > 0)
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
-        aggregate(col("shs"), lit(0L),
-          (acc, sh) => acc + when(mightContain(sh), 1L).otherwise(0L))
-          .as("n_hit"))
+        bloom_hit_count(bloomBytes, col("shs")).as("n_hit"))
       .withColumn("contam_frac",
         round(col("n_hit").cast("double") / col("n_sh").cast("double"), 4))
   }

@@ -30,4 +30,45 @@ class PipelineSpec extends SparkSpec {
       ("c_langid", 2L, 100L),   // cjk doc dropped
       ("d_dedup", 1L, 50L)))    // doc 2 loses to doc 1 on the fingerprint
   }
+
+  test("p2 funnel: the near-dup stage drops a non-canonical cluster " +
+       "member that survived every earlier stage") {
+    import spark.implicits._
+    val good = (Seq.fill(10)("the") ++ (1 to 40).map(i => s"w$i")).mkString(" ")
+    // same text with ONE word swapped: different md5 (survives d_dedup),
+    // 3-shingle Jaccard ~0.87 (a verified d3 near-dup pair with doc 1)
+    val near = (Seq.fill(10)("the") ++ (1 to 39).map(i => s"w$i") :+ "x1")
+      .mkString(" ")
+    val cjk = (Seq.fill(10)("the") ++ (1 to 39).map(i => s"w$i") :+ "中")
+      .mkString(" ")
+    val junk = "xxxx !!!!"
+    val rows = Seq(
+      (1L, good, "en", "s0", good.length.toLong),
+      (2L, good, "en", "s0", good.length.toLong),  // exact dup: d drops it
+      (3L, junk, "en", "s0", junk.length.toLong),  // b drops it
+      (4L, cjk, "zh", "s0", cjk.length.toLong),    // c drops it
+      (5L, near, "en", "s0", near.length.toLong))  // e drops it (cluster {1,5})
+    val dir = java.nio.file.Files.createTempDirectory("graft-p2").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Pipeline.p2CurationFunnelNearDup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("a_ingest", 5L, 202L),
+      ("b_quality", 4L, 200L),
+      ("c_langid", 3L, 150L),
+      ("d_dedup", 2L, 100L),    // docs 1 and 5 survive exact dedup
+      ("e_neardup", 1L, 50L)))  // doc 5 is the cluster's non-canonical member
+  }
+
+  test("p2 funnel: stages a-d equal p1's on the harness corpus " +
+       "(the near-dup stage only ever drops further)") {
+    val p1 = Pipeline.p1CurationFunnel(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val p2 = Pipeline.p2CurationFunnelNearDup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(p2.take(4).toSeq == p1.toSeq)
+    val d = p2(3); val e = p2(4)
+    assert(e._1 == "e_neardup" && e._2 <= d._2 && e._3 <= d._3)
+  }
 }

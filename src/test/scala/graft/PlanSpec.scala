@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytics, Dedup, EventQueries, RelationalQueries, Similarity, TextAnalysis}
+import graft.queries.{Analytics, Dedup, EventQueries, RelationalQueries, Similarity, StreamingCatalog, TextAnalysis}
 
 /** Physical-plan shape assertions — the 100 TB posture checks. A query
   * that silently stops pushing its filter or broadcasting its tiny side
@@ -42,6 +42,30 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+  }
+
+  test("st1: streaming dedup's batch half needs exactly one hash exchange " +
+       "(window on the fingerprint, same key the streaming state shuffles)") {
+    val p = plan(StreamingCatalog.st1DedupFirstSeen(spark, sfDir))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+  }
+
+  test("st3: the Bloom probe stays inside whole-stage codegen (no UDF in " +
+       "the scan->probe hot path)") {
+    val p = plan(graft.streaming.StreamingOps.contaminationScreen(
+      graft.sources.Tables.documents(spark, sfDir).select("doc_id", "text"),
+      graft.sources.Tables.documents(spark, sfDir).select("doc_id", "text")
+        .limit(50)))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"probe must not fall out of codegen into a UDF:\n$p")
+    // the probing Project must sit INSIDE a whole-stage-codegen span (the
+    // `*(n)` marker) — an interpreted fallback loses the marker
+    val probeLine = p.linesIterator
+      .find(_.contains("bloom_hit_count")).getOrElse("")
+    assert(probeLine.replaceFirst("^[\\s+-]*", "").startsWith("*("),
+      s"bloom_hit_count fell out of codegen:\n$p")
   }
 
   test("x1 rollup: all levels computed in ONE exchange (Expand, not N passes)") {
