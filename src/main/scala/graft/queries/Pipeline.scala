@@ -88,7 +88,11 @@ object Pipeline {
     * corpus — O(log² n) tiny rounds — and the funnel itself stays one
     * aggregated row stacked five ways. */
   def p2CurationFunnelNearDup(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedFlags(s, dir)
+    // multi-branch intermediate (graft.Materialize): the staged flags
+    // feed the survivor filter AND the final funnel join — without
+    // materialization the scan + quality/langid expression trees run
+    // once per branch
+    val staged = graft.Materialize(stagedFlags(s, dir))
     val surv = staged.filter(col("d_pass")).select(col("doc_id"))
     val pairsAmong = Dedup.sharedVerifiedPairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
