@@ -129,6 +129,33 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("bloom_hit_count: equals a driver-side mightContainLong loop, " +
+       "empty array counts 0, and matches across partitions") {
+    import spark.implicits._
+    import graft.functions.BloomFunctions.bloom_hit_count
+    val member = (1L to 500L).map(_ * 37L)
+    val bloom = member.toDF("v").stat.bloomFilter("v", 1000L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    // arrays mixing members, non-members, and one empty array
+    val rows: Seq[(Long, Seq[Long])] = Seq(
+      (1L, member.take(10)),                         // all hits
+      (2L, Seq(-1L, -2L, -3L)),                      // hits only via FPs
+      (3L, member.take(5) ++ Seq(999999999L, -7L)),  // mixed
+      (4L, Seq.empty[Long]))                         // empty -> 0
+    val got = rows.toDF("id", "arr").repartition(3)
+      .select(col("id"), bloom_hit_count(bytes, col("arr")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = rows.map { case (id, arr) =>
+      id -> arr.count(bloom.mightContainLong).toLong
+    }.toMap
+    assert(got == expect)
+    assert(got(1L) == 10L, "members must always hit (no false negatives)")
+    assert(got(4L) == 0L)
+  }
+
   test("property: stub decoder intensity bounded, dims in range (pure)") {
     check(Prop.forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
       val f = StubDecoder.decode(bs.toArray, new Array[Long](16))
