@@ -124,7 +124,14 @@ object StreamingCatalog {
     * (the most recent session per user stays open in state and is
     * deliberately not emitted — it could still grow). Equals e3's
     * session set minus each user's last session, which is exactly how
-    * the oracle replays it. */
+    * the oracle replays it.
+    *
+    * Scale note: this entry exists to GATE the state function — in
+    * batch mode `flatMapGroupsWithState` hands one task a user's entire
+    * history (memory O(max events per user); in streaming that bound is
+    * the micro-batch, which is the operator's design point). The
+    * recommended whole-corpus batch sessionizer remains e3: its
+    * window formulation sort-spills instead of materializing a group. */
   def st5SessionsClosed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val evs = eventsUs(s, dir)
