@@ -58,11 +58,12 @@ object Bench {
     }.min
   }
 
-  /** Per-query minimums from the most recent committed BENCH_r*.json
-    * (driver wrapper format: the inner "parsed" object carries the bench
-    * line; the escaped copy in "tail" cannot match the unescaped regex).
-    * Regex-parsed so the bench stays dependency-free. */
-  private def prevBench(): Option[(String, Map[String, Double])] = {
+  /** Per-query minimums (and the run's SF dir) from the most recent
+    * committed BENCH_r*.json (driver wrapper format: the inner "parsed"
+    * object carries the bench line; the escaped copy in "tail" cannot
+    * match the unescaped regexes). Regex-parsed so the bench stays
+    * dependency-free. */
+  private def prevBench(): Option[(String, Option[String], Map[String, Double])] = {
     val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
     val latest = explicit.orElse {
       val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
@@ -72,11 +73,16 @@ object Bench {
     }
     latest.filter(_.isFile).flatMap { f =>
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      // \s* after every colon: the driver wrapper pretty-prints its copy
+      // of the bench line ("sf": 0.1, one query per line) — a
+      // space-intolerant pattern silently matches nothing and turns the
+      // guard into a no-op
+      val sf = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
       val qBlock = """"queries":\s*\{([^}]*)\}""".r
       qBlock.findFirstMatchIn(text).map { m =>
-        val pair = """"([A-Za-z0-9_]+)":(-?[0-9.Ee+-]+)""".r
-        f.getName -> pair.findAllMatchIn(m.group(1))
-          .map(p => p.group(1) -> p.group(2).toDouble).toMap
+        val pair = """"([A-Za-z0-9_]+)":\s*(-?[0-9.Ee+-]+)""".r
+        (f.getName, sf, pair.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toDouble).toMap)
       }
     }
   }
@@ -110,8 +116,12 @@ object Bench {
     val suspect = calibRatio > 2.0 ||
       math.max(calibPre, calibPost) > calibEnvelope
     def f(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
-    val prev = prevBench()
-    val regressions = prev.map { case (_, p) =>
+    // cross-SF ratios are meaningless: only guard against a prior run
+    // over the same data (or one too old to record its SF)
+    val prev = prevBench().filter { case (_, sf, _) =>
+      sf.forall(_ == sfDir)
+    }
+    val regressions = prev.map { case (_, _, p) =>
       timed.filter { case (n, v) =>
         v > 0 && p.get(n).exists(old => old > 0 && v / old > 1.5)
       }.map { case (n, v) => n -> v / p(n) }
