@@ -61,6 +61,24 @@ class PipelineSpec extends SparkSpec {
       ("e_neardup", 1L, 50L)))  // doc 5 is the cluster's non-canonical member
   }
 
+  test("p2 returns identical rows under cache, localCheckpoint, and none " +
+       "(the Materialize knob is a pure cost choice)") {
+    def rows(mode: String): Seq[String] = {
+      val old = sys.props.get(graft.Materialize.Prop)
+      sys.props(graft.Materialize.Prop) = mode
+      try Pipeline.p2CurationFunnelNearDup(spark, sfDir).collect()
+        .map(_.toString).toSeq
+      finally old match {
+        case Some(v) => sys.props(graft.Materialize.Prop) = v
+        case None => sys.props.remove(graft.Materialize.Prop)
+      }
+    }
+    val base = rows("cache")
+    assert(base.nonEmpty)
+    assert(rows("localCheckpoint") == base)
+    assert(rows("none") == base)
+  }
+
   test("p2 funnel: stages a-d equal p1's on the harness corpus " +
        "(the near-dup stage only ever drops further)") {
     val p1 = Pipeline.p1CurationFunnel(spark, sfDir).collect()
