@@ -153,6 +153,51 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** m5's fixed thumbnail edge (8×8 = 64 sampled bytes). */
+  private val ThumbEdge = 8
+
+  /** m5 — nearest-neighbor RESIZE to a fixed [[ThumbEdge]]² thumbnail:
+    * the payload is addressed as the width×height byte grid the decode
+    * seam reports ([[StubDecoder]]'s dims arithmetic), and each target
+    * pixel (ty, tx) samples the source byte at
+    * `((ty*height div 8)*width + (tx*width div 8)) mod len` — the
+    * standard nearest-neighbor index map, wrapped mod len because the
+    * synthetic grid is larger than the payload. This is the codec-free
+    * shape of the resize every multimodal pipeline runs before feature
+    * extraction: pure per-row byte addressing, done scan-side with a
+    * statically unrolled 64-term projection (no higher-order-function
+    * fallback, no shuffle before the final sort), output 64 bytes/doc
+    * regardless of payload size — the downsample that makes downstream
+    * vision models affordable at 100 TB.
+    *
+    * The engine samples single BYTES off the binary payload (substring
+    * on binary is positional — O(1) per sample; character-indexed
+    * substring over the payload's hex TEXT walks the string from the
+    * start per sample, measured 5x slower on this projection) and hexes
+    * each sampled byte; the hex-text output (byte i = hex chars
+    * [2i+1, 2i+2]) is the same common-ground contract as m3, so DuckDB
+    * replays the identical sampling off its hex text and the thumbnail
+    * compares content-exact (hex + md5 fingerprint). */
+  def m5ResizeThumb(s: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast("binary")
+    val n = ThumbEdge
+    val terms = (0 until n * n).map { t =>
+      val ty = t / n
+      val tx = t % n
+      s"lower(hex(substring(payload, pmod((($ty * height) div $n) * width + (($tx * width) div $n), len)+1, 1)))"
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), payload.as("payload"),
+        length(payload).as("len"))
+      .filter(col("len") > 0)
+      .withColumn("width", expr("CAST(64 + pmod(len, 64) AS INT)"))
+      .withColumn("height", expr("CAST(64 + pmod(len div 64, 64) AS INT)"))
+      .selectExpr("doc_id", "width", "height",
+        s"concat(${terms.mkString(", ")}) AS thumb_hex")
+      .withColumn("thumb_fp", md5(col("thumb_hex").cast("binary")))
+      .orderBy(col("doc_id"))
+  }
+
   /** m4 — modality alignment audit: FULL OUTER join of the text table
     * against the embedding table on id, profiled as a lang × label grid.
     * The join direction nobody writes until it bites: a pipeline that
@@ -178,6 +223,7 @@ object Multimodal {
     "m2_decode_dims"      -> m2bDecodeDims _,
     "m3_frame_sample"     -> m3FrameSample _,
     "m4_modality_join"    -> m4ModalityJoin _,
+    "m5_resize_thumb"     -> m5ResizeThumb _,
   )
 
   /** m2's byte-histogram output is impractical to express in SQL → rows-
@@ -234,5 +280,34 @@ object Multimodal {
         |       count(*) AS n
         |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the identical statically-unrolled nearest-neighbor index map over
+    // the lowercase-hex payload (byte i = hex chars [2i+1, 2i+2])
+    "m5_resize_thumb" -> {
+      val n = ThumbEdge
+      val terms = (0 until n * n).map { t =>
+        val ty = t / n
+        val tx = t % n
+        s"substr(hx, 2*(((($ty * height) // $n) * width + (($tx * width) // $n)) % len)+1, 2)"
+      }
+      s"""WITH p AS (
+         |  SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx,
+         |         octet_length(CAST(text AS BLOB)) AS len
+         |  FROM documents
+         |  WHERE octet_length(CAST(text AS BLOB)) > 0
+         |),
+         |g AS (
+         |  SELECT doc_id, hx, len,
+         |         64 + len % 64 AS width,
+         |         64 + (len // 64) % 64 AS height
+         |  FROM p
+         |),
+         |t AS (
+         |  SELECT doc_id, width, height,
+         |         ${terms.mkString(" || ")} AS thumb_hex
+         |  FROM g
+         |)
+         |SELECT doc_id, width, height, thumb_hex, md5(thumb_hex) AS thumb_fp
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
   )
 }

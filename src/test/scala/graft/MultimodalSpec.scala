@@ -79,6 +79,42 @@ class MultimodalSpec extends SparkSpec {
     assert(planted(1).getAs[String]("frame_fp") == fp("y" * 50))
   }
 
+  test("m5 resize: 8x8 thumbnail is 64 bytes of hex for every doc, dims " +
+       "match m2's, and the sampling map is exact on a planted payload") {
+    val rows = Multimodal.m5ResizeThumb(spark, sfDir).collect()
+    val m2 = Multimodal.m2DecodeFeatures(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("thumb_hex").length == 128) // 64 bytes
+      assert(r.getAs[String]("thumb_hex").matches("[0-9a-f]{128}"))
+      assert(r.getAs[String]("thumb_fp").matches("[0-9a-f]{32}"))
+      // the resize addresses the same width x height grid m2 reports
+      assert(m2(r.getAs[Long]("doc_id")) ==
+        (r.getAs[Int]("width"), r.getAs[Int]("height")))
+    }
+    // planted 64-byte payload: width = 64 + 64%64 = 64, height = 64 + 1%64
+    // = 65; target (ty,tx) samples byte ((ty*65 div 8)*64 + (tx*64 div 8))
+    // % 64 — replay the index map in plain Scala and compare content
+    import spark.implicits._
+    val text = ('a' to 'z').mkString * 2 ++ "abcdefghijkl" // 64 ascii bytes
+    assert(text.length == 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-m5").toString
+    Seq((3L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val planted = Multimodal.m5ResizeThumb(spark, dir).collect()
+    assert(planted.length == 1)
+    val bytes = text.getBytes("UTF-8")
+    val expected = (0 until 64).map { t =>
+      val ty = t / 8; val tx = t % 8
+      val i = ((ty * 65 / 8) * 64 + (tx * 64 / 8)) % 64
+      "%02x".format(bytes(i))
+    }.mkString
+    assert(planted(0).getAs[String]("thumb_hex") == expected)
+  }
+
   test("m4 modality join: orphans on either side surface under sentinel " +
        "groups; matched rows land in the lang x label grid") {
     import spark.implicits._
