@@ -380,6 +380,80 @@ object TextAnalysis {
         round(col("top_freq").cast("double") / col("n_tok"), 4).as("top_share"))
       .orderBy(col("doc_id"))
 
+  /** t12 — quantized-surprisal unigram LM score (the CCNet-style
+    * "perplexity filter" shape, Wenzek et al. 2019 §4.3: score every doc
+    * against a language-model statistic derived from a reference corpus;
+    * here the corpus's own unigram distribution). A token's surprisal is
+    * quantized to whole BITS via pure integer/string ops —
+    * `length(bin(total div freq)) - 1` = floor(log2(total/freq)) — so
+    * there is NO floating-point log and NO cross-row float accumulation
+    * anywhere: per-doc totals are integer sums, and the mean is one final
+    * per-row division. Both engines therefore agree bit-for-bit, where a
+    * sum of `ln()`s over shuffled rows would be order-dependent and
+    * engine-dependent. High mean_bits = improbable-token text (gibberish,
+    * IDs, OCR noise); low = repetitive/templated text.
+    *
+    * Scale shape: two corpus scans (inherent to two-pass corpus
+    * statistics, same contract as t9) feeding three shuffles — the
+    * (doc, tok) pre-aggregation, the vocab aggregation, and the
+    * freq-lookup join. The probe side is per-(doc,tok) DISTINCT, so the
+    * hottest key ("the") carries at most n_docs rows — never
+    * n_occurrences — and the build side has exactly ONE row per key, so
+    * the join amplifies nothing; residual partition imbalance is what
+    * AQE's skew-join split exists for. On an open-web corpus the next
+    * knob is Zipf's law: broadcast the head vocab (a few thousand types
+    * cover ~90% of occurrences) and shuffle-join only the tail, whose
+    * keys are cold by construction. */
+  def t12Surprisal(s: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n_dt"))
+    val vocab = docTok.groupBy(col("tok")).agg(sum(col("n_dt")).as("freq"))
+    val total = vocab.agg(sum(col("freq")).as("total"))
+    // 1-row grand total: Spark broadcasts it (BroadcastNestedLoopJoin of
+    // a single row), so no shuffle is added
+    val scoredVocab = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        (length(bin(expr("total div freq"))) - 1).cast("long").as("bits"))
+    docTok.join(scoredVocab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_dt")).as("n_tok"),
+        sum(col("n_dt") * col("bits")).as("bits_sum"))
+      .select(col("doc_id"), col("n_tok"), col("bits_sum"),
+        round(col("bits_sum").cast("double") / col("n_tok").cast("double"), 4)
+          .as("mean_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source document cap for t13. 15 keeps 300 of 500 docs at
+    * sf0.01 and 300 of 5000 at sf0.1 — a real cut at every harness SF. */
+  private val QuotaPerSource = 15
+
+  /** t13 — per-source quota capping (the domain-mixing step of corpus
+    * curation: no single domain may contribute more than N documents).
+    * The N survivors per source are chosen by md5-of-id order — the same
+    * engine-independent determinism contract as t6/t7, so the kept set is
+    * a pure function of ids, stable across runs, engines and partition
+    * layouts, where `ORDER BY random()` or `sample()` would not be.
+    *
+    * Scale shape: one shuffle on `source`, and the rank filter is
+    * planned as WindowGroupLimit (pinned in PlanSpec): each map-side
+    * partition keeps only its local top-N per source BEFORE the
+    * exchange, so the shuffle moves O(sources × N × partitions) rows —
+    * not the corpus — and a 10^9-doc source never materializes a full
+    * sorted group. */
+  def t13SourceQuota(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), h.as("h"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= QuotaPerSource)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -393,6 +467,8 @@ object TextAnalysis {
     "t9_rare_tokens"        -> t9RareTokens _,
     "t10_sequence_packing"  -> t10SequencePacking _,
     "t11_repetition"        -> t11Repetition _,
+    "t12_surprisal"         -> t12Surprisal _,
+    "t13_source_quota"      -> t13SourceQuota _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -542,5 +618,36 @@ object TextAnalysis {
         |             / sum(n), 4) AS rep_ratio,
         |       round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_share
         |FROM cnt GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+    "t12_surprisal" ->
+      """WITH dt AS (
+        |  SELECT doc_id, tok, count(*) AS n_dt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok
+        |), vocab AS (
+        |  SELECT tok, CAST(sum(n_dt) AS BIGINT) AS freq FROM dt GROUP BY tok
+        |), scored AS (
+        |  SELECT tok,
+        |         CAST(length(bin((SELECT sum(freq) FROM vocab) // freq)) - 1
+        |              AS BIGINT) AS bits
+        |  FROM vocab
+        |)
+        |SELECT dt.doc_id,
+        |       CAST(sum(dt.n_dt) AS BIGINT) AS n_tok,
+        |       CAST(sum(dt.n_dt * s.bits) AS BIGINT) AS bits_sum,
+        |       round(CAST(sum(dt.n_dt * s.bits) AS DOUBLE)
+        |             / sum(dt.n_dt), 4) AS mean_bits
+        |FROM dt JOIN scored s USING (tok)
+        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
+    "t13_source_quota" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents
+        |)
+        |SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars
+        |FROM ranked WHERE rank <= 15 ORDER BY source, rank""".stripMargin,
   )
 }

@@ -350,4 +350,62 @@ class DedupSpec extends SparkSpec {
       assert(c >= -1.0001 && c <= 1.0001)
     }
   }
+
+  test("d8 segment dedup: planted shared 20-word block marks only that " +
+       "segment; exact dup doc marks all; first occurrence is canonical") {
+    import spark.implicits._
+    val block = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (1 to 20).map(i => s"v$i").mkString(" ")
+    val rows = Seq(
+      (1L, block, "en", "s0", 1L),                  // canonical copy
+      (2L, block, "en", "s0", 1L),                  // exact dup of 1
+      (3L, s"$block $other", "en", "s0", 1L),       // shares seg0 with 1
+      (4L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "s1", 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d8").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.d8SegmentDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L, 0.0, 20L, 20L),   // canonical: nothing dropped
+      (2L, 1L, 1L, 1.0, 20L, 0L),    // exact dup: everything dropped
+      (3L, 2L, 1L, 0.5, 40L, 20L),   // only the shared block dropped
+      (4L, 1L, 0L, 0.0, 10L, 10L)))  // short doc: one 10-token segment
+  }
+
+  test("d8 on the corpus: matches a driver-side brute-force recomputation " +
+       "(plain Scala segmentation + md5, no Spark expressions shared)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val segs = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(20).zipWithIndex.map { case (seg, i) =>
+        (id, i.toLong, md5hex(seg.mkString(" ")), seg.length.toLong)
+      }
+    }
+    val canonical = segs.groupBy(_._3).view
+      .mapValues(_.map(t => (t._1, t._2)).min).toMap
+    val expected = segs.groupBy(_._1).view.mapValues { ss =>
+      val dup = ss.filterNot(t => canonical(t._3) == ((t._1, t._2)))
+      (ss.length.toLong, dup.length.toLong,
+        BigDecimal(dup.length.toDouble / ss.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        ss.map(_._4).sum, ss.map(_._4).sum - dup.map(_._4).sum)
+    }.toMap
+    val out = Dedup.d8SegmentDedup(spark, sfDir).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val got = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+        r.getLong(5))
+      assert(got == expected(id), s"doc $id: got $got, want ${expected(id)}")
+    }
+    // the corpus's planted near-dups share aligned segments: the operator
+    // must find real work even though NO document is an exact copy
+    assert(out.exists(_.getLong(2) > 0), "no duplicated segments found")
+  }
 }

@@ -119,6 +119,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t13: the quota rank filter plans as a PARTIAL WindowGroupLimit " +
+       "below the exchange (map-side top-N; the corpus never sorts whole)") {
+    val p = plan(TextAnalysis.t13SourceQuota(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+    val partialBelowExchange = p.linesIterator
+      .dropWhile(l => !l.contains("Exchange hashpartitioning"))
+      .exists(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(partialBelowExchange,
+      s"no map-side (Partial) WindowGroupLimit under the exchange in:\n$p")
+  }
+
+  test("d8: segment fingerprints shuffle exactly twice (dedup window + " +
+       "doc profile); the document text itself never reaches an exchange") {
+    val p = plan(Dedup.d8SegmentDedup(spark, sfDir))
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.length == 2,
+      s"expected 2 hash exchanges, got ${exchanges.length} in:\n$p")
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text crossed an exchange in:\n$p")
+  }
+
   test("whole-stage codegen covers the scan->project hot path of t2") {
     // AQE's plan string hides codegen annotation until execution; disable
     // it for this one plan so the `*(n)` codegen markers are visible

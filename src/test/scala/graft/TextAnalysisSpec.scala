@@ -220,6 +220,55 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "s1", 2L, 1L, 1.0, 1.0)))
   }
 
+  test("t12 surprisal: bits = floor(log2(total/freq)) on a hand-computed " +
+       "corpus; integer path never touches a float log") {
+    import spark.implicits._
+    // corpus freqs: a:2 b:2 c:1, total 5
+    // bits: a,b -> 5 div 2 = 2 -> 1 bit; c -> 5 div 1 = 5 -> 2 bits
+    val rows = Seq(
+      (1L, "a a b", "en", "s0", 5L),  // bits_sum 2*1+1 = 3, mean 1.0
+      (2L, "b c", "en", "s0", 3L))    // bits_sum 1+2 = 3, mean 1.5
+    val dir = java.nio.file.Files.createTempDirectory("graft-t12").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.t12Surprisal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 3L, 3L, 1.0), (2L, 2L, 3L, 1.5)))
+  }
+
+  test("t12 surprisal on the corpus: every doc scored, bits bounded by " +
+       "the corpus size's bit length") {
+    val out = TextAnalysis.t12Surprisal(spark, sfDir).collect()
+    assert(out.length == 500)
+    // total occurrences fit in well under 2^63: mean bits must too
+    out.foreach { r =>
+      val mb = r.getAs[Double]("mean_bits")
+      assert(mb >= 0.0 && mb < 64.0, s"mean_bits out of range: $r")
+    }
+  }
+
+  test("t13 source quota: exactly 15 per source, ranks contiguous, and " +
+       "the kept set is the md5-order prefix recomputed independently") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.t13SourceQuota(spark, sfDir).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource.size == 20 && out.length == 300)
+    bySource.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 15))
+    }
+    // independent recomputation: collect all (source, md5hex, doc_id),
+    // sort in Scala, take 15 per source
+    val all = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(1)))
+    val expected = all.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (t._2, t._3)).take(15).map(_._3).toSet).toMap
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("doc_id")).toSet == expected(src))
+    }
+  }
+
   test("t4 fingerprints: md5 is stable and distinct_fp <= n_docs") {
     val out = TextAnalysis.t4Fingerprint(spark, sfDir).collect()
     assert(out.length == 20) // 20 sources
