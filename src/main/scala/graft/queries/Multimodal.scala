@@ -217,6 +217,79 @@ object Multimodal {
       .orderBy(col("lang"), col("label"))
   }
 
+  /** m6's chunk-bucket cap: a (chunk_idx, value) bucket above this size
+    * produces no pairs — the d4/d5 skew insurance, mirrored EXACTLY in
+    * the oracle (thumbnail bits over a synthetic corpus are correlated,
+    * so hot buckets are expected, not an anomaly). */
+  private[graft] val M6MaxBucket = 64
+
+  /** m6's near-dup cutoff: pairs within this many differing aHash bits. */
+  private val M6MaxHamming = 10
+
+  /** m6 — perceptual-hash image near-dup: the multimodal rung of the
+    * dedup ladder (d1-d5 dedup text and embeddings; scaled image corpora
+    * dedup on a perceptual hash of the DECODED pixels, so re-encoded /
+    * differently-compressed copies of one image still collide). The hash
+    * is the classic 8×8 average-hash: m5's nearest-neighbor thumbnail
+    * grid supplies 64 pixels (here `ascii` of the sampled payload byte —
+    * the decode seam's pixel read), and bit t is set iff pixel t exceeds
+    * the thumbnail mean — computed integer-only as `px*64 > sum(px)`, no
+    * division. Candidates must share one of four 16-bit hash chunks
+    * (d4's pigeonhole: guaranteed for Hamming <= 3 when no bucket
+    * overflows [[M6MaxBucket]]); survivors rank by exact Hamming
+    * distance over all 64 bits.
+    *
+    * Runs over the d4b-augmented corpus (every 50th doc replanted under
+    * a shifted id — the harness corpus has no organic exact dups below
+    * sf0.1), so Hamming-0 pairs exist at every SF and the check is
+    * never vacuous. Everything — grid, bits, buckets, cap, cutoff — is
+    * integer arithmetic the DuckDB oracle replays exactly.
+    *
+    * Scale shape: signature is scan-side projection; one shuffle on
+    * (chunk_idx, value) with capped buckets, pairs expanded inside
+    * groups via [[Dedup.pairCombos]] (never a self-join of the exploded
+    * table); `distinct` + rank on the candidate set, which the cap keeps
+    * linear-ish in the corpus. */
+  def m6PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val n = 8 // ThumbEdge: 8x8 aHash grid, 64 bits
+    val pixExprs = (0 until n * n).map { t =>
+      val ty = t / n
+      val tx = t % n
+      s"ascii(substring(text, pmod((($ty * height) div $n) * width + (($tx * width) div $n), len) + 1, 1))"
+    }
+    val chunkExprs = (0 until 4).map { c =>
+      (0 until 16).map { j =>
+        s"(CASE WHEN element_at(px, ${16 * c + j + 1}) * 64 > psum THEN ${1 << j} ELSE 0 END)"
+      }.mkString("CAST(", " + ", " AS INT)")
+    }
+    val sig = Dedup.d4bAugmented(Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") > 0)
+      .withColumn("width", expr("CAST(64 + pmod(len, 64) AS INT)"))
+      .withColumn("height", expr("CAST(64 + pmod(len div 64, 64) AS INT)"))
+      .withColumn("px", expr(s"array(${pixExprs.mkString(", ")})"))
+      .withColumn("psum", expr("aggregate(px, 0, (a, x) -> a + x)"))
+      .select(col("doc_id") +:
+        chunkExprs.zipWithIndex.map { case (e, c) => expr(e).as(s"c$c") }: _*)
+    val chunks = sig.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("chunk_idx", "chunk")))
+    chunks.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(collect_list(struct(col("doc_id"), col("c0"), col("c1"),
+        col("c2"), col("c3"))).as("ds"))
+      .filter(size(col("ds")).between(2, M6MaxBucket))
+      .select(explode(Dedup.pairCombos(col("ds"))).as("p"))
+      .select(col("p.x.doc_id").as("doc_a"), col("p.y.doc_id").as("doc_b"),
+        (bit_count(col("p.x.c0").bitwiseXOR(col("p.y.c0"))) +
+         bit_count(col("p.x.c1").bitwiseXOR(col("p.y.c1"))) +
+         bit_count(col("p.x.c2").bitwiseXOR(col("p.y.c2"))) +
+         bit_count(col("p.x.c3").bitwiseXOR(col("p.y.c3")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= M6MaxHamming)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta"  -> m1MultimodalMeta _,
     "m2_decode_features"  -> m2DecodeFeatures _,
@@ -224,6 +297,7 @@ object Multimodal {
     "m3_frame_sample"     -> m3FrameSample _,
     "m4_modality_join"    -> m4ModalityJoin _,
     "m5_resize_thumb"     -> m5ResizeThumb _,
+    "m6_phash_neardup"    -> m6PhashNearDup _,
   )
 
   /** m2's byte-histogram output is impractical to express in SQL → rows-
@@ -309,5 +383,65 @@ object Multimodal {
          |SELECT doc_id, width, height, thumb_hex, md5(thumb_hex) AS thumb_fp
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    // full replay of the aHash pipeline: same d4b planting, same m5
+    // nearest-neighbor grid (t = 8*ty+tx row-major), same integer
+    // bit rule px*64 > sum, same chunk buckets, cap and cutoff. The
+    // candidate join is a plain self-join here (oracle clarity); the
+    // engine expands pairs inside collect_list groups instead.
+    "m6_phash_neardup" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 50 = 0
+         |), p AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |         64 + length(text) % 64 AS width,
+         |         64 + (length(text) // 64) % 64 AS height
+         |  FROM aug WHERE length(text) > 0
+         |), px AS (
+         |  SELECT doc_id,
+         |         list_transform(range(64), t ->
+         |           ascii(substr(text, CAST(
+         |             ((((t // 8) * height) // 8) * width
+         |              + (((t % 8) * width) // 8)) % len + 1 AS BIGINT), 1)))
+         |           AS px
+         |  FROM p
+         |), sig AS (
+         |  SELECT doc_id,
+         |         list_sum(list_transform(range(16), j -> CASE
+         |           WHEN px[j + 1] * 64 > list_sum(px) THEN 1 << j
+         |           ELSE 0 END)) AS c0,
+         |         list_sum(list_transform(range(16), j -> CASE
+         |           WHEN px[j + 17] * 64 > list_sum(px) THEN 1 << j
+         |           ELSE 0 END)) AS c1,
+         |         list_sum(list_transform(range(16), j -> CASE
+         |           WHEN px[j + 33] * 64 > list_sum(px) THEN 1 << j
+         |           ELSE 0 END)) AS c2,
+         |         list_sum(list_transform(range(16), j -> CASE
+         |           WHEN px[j + 49] * 64 > list_sum(px) THEN 1 << j
+         |           ELSE 0 END)) AS c3
+         |  FROM px
+         |), chunks AS (
+         |  SELECT doc_id, c0, c1, c2, c3, i AS chunk_idx,
+         |         [c0, c1, c2, c3][i + 1] AS chunk
+         |  FROM sig, unnest(range(4)) AS t(i)
+         |), buck AS (
+         |  SELECT chunk_idx, chunk FROM chunks
+         |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $M6MaxBucket
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(bit_count(CAST(xor(a.c0, b.c0) AS BIGINT))
+         |            + bit_count(CAST(xor(a.c1, b.c1) AS BIGINT))
+         |            + bit_count(CAST(xor(a.c2, b.c2) AS BIGINT))
+         |            + bit_count(CAST(xor(a.c3, b.c3) AS BIGINT)) AS INT)
+         |           AS hamming
+         |  FROM chunks a
+         |  JOIN buck k ON k.chunk_idx = a.chunk_idx AND k.chunk = a.chunk
+         |  JOIN chunks b ON b.chunk_idx = a.chunk_idx AND b.chunk = a.chunk
+         |   AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 10
+         |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin,
   )
 }

@@ -132,4 +132,37 @@ class MultimodalSpec extends SparkSpec {
       ("de", "7", 1L),         // doc 2 <-> vec 2
       ("en", "<no_vec>", 1L))) // doc 1 was never embedded
   }
+
+  test("m6 phash near-dup: identical payloads pair at hamming 0 (planted " +
+       "dir and the d4b replant); distances bounded and sorted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-m6").toString
+    // doc 0 is replanted by the d4b augmentation (0 % 50 == 0); docs 1,2
+    // share a payload; 3 is unrelated
+    Seq(
+      (0L, "alpha beta gamma delta", "en", "s0", 22L),
+      (1L, (1 to 40).map(i => s"q$i").mkString(" "), "en", "s0", 1L),
+      (2L, (1 to 40).map(i => s"q$i").mkString(" "), "en", "s0", 1L),
+      (3L, (1 to 40).map(i => s"z$i").reverse.mkString(" "), "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Multimodal.m6PhashNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.contains((0L, 10000000L, 0)), s"replanted pair missing: ${out.toSeq}")
+    assert(out.contains((1L, 2L, 0)), s"identical-payload pair missing: ${out.toSeq}")
+    out.foreach { case (_, _, h) => assert(h >= 0 && h <= 10) }
+  }
+
+  test("m6 on the corpus: output sorted by distance, shifted-id pairs are " +
+       "exactly the planted duplicates at hamming 0") {
+    val out = Multimodal.m6PhashNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.map(_._3).toSeq == out.map(_._3).sortBy(identity).toSeq)
+    val planted = out.filter(p => p._2 == p._1 + 10000000L)
+    assert(planted.nonEmpty, "no planted duplicate pair surfaced")
+    planted.foreach { case (a, _, h) =>
+      assert(a % 50 == 0 && h == 0, s"bad planted pair ($a, $h)")
+    }
+  }
 }
