@@ -214,6 +214,66 @@ object EventQueries {
       .orderBy(col("start_us"))
   }
 
+  /** e8 — strict ordered conversion funnel (the windowFunnel /
+    * sequence-match shape every product-analytics engine ships): how far
+    * each user advances through view → click → purchase, where every
+    * stage must occur STRICTLY AFTER the previous one was first reached
+    * — "any click + any purchase, any order" is the classic wrong
+    * answer a per-type min aggregation gives.
+    *
+    * One shuffle on user_id: events collect per user, sort once by the
+    * (ts, id) total-order key, and a linear `aggregate` state machine
+    * walks the sequence (O(events-per-user), the same per-key cost the
+    * sessionizer pays). The DuckDB oracle deliberately uses a DIFFERENT
+    * composition — three chained min-after-previous-stage joins — so the
+    * differential check cross-validates two independent formulations of
+    * the funnel semantics. */
+  def e8Funnel(s: SparkSession, dir: String): DataFrame = {
+    val k = concat(
+      lpad(col("ts_us").cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 10, "0"))
+    events(s, dir)
+      .select(col("user_id"), k.as("k"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("k"), col("event_type"))))
+        .as("evs"))
+      .select(col("user_id"),
+        expr("""aggregate(evs, 0, (acc, e) -> CASE
+                  WHEN acc = 0 AND e.event_type = 'view' THEN 1
+                  WHEN acc = 1 AND e.event_type = 'click' THEN 2
+                  WHEN acc = 2 AND e.event_type = 'purchase' THEN 3
+                  ELSE acc END)""").as("reached"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Microseconds per day — e9's cohort bucketing unit. */
+  private val DayUs = 86400000000L
+
+  /** e9 — cohort retention: users bucketed by first-seen day, the grid of
+    * (cohort_day, day_offset) → distinct users active that many days
+    * later. Pure integer date arithmetic (epoch-microsecond days, same
+    * `div` both engines) — no timezone, no calendar functions.
+    *
+    * Scale shape: the (user, day) DISTINCT collapses each user's day to
+    * one row BEFORE anything joins (activity volume never amplifies),
+    * the cohort min and the join both key on user_id — co-partitioned
+    * with the distinct's shuffle — and the final grid aggregation is
+    * over (cohort, offset): tiny. The join of base to cohort carries one
+    * row per (user, active day); because base is distinct, the last agg
+    * counts rows, never needing a count-distinct's dedup state. */
+  def e9CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val cohort = base.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    base.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_user_journey" -> e1UserJourney _,
     "e2_rolling_value" -> e2RollingValue _,
@@ -222,6 +282,8 @@ object EventQueries {
     "e5_json_extract" -> e5JsonExtract _,
     "e6_asof_join"    -> e6AsofJoin _,
     "e7_range_join"   -> e7RangeJoin _,
+    "e8_funnel"       -> e8Funnel _,
+    "e9_cohort_retention" -> e9CohortRetention _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -325,5 +387,46 @@ object EventQueries {
          |FROM win w JOIN ev e
          |  ON e.ts_us >= w.start_us AND e.ts_us < w.end_us
          |GROUP BY 1, 2, 3 ORDER BY w.start_us""".stripMargin,
+    // independent formulation: three chained min-after-previous-stage
+    // aggregations instead of the engine's sorted-sequence state machine
+    "e8_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |           || lpad(CAST(event_id AS VARCHAR), 10, '0') AS k
+        |  FROM events
+        |), u AS (
+        |  SELECT DISTINCT user_id FROM e
+        |), v AS (
+        |  SELECT user_id, min(k) AS kv FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(k) AS kc FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND k > kv GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(k) AS kp FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND k > kc GROUP BY e.user_id
+        |)
+        |SELECT u.user_id,
+        |       CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2
+        |            WHEN v.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS reached
+        |FROM u
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+    "e9_cohort_retention" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |), ch AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM b GROUP BY 1
+        |)
+        |SELECT ch.cohort_day, b.day - ch.cohort_day AS day_offset,
+        |       count(*) AS n_users
+        |FROM b JOIN ch USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

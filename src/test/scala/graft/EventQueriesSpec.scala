@@ -104,6 +104,58 @@ class EventQueriesSpec extends SparkSpec {
       (105L, 1L, 1L, 1L)))
   }
 
+  test("e8 funnel: stages must advance strictly in order — a click " +
+       "BEFORE the first view cannot convert; the planted log shows " +
+       "view->click->purchase only for the user who did them in order") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-e8").toString
+    def ns(sec: Long) = sec * 1000000000L
+    Seq(
+      // user 1: full ordered funnel -> reached 3
+      (0L, ns(0), 1L, "view", 0.0, "{}"),
+      (1L, ns(10), 1L, "click", 0.0, "{}"),
+      (2L, ns(20), 1L, "purchase", 0.0, "{}"),
+      // user 2: click precedes the only view -> stuck at 1 despite
+      // having all three types (the per-type-min wrong answer says 3)
+      (3L, ns(0), 2L, "click", 0.0, "{}"),
+      (4L, ns(10), 2L, "purchase", 0.0, "{}"),
+      (5L, ns(20), 2L, "view", 0.0, "{}"),
+      // user 3: view then purchase, never a click -> 1
+      (6L, ns(0), 3L, "view", 0.0, "{}"),
+      (7L, ns(10), 3L, "purchase", 0.0, "{}"),
+      // user 4: no view at all -> 0
+      (8L, ns(0), 4L, "error", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = EventQueries.e8Funnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((1L, 3), (2L, 1), (3L, 1), (4L, 0)))
+  }
+
+  test("e9 cohort retention: offsets from each user's first-seen day; " +
+       "offset-0 cell counts the whole cohort") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-e9").toString
+    def dayNs(d: Long, sec: Long) = (d * 86400L + sec) * 1000000000L
+    Seq(
+      // cohort day 0: users 1,2; user 1 returns day 1 and 3, user 2 never
+      (0L, dayNs(0, 10), 1L, "view", 0.0, "{}"),
+      (1L, dayNs(0, 99), 1L, "click", 0.0, "{}"), // same day, 1 row after DISTINCT
+      (2L, dayNs(1, 5), 1L, "view", 0.0, "{}"),
+      (3L, dayNs(3, 5), 1L, "view", 0.0, "{}"),
+      (4L, dayNs(0, 20), 2L, "view", 0.0, "{}"),
+      // cohort day 2: user 3, returns day 3
+      (5L, dayNs(2, 0), 3L, "view", 0.0, "{}"),
+      (6L, dayNs(3, 0), 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = EventQueries.e9CohortRetention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (2L, 0L, 1L), (2L, 1L, 1L)))
+  }
+
   test("e4 hourly mix shares sum to 1 per hour on harness data") {
     val rows = EventQueries.e4HourlyMix(spark, sfDir).collect()
     val byHour = rows.groupBy(_.getAs[Int]("hour"))
