@@ -21,8 +21,9 @@ import graft.streaming.StreamingOps
   *   st3  contaminationScreen   bounded by the exact t8-shaped join
   *   st4  tumblingCounts        ≡ hour-floored grouped agg (exact cents)
   *   st5  sessionize            ≡ e3's sessions minus each user's open tail
+  *   st6  funnelDepth           ≡ e8's 3-join formulation cut mid-stream
   *
-  * With these five, EVERY StreamingOps operator has a driver-gated entry.
+  * With these six, EVERY StreamingOps operator has a driver-gated entry.
   *
   * Arrival time for st1/st2 is synthesized as `timestamp_micros(doc_id)`
   * — a deterministic, strictly-increasing ingest order (the harness
@@ -144,12 +145,38 @@ object StreamingCatalog {
       .orderBy(col("user_id"), col("start_us"))
   }
 
+  /** st6's snapshot instant: 2024-01-16T00:00:00Z in epoch micros — the
+    * midpoint of the harness event range (2024-01-01..30), so the
+    * snapshot sees roughly half the stream and depths are mid-flight. */
+  private val St6CutoffUs = 1705363200000000L
+
+  /** st6 — the streaming funnel's batch half, snapshotted mid-stream:
+    * the per-user view → click → purchase depth a live dashboard would
+    * show at [[St6CutoffUs]], i.e. [[StreamingOps.funnelDepth]] folded
+    * over exactly the events before the cutoff (NOT e8 over the whole
+    * history — the point of gating the snapshot is that a depth can
+    * only be mid-flight in a streaming view). The oracle replays e8's
+    * independent 3-chained-min-join formulation under the same cutoff,
+    * so the state machine and the join formulation cross-validate
+    * again, this time through the streaming fold. */
+  def st6FunnelSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = eventsUs(s, dir)
+      .filter(col("ts_us") < St6CutoffUs)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+      .as[StreamingOps.Ev]
+    StreamingOps.funnelDepth(evs).toDF()
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_dedup_first_seen"    -> st1DedupFirstSeen _,
     "st2_neardup_verified"    -> st2NearDupVerified _,
     "st3_contamination_bounds" -> st3ContaminationBounds _,
     "st4_tumbling_counts"     -> st4TumblingCounts _,
     "st5_sessions_closed"     -> st5SessionsClosed _,
+    "st6_funnel_snapshot"     -> st6FunnelSnapshot _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -233,5 +260,36 @@ object StreamingCatalog {
         |FROM sess
         |QUALIFY session_idx < max(session_idx) OVER (PARTITION BY user_id)
         |ORDER BY user_id, start_us""".stripMargin,
+    // e8's independent 3-chained-min-join formulation, cut at the
+    // snapshot instant — cross-validates the streaming fold the same way
+    // e8's oracle cross-validates the batch state machine
+    "st6_funnel_snapshot" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+         |           || lpad(CAST(event_id AS VARCHAR), 10, '0') AS k
+         |  FROM events WHERE epoch_us(ts) < $St6CutoffUs
+         |), u AS (
+         |  SELECT DISTINCT user_id FROM e
+         |), v AS (
+         |  SELECT user_id, min(k) AS kv FROM e
+         |  WHERE event_type = 'view' GROUP BY 1
+         |), c AS (
+         |  SELECT e.user_id, min(k) AS kc FROM e JOIN v USING (user_id)
+         |  WHERE event_type = 'click' AND k > kv GROUP BY e.user_id
+         |), p AS (
+         |  SELECT e.user_id, min(k) AS kp FROM e JOIN c USING (user_id)
+         |  WHERE event_type = 'purchase' AND k > kc GROUP BY e.user_id
+         |)
+         |SELECT u.user_id,
+         |       CASE WHEN p.user_id IS NOT NULL THEN 3
+         |            WHEN c.user_id IS NOT NULL THEN 2
+         |            WHEN v.user_id IS NOT NULL THEN 1
+         |            ELSE 0 END AS reached
+         |FROM u
+         |LEFT JOIN v USING (user_id)
+         |LEFT JOIN c USING (user_id)
+         |LEFT JOIN p USING (user_id)
+         |ORDER BY u.user_id""".stripMargin,
   )
 }

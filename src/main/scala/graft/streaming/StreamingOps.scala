@@ -142,6 +142,46 @@ object StreamingOps {
       }
   }
 
+  /** Per-user funnel depth emitted by [[funnelDepth]] after each
+    * micro-batch (the live dashboard row: how far has this user come). */
+  case class FunnelOut(user_id: Long, reached: Int)
+
+  /** Streaming ordered conversion funnel — the batch e8 state machine
+    * ([[graft.queries.EventQueries.e8Funnel]]) carried incrementally:
+    * per-user state is a single Int (the funnel stage), advanced by each
+    * micro-batch's events in (ts, id) order and re-emitted per update —
+    * what a live conversion dashboard reads. State is O(1) per user (an
+    * Int — no event buffering), keyed on the same user_id shuffle as
+    * every other per-user operator here.
+    *
+    * Ordering contract (same as st1's): exact for an in-order stream —
+    * each micro-batch sorts internally, and a stage machine that only
+    * advances is insensitive to batch boundaries. A straggler arriving
+    * AFTER a later-timestamped event was already consumed may advance a
+    * stage the strict batch order would not have (streaming cannot
+    * retro-sort what it already folded); whole-history truth stays e8's
+    * batch job. On a batch input the group sees ALL events sorted, so
+    * the result is exactly e8's — the symmetry StreamingSpec pins. */
+  def funnelDepth(events: Dataset[Ev]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Int, FunnelOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[Int]) =>
+          var st = state.getOption.getOrElse(0)
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            st = (st, e.event_type) match {
+              case (0, "view")     => 1
+              case (1, "click")    => 2
+              case (2, "purchase") => 3
+              case _               => st
+            }
+          }
+          state.update(st)
+          FunnelOut(uid, st)
+      }
+  }
+
   /** One (doc, band) occupancy row feeding [[nearDupCandidates]]'s keyed
     * state; `bh` is the LSH band-bucket hash. */
   case class BandRow(doc_id: Long, band: Int, bh: Long, ts: java.sql.Timestamp)

@@ -279,4 +279,49 @@ class StreamingSpec extends SparkSpec {
       .sortBy(_._1)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("streaming funnel: depth advances across micro-batches and the " +
+       "final state equals the batch e8 result on the same events") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-funnel").toString
+    def us(sec: Long) = sec * 1000000L
+    def writeBatch(evs: Seq[Ev], name: String): Unit =
+      evs.toDS().coalesce(1).write.parquet(s"$dir/$name")
+    // batch 1: user 1 views (depth 1); user 2 clicks without a view (0)
+    writeBatch(Seq(
+      Ev(0L, 1L, us(10), "view", 0.0),
+      Ev(1L, 2L, us(10), "click", 0.0)), "b1")
+    val in = spark.readStream.schema(eventSchema).parquet(s"$dir/b*")
+    val q = StreamingOps.funnelDepth(in.as[Ev])
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(after1 == Map(1L -> 1, 2L -> 0))
+      // batch 2: user 1 click+purchase completes (3); user 2's view
+      // arrives but the earlier click cannot retro-convert (1)
+      writeBatch(Seq(
+        Ev(2L, 1L, us(20), "click", 0.0),
+        Ev(3L, 1L, us(30), "purchase", 0.0),
+        Ev(4L, 2L, us(20), "view", 0.0)), "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    // state only advances: max update per user == final state
+    val finalDepth = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(finalDepth == Map(1L -> 3, 2L -> 1))
+    // batch symmetry on the harness corpus: folding ALL events as one
+    // batch equals e8 (same state machine, same (ts, id) order)
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("value")).as[Ev]
+    val folded = StreamingOps.funnelDepth(evs).collect()
+      .map(f => (f.user_id, f.reached)).toMap
+    val e8 = graft.queries.EventQueries.e8Funnel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(folded == e8)
+  }
 }
