@@ -254,20 +254,20 @@ object EventQueries {
     * later. Pure integer date arithmetic (epoch-microsecond days, same
     * `div` both engines) — no timezone, no calendar functions.
     *
-    * Scale shape: the (user, day) DISTINCT collapses each user's day to
-    * one row BEFORE anything joins (activity volume never amplifies),
-    * the cohort min and the join both key on user_id — co-partitioned
-    * with the distinct's shuffle — and the final grid aggregation is
-    * over (cohort, offset): tiny. The join of base to cohort carries one
-    * row per (user, active day); because base is distinct, the last agg
-    * counts rows, never needing a count-distinct's dedup state. */
+    * Scale shape: ONE scan. The (user, day) DISTINCT collapses each
+    * user's day to one row first (activity volume never amplifies),
+    * the cohort day attaches as an unordered min window over user_id on
+    * that collapsed set — a window, not a join, so the corpus is never
+    * scanned twice (the join formulation plans two full scans, one per
+    * branch) — and the final grid aggregation is over (cohort, offset):
+    * tiny. Because the base is distinct, the last agg counts rows,
+    * never needing a count-distinct's dedup state. */
   def e9CohortRetention(s: SparkSession, dir: String): DataFrame = {
-    val base = events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+    events(s, dir)
       .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
       .distinct()
-    val cohort = base.groupBy(col("user_id"))
-      .agg(min(col("day")).as("cohort_day"))
-    base.join(cohort, Seq("user_id"))
+      .withColumn("cohort_day", min(col("day")).over(w))
       .groupBy(col("cohort_day"),
         (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))

@@ -119,6 +119,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("e8: the funnel is ONE hash exchange on user_id (collect + state " +
+       "machine; no second shuffle before the output sort)") {
+    val p = plan(EventQueries.e8Funnel(spark, sfDir))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$p")
+  }
+
+  test("e9: cohort retention reads the events ONCE (window formulation; " +
+       "the join formulation plans a scan per branch)") {
+    val p = plan(EventQueries.e9CohortRetention(spark, sfDir))
+    val scans = p.linesIterator.count(l => l.contains("FileScan parquet") ||
+      l.trim.startsWith("Scan parquet") || l.contains("+- Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans in:\n$p")
+  }
+
   test("t13: the quota rank filter plans as a PARTIAL WindowGroupLimit " +
        "below the exchange (map-side top-N; the corpus never sorts whole)") {
     val p = plan(TextAnalysis.t13SourceQuota(spark, sfDir))
