@@ -409,7 +409,11 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("n_dt"))
-    val vocab = docTok.groupBy(col("tok")).agg(sum(col("n_dt")).as("freq"))
+    // vocab feeds BOTH the per-type bits and the grand total: without the
+    // materialization the plan recomputes the corpus scan + (doc,tok) agg
+    // a third time just to sum the frequencies (graft.Explain, sf0.1)
+    val vocab = graft.Materialize(
+      docTok.groupBy(col("tok")).agg(sum(col("n_dt")).as("freq")))
     val total = vocab.agg(sum(col("freq")).as("total"))
     // 1-row grand total: Spark broadcasts it (BroadcastNestedLoopJoin of
     // a single row), so no shuffle is added
