@@ -276,11 +276,57 @@ object Similarity {
     recallVsBrute(e, approx, Seq(lit(PqM).as("m_subspaces")))
   }
 
+  /** s5: prefix width for the truncated-dimension shortlist pass, and
+    * the shortlist depth the exact re-rank consumes. */
+  private val S5PrefixDims = 16
+  private val S5Shortlist = 40
+
+  /** s5 — truncated-dimension two-stage retrieval (the matryoshka-
+    * embedding serving pattern, Kusupati et al. 2022: a prefix of a
+    * nested-trained embedding is itself a usable low-dim embedding, so
+    * retrieval shortlists on the cheap prefix and re-ranks the shortlist
+    * at full precision). Stage 1 ranks the corpus by cosine over the
+    * first [[S5PrefixDims]] of 64 dims — a 4× cut in bytes read and
+    * flops on the side that scans the WHOLE corpus, and at a real
+    * deployment the prefix is materialized as its own column so the
+    * full vectors are only fetched for the [[S5Shortlist]]-deep
+    * shortlist (the same memory-bandwidth argument as s4's ADC, traded
+    * differently: no codebook training, recall bounded by how much of
+    * the cosine mass the prefix carries). Stage 2 re-ranks the
+    * shortlist with exact full-dim cosine and reports measured
+    * recall@10 — the harness embeddings are NOT matryoshka-trained, so
+    * the measured recall is the honest untrained-prefix baseline.
+    *
+    * Fully oracle-replayed: prefix slicing, both cosine roundings and
+    * both tie-broken rankings are deterministic in each engine. */
+  def s5AnnTruncated(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val pre = e.select(col("vec_id"), col("embedding"),
+      slice(col("embedding"), 1, S5PrefixDims).as("emb_p"))
+    val q = querySet(e)
+      .withColumn("q_p", slice(col("q_emb"), 1, S5PrefixDims))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("p_cos").desc, col("vec_id").asc)
+    val short = broadcast(q).join(pre, col("vec_id") =!= col("q_id"))
+      .withColumn("p_cos", round(cosine_sim(col("q_p"), col("emb_p")), 4))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= S5Shortlist)
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val approx = short
+      .withColumn("cosine", round(cosine_sim(col("q_emb"), col("embedding")), 4))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+    recallVsBrute(e, approx, Seq(lit(S5PrefixDims).as("prefix_dims")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> s1KnnBrute _,
     "s2_ann_ivf"   -> s2AnnIvf _,
     "s3_ann_lsh"   -> s3AnnLsh _,
     "s4_ann_pq"    -> s4AnnPq _,
+    "s5_ann_truncated" -> s5AnnTruncated _,
   )
 
   // ---- DuckDB oracle construction -----------------------------------
@@ -484,6 +530,43 @@ object Similarity {
        |${recallSql(s"CAST($PqM AS INTEGER) AS m_subspaces")}""".stripMargin
   }
 
+  private def s5OracleSql: String = {
+    val pref = s"list_slice(embedding, 1, $S5PrefixDims)"
+    s"""WITH $commonCtes,
+       |pre AS (
+       |  SELECT vec_id, embedding, nrm, $pref AS emb_p,
+       |         sqrt(list_sum(list_transform($pref,
+       |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS pnrm
+       |  FROM en
+       |),
+       |qp AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+       |         emb_p AS q_p, pnrm AS q_pnrm
+       |  FROM pre WHERE vec_id < $NumQueries
+       |),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT qp.q_id, p.vec_id,
+       |           row_number() OVER (PARTITION BY qp.q_id
+       |             ORDER BY ${cosSql("qp.q_p", "qp.q_pnrm", "p.emb_p", "p.pnrm")} DESC,
+       |                      p.vec_id ASC) AS rn
+       |    FROM qp JOIN pre p ON p.vec_id <> qp.q_id
+       |  ) WHERE rn <= $S5Shortlist
+       |),
+       |approx AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT sl.q_id, sl.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY sl.q_id
+       |             ORDER BY ${cosSql("qn.q_emb", "qn.q_nrm", "en.embedding", "en.nrm")} DESC,
+       |                      sl.vec_id ASC) AS rank
+       |    FROM short sl
+       |    JOIN qn ON qn.q_id = sl.q_id
+       |    JOIN en ON en.vec_id = sl.vec_id
+       |  ) WHERE rank <= $K
+       |)
+       |${recallSql(s"CAST($S5PrefixDims AS INTEGER) AS prefix_dims")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "s1_knn_brute" ->
       s"""WITH $commonCtes,
@@ -500,5 +583,6 @@ object Similarity {
     "s2_ann_ivf" -> s2OracleSql,
     "s3_ann_lsh" -> s3OracleSql,
     "s4_ann_pq"  -> s4OracleSql,
+    "s5_ann_truncated" -> s5OracleSql,
   )
 }

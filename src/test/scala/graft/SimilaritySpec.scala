@@ -54,4 +54,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.sum > 0.0, "LSH found no true neighbors at all")
     rows.foreach(r => assert(r.getAs[Long]("n_returned") <= 10))
   }
+
+  test("s5 truncated-prefix: full result sets (a 40-deep shortlist " +
+       "always fills top-10), recall beats random on untrained prefixes") {
+    val rows = Similarity.s5AnnTruncated(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("prefix_dims") == 16)
+      assert(r.getAs[Long]("n_returned") == 10L)
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // a random 10-of-499 shortlist scores ~0.02; a 16-of-64-dim prefix
+    // carries a quarter of the cosine mass — observed mean 0.42
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    assert(recalls.sum / recalls.length >= 0.15,
+      s"prefix recall too low: ${recalls.mkString(",")}")
+  }
 }
