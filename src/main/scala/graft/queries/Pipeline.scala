@@ -126,9 +126,119 @@ object Pipeline {
       .orderBy(col("stage"))
   }
 
+  /** p3's corpus-statistic gates: the surprisal ceiling (mean quantized
+    * bits per token — drops the improbable-token tail, ~1.5% of the
+    * harness corpus at every SF) and the per-source quota among
+    * survivors (t13's rationale). */
+  private val P3MaxMeanBits = 4.2
+  private val P3Quota = 15
+
+  /** p3 — curation funnel v2: the round-10 operators composed as ONE
+    * pipeline, the way a production curation run chains them:
+    *
+    *   a_ingest     every document
+    *   b_quality    t2 quality ≥ 0.5 (same shared expression tree)
+    *   c_surprisal  t12's corpus-statistic gate: mean quantized
+    *                surprisal ≤ [[P3MaxMeanBits]] bits (the CCNet-style
+    *                LM filter, applied after the cheap heuristic)
+    *   d_quota      t13's per-source cap, ranked among c-survivors only
+    *                (no quota slot wasted on a doc a later stage drops)
+    *   e_segdedup   d8's segment dedup among d-survivors: stage TOKENS
+    *                are the segment-kept mass — the one stage that
+    *                shrinks tokens without necessarily dropping docs (a
+    *                doc whose every segment duplicates disappears)
+    *
+    * Scale shape: the flag scan and the t12 vocab passes are the
+    * documented two-pass corpus statistic; the quota is the same
+    * running-count window trick as p1's dedup stage (rank among
+    * survivors with NO join-back); the segment stage re-scans only to
+    * segment the d-survivor subset (a left-semi join on doc_id before
+    * any explode) — at 100 TB you segment the survivors, never the
+    * corpus. Everything is integer arithmetic + two rounded divisions,
+    * replayed end-to-end by the DuckDB oracle. */
+  def p3CurationV2(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        TextAnalysis.qualityExpr(col("text"), col("n_chars")).as("quality"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .withColumn("q_pass", col("quality") >= 0.5)
+    // t12's two-pass corpus statistic (vocab materialized across its
+    // bits + grand-total branches, as in t12 itself)
+    val docTok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("n_dt"))
+    val vocab = graft.Materialize(
+      docTok.groupBy(col("tk")).agg(sum(col("n_dt")).as("freq")))
+    val total = vocab.agg(sum(col("freq")).as("total"))
+    val bits = vocab.crossJoin(broadcast(total))
+      .select(col("tk"),
+        (length(bin(expr("total div freq"))) - 1).cast("long").as("bits"))
+    val mb = docTok.join(bits, Seq("tk"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("n_dt") * col("bits")).cast("double")
+        / sum(col("n_dt")), 4).as("mean_bits"))
+    val flagged = base.join(mb, Seq("doc_id"))
+      .withColumn("s_pass",
+        col("q_pass") && col("mean_bits") <= P3MaxMeanBits)
+    // quota among c-survivors via the p1 running-count trick: u_pass =
+    // s_pass && fewer than Quota prior s_pass docs in md5-of-id order
+    val wPrev = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val quotaed = graft.Materialize(flagged.withColumn("u_pass",
+      col("s_pass") && coalesce(
+        sum(when(col("s_pass"), 1L).otherwise(0L)).over(wPrev),
+        lit(0L)) < P3Quota))
+    // d8's segment dedup restricted to the d-survivors
+    val survivors = quotaed.filter(col("u_pass")).select(col("doc_id"))
+    val ws = split(col("text"), " ")
+    val nseg = expr("(size(ws) + 19) div 20")
+    val segs = Tables.documents(s, dir)
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), nseg - 1)).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        md5(array_join(slice(col("ws"),
+          (col("seg_idx") * 20 + 1).cast("int"), lit(20)), " ")
+          .cast("binary")).as("sfp"),
+        size(slice(col("ws"),
+          (col("seg_idx") * 20 + 1).cast("int"), lit(20)))
+          .cast("long").as("seg_tok"))
+    val wSeg = Window.partitionBy(col("sfp"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    val kept = segs.withColumn("is_dup", row_number().over(wSeg) > 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("is_dup"), 0L).otherwise(col("seg_tok")))
+        .as("tok_kept"))
+    quotaed.join(kept, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n0"), sum(col("tok")).as("t0"),
+        sum(when(col("q_pass"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("q_pass"), col("tok")).otherwise(0L)).as("t1"),
+        sum(when(col("s_pass"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("s_pass"), col("tok")).otherwise(0L)).as("t2"),
+        sum(when(col("u_pass"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("u_pass"), col("tok")).otherwise(0L)).as("t3"),
+        sum(when(col("u_pass") && coalesce(col("tok_kept"), lit(0L)) > 0L,
+          1L).otherwise(0L)).as("n4"),
+        sum(when(col("u_pass"), coalesce(col("tok_kept"), lit(0L)))
+          .otherwise(0L)).as("t4"))
+      .selectExpr(
+        """stack(5,
+          |  'a_ingest',    n0, t0,
+          |  'b_quality',   n1, t1,
+          |  'c_surprisal', n2, t2,
+          |  'd_quota',     n3, t3,
+          |  'e_segdedup',  n4, t4) AS (stage, n_docs, n_tokens)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_curation_funnel" -> p1CurationFunnel _,
     "p2_funnel_neardup"  -> p2CurationFunnelNearDup _,
+    "p3_curation_v2"     -> p3CurationV2 _,
   )
 
   /** The per-doc staged-flag CTE chain (d → f → g → h) shared by the p1
@@ -246,5 +356,87 @@ object Pipeline {
         |  SELECT 'e_neardup', count(*) FILTER (e_pass),
         |         CAST(coalesce(sum(tok) FILTER (e_pass), 0) AS BIGINT) FROM h2
         |) ORDER BY stage""".stripMargin,
+    // funnel v2 end-to-end: t2 quality tree, t12 surprisal replay, t13
+    // quota as the same prior-survivor running-count window, d8 segment
+    // dedup among survivors
+    "p3_curation_v2" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         |         0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+         |           + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+         |                          / CAST(n_chars AS DOUBLE))
+         |           + 0.2 * least((CAST(len(list_filter(string_split(text, ' '),
+         |                 w -> w IN ('the','a','of','to','in','and'))) AS DOUBLE)
+         |               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0, 1.0)
+         |           >= 0.5 AS q_pass,
+         |         md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents
+         |), dt AS (
+         |  SELECT doc_id, tk, count(*) AS n_dt
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+         |        FROM documents)
+         |  GROUP BY doc_id, tk
+         |), vocab AS (
+         |  SELECT tk, CAST(sum(n_dt) AS BIGINT) AS freq FROM dt GROUP BY tk
+         |), sc AS (
+         |  SELECT tk, CAST(length(bin((SELECT sum(freq) FROM vocab) // freq)) - 1
+         |              AS BIGINT) AS bits
+         |  FROM vocab
+         |), mb AS (
+         |  SELECT dt.doc_id,
+         |         round(CAST(sum(dt.n_dt * sc.bits) AS DOUBLE)
+         |               / sum(dt.n_dt), 4) AS mean_bits
+         |  FROM dt JOIN sc USING (tk) GROUP BY dt.doc_id
+         |), fl AS (
+         |  SELECT q.*, q.q_pass AND mb.mean_bits <= $P3MaxMeanBits AS s_pass
+         |  FROM q JOIN mb USING (doc_id)
+         |), u AS (
+         |  SELECT *,
+         |         s_pass AND coalesce(
+         |           CAST(sum(CASE WHEN s_pass THEN 1 ELSE 0 END)
+         |             OVER (PARTITION BY source ORDER BY h, doc_id
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |             AS BIGINT), 0) < $P3Quota AS u_pass
+         |  FROM fl
+         |), segs AS (
+         |  SELECT d.doc_id, i AS seg_idx,
+         |         md5(array_to_string(
+         |           list_slice(ws, i * 20 + 1, i * 20 + 20), ' ')) AS sfp,
+         |         len(list_slice(ws, i * 20 + 1, i * 20 + 20)) AS seg_tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents
+         |        WHERE doc_id IN (SELECT doc_id FROM u WHERE u_pass)) d,
+         |       unnest(range((len(ws) + 19) // 20)) AS t(i)
+         |), kept AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN rn > 1 THEN 0 ELSE seg_tok END) AS BIGINT)
+         |           AS tok_kept
+         |  FROM (SELECT doc_id, seg_tok,
+         |               row_number() OVER (
+         |                 PARTITION BY sfp ORDER BY doc_id, seg_idx) AS rn
+         |        FROM segs)
+         |  GROUP BY doc_id
+         |), w AS (
+         |  SELECT u.*, coalesce(k.tok_kept, 0) AS tok_kept
+         |  FROM u LEFT JOIN kept k USING (doc_id)
+         |)
+         |SELECT * FROM (
+         |  SELECT 'a_ingest' AS stage, count(*) AS n_docs,
+         |         CAST(sum(tok) AS BIGINT) AS n_tokens FROM w
+         |  UNION ALL
+         |  SELECT 'b_quality', count(*) FILTER (q_pass),
+         |         CAST(coalesce(sum(tok) FILTER (q_pass), 0) AS BIGINT) FROM w
+         |  UNION ALL
+         |  SELECT 'c_surprisal', count(*) FILTER (s_pass),
+         |         CAST(coalesce(sum(tok) FILTER (s_pass), 0) AS BIGINT) FROM w
+         |  UNION ALL
+         |  SELECT 'd_quota', count(*) FILTER (u_pass),
+         |         CAST(coalesce(sum(tok) FILTER (u_pass), 0) AS BIGINT) FROM w
+         |  UNION ALL
+         |  SELECT 'e_segdedup', count(*) FILTER (u_pass AND tok_kept > 0),
+         |         CAST(coalesce(sum(tok_kept) FILTER (u_pass), 0) AS BIGINT)
+         |         FROM w
+         |) ORDER BY stage""".stripMargin,
   )
 }

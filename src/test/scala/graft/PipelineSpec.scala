@@ -89,4 +89,22 @@ class PipelineSpec extends SparkSpec {
     val d = p2(3); val e = p2(4)
     assert(e._1 == "e_neardup" && e._2 <= d._2 && e._3 <= d._3)
   }
+
+  test("p3 funnel v2: stages monotone, quota bounded by sources x cap, " +
+       "segment stage trims tokens without inventing docs") {
+    val out = Pipeline.p3CurationV2(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(
+      "a_ingest", "b_quality", "c_surprisal", "d_quota", "e_segdedup"))
+    // docs and tokens never increase down the funnel
+    out.sliding(2).foreach { case Array(hi, lo) =>
+      assert(lo._2 <= hi._2 && lo._3 <= hi._3, s"$lo exceeds $hi")
+    }
+    assert(out(0)._2 == 500L)
+    // every stage keeps something and drops something on the corpus
+    assert(out.last._3 > 0)
+    assert(out(2)._2 < out(1)._2, "surprisal gate dropped nothing")
+    // quota: at most 15 per each of the 20 sources
+    assert(out(3)._2 <= 20L * 15)
+  }
 }
