@@ -193,6 +193,39 @@ object Analytics {
         coalesce(col("o_orderpriority"), lit("~")),
         coalesce(col("o_orderstatus"), lit("~")))
 
+  /** x9 — heavy hitters: the frequent-items sketch (`approx_top_k`,
+    * a datasketches ItemsSketch aggregate — mergeable fixed-size state,
+    * the same scale argument as x3's HLL) gated against the exact
+    * token-frequency top-20. The sketch is sized OVER the domain
+    * (capacity 1000 ≫ the corpus's 31-token vocab), where the
+    * datasketches frequent-items algorithm is EXACT — no item ever
+    * evicts, so every estimate equals the true count deterministically.
+    * That under-capacity exactness is the pinned contract
+    * (`sketch_exact` must be TRUE row for row; the DuckDB oracle states
+    * it as a literal over the exact counts): an eviction bug, a merge
+    * bug, or a capacity regression flips a boolean and hash-mismatches.
+    * Over-capacity behavior (estimates become upper bounds) is the
+    * documented production regime — there the gate would move to
+    * x7-style bound booleans.
+    *
+    * Scale shape: both branches are one exchange each off the exploded
+    * scan — the sketch side aggregates to ONE mergeable state (partial
+    * sketches merge map-side, like any partial agg), the exact side is
+    * a 31-group token count. */
+  def x9HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sk = tok.agg(expr("approx_top_k(tok, 31, 1000)").as("tops"))
+      .select(explode(col("tops")).as("e"))
+      .select(col("e.item").as("tok"), col("e.count").as("est"))
+    tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(20)
+      .join(sk, Seq("tok"), "left")
+      .select(col("tok"), col("n"),
+        (coalesce(col("est"), lit(-1L)) === col("n")).as("sketch_exact"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_rollup"          -> x1Rollup _,
     "x2_setops"          -> x2SetOps _,
@@ -203,6 +236,7 @@ object Analytics {
     "x6_percentiles"     -> x6Percentiles _,
     "x7_approx_percentile_bound" -> x7ApproxPercentileBound _,
     "x8_grouping_sets"   -> x8GroupingSets _,
+    "x9_heavy_hitters"   -> x9HeavyHitters _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -267,5 +301,15 @@ object Analytics {
         |                        (o_orderpriority), (o_orderstatus))
         |ORDER BY g_pri, g_stat, coalesce(o_orderpriority, '~'),
         |         coalesce(o_orderstatus, '~')""".stripMargin,
+    // the sketch runs under capacity (vocab 31 ≪ 1000), where the
+    // frequent-items algorithm is exact — so sketch_exact is TRUE by
+    // contract, stated as a literal over the exact counts
+    "x9_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |)
+        |SELECT tok, count(*) AS n, TRUE AS sketch_exact
+        |FROM t GROUP BY tok
+        |ORDER BY n DESC, tok LIMIT 20""".stripMargin,
   )
 }

@@ -80,4 +80,16 @@ class AnalyticsSpec extends SparkSpec {
         s"approx_count_distinct off by ${r.getAs[Double]("rel_err")} for $r")
     }
   }
+
+  test("x9 heavy hitters: under-capacity frequent-items sketch is exact " +
+       "for every top-20 token; counts strictly ranked") {
+    val rows = Analytics.x9HeavyHitters(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("sketch_exact"),
+        s"sketch missed or misestimated: $r")
+    }
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not ranked")
+  }
 }
