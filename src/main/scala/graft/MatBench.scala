@@ -20,7 +20,8 @@ object MatBench {
     val runs = args.lift(1).map(_.toInt).getOrElse(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = BenchSupport.session(cpus)
-    val queries = Seq("d3_minhash_lsh", "d4_simhash", "p2_funnel_neardup")
+    val queries = Seq("d3_minhash_lsh", "d4_simhash", "p2_funnel_neardup",
+      "t12_surprisal", "p3_curation_v2")
     queries.foreach(BenchSupport.once(spark, _, BenchSupport.warmupDir(sfDir)))
     for (mode <- Seq("cache", "localCheckpoint", "none"); q <- queries) {
       sys.props(Materialize.Prop) = mode

@@ -90,6 +90,22 @@ class PipelineSpec extends SparkSpec {
     assert(e._1 == "e_neardup" && e._2 <= d._2 && e._3 <= d._3)
   }
 
+  test("p3 returns identical rows under cache, localCheckpoint, and none " +
+       "(the vocab materialization is a pure cost choice)") {
+    def rows(mode: String): Seq[String] = {
+      val old = sys.props.get(graft.Materialize.Prop)
+      sys.props(graft.Materialize.Prop) = mode
+      try Pipeline.p3CurationV2(spark, sfDir).collect()
+        .map(_.toString).toSeq
+      finally old match {
+        case Some(v) => sys.props(graft.Materialize.Prop) = v
+        case None => sys.props.remove(graft.Materialize.Prop)
+      }
+    }
+    val cache = rows("cache")
+    assert(cache == rows("localCheckpoint") && cache == rows("none"))
+  }
+
   test("p3 funnel v2: stages monotone, quota bounded by sources x cap, " +
        "segment stage trims tokens without inventing docs") {
     val out = Pipeline.p3CurationV2(spark, sfDir).collect()
