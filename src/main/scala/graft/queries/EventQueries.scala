@@ -274,6 +274,37 @@ object EventQueries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** e10 — rolling 7-day active users: per calendar day, DAU (distinct
+    * users that day), WAU (distinct users over the trailing 7 days) and
+    * the DAU/WAU stickiness ratio — the product-analytics daily board.
+    * A sliding COUNT(DISTINCT) cannot run as a plain window (distinct
+    * state is not subtractable), so the standard reshape: collapse to
+    * (user, day) first, explode each activity day into the ≤7 window
+    * days it contributes to, dedupe (window_day, user) — a user active
+    * twice in one window counts once — and count rows. Integer epoch-day
+    * arithmetic throughout; one rounded division at the end.
+    *
+    * Scale shape: the (user, day) DISTINCT bounds the explode's input
+    * (7 rows per user-day, not per event); both dedup shuffles key on
+    * (day, user) — fine-grained, partial-agg'd, no hot key. Window days
+    * with no history shorter than 7 days simply cover fewer days (the
+    * honest leading-edge semantics both engines state identically). */
+  def e10RollingActive(s: SparkSession, dir: String): DataFrame = {
+    val userDay = events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val dau = userDay.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = userDay
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .distinct()
+      .groupBy(col("wday")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_user_journey" -> e1UserJourney _,
     "e2_rolling_value" -> e2RollingValue _,
@@ -284,6 +315,7 @@ object EventQueries {
     "e7_range_join"   -> e7RangeJoin _,
     "e8_funnel"       -> e8Funnel _,
     "e9_cohort_retention" -> e9CohortRetention _,
+    "e10_rolling_active" -> e10RollingActive _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -428,5 +460,21 @@ object EventQueries {
         |       count(*) AS n_users
         |FROM b JOIN ch USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e10_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |), dau AS (
+        |  SELECT day, count(*) AS dau FROM ud GROUP BY 1
+        |), wau AS (
+        |  SELECT wday, count(*) AS wau FROM (
+        |    SELECT DISTINCT user_id, day + i AS wday
+        |    FROM ud, unnest(range(7)) AS t(i)
+        |  ) GROUP BY 1
+        |)
+        |SELECT d.day, d.dau, w.wau,
+        |       round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+        |FROM dau d JOIN wau w ON w.wday = d.day
+        |ORDER BY d.day""".stripMargin,
   )
 }

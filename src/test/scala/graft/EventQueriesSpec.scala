@@ -156,6 +156,27 @@ class EventQueriesSpec extends SparkSpec {
       (2L, 0L, 1L), (2L, 1L, 1L)))
   }
 
+  test("e10 rolling active: WAU counts a user once per trailing window, " +
+       "DAU/WAU on a hand-computed log") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-e10").toString
+    def dayNs(d: Long, sec: Long) = (d * 86400L + sec) * 1000000000L
+    Seq(
+      (0L, dayNs(0, 1), 1L, "view", 0.0, "{}"),
+      (1L, dayNs(0, 2), 1L, "view", 0.0, "{}"), // same user+day: counts once
+      (2L, dayNs(0, 3), 2L, "view", 0.0, "{}"),
+      (3L, dayNs(1, 1), 1L, "view", 0.0, "{}"),
+      (4L, dayNs(8, 1), 3L, "view", 0.0, "{}")) // outside day 1's window
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = EventQueries.e10RollingActive(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (0L, 2L, 2L, 1.0),   // window [-6..0] = {1,2}
+      (1L, 1L, 2L, 0.5),   // window [-5..1] = {1,2}, active today: {1}
+      (8L, 1L, 1L, 1.0)))  // day 8's window misses days 0-1 entirely
+  }
+
   test("e4 hourly mix shares sum to 1 per hour on harness data") {
     val rows = EventQueries.e4HourlyMix(spark, sfDir).collect()
     val byHour = rows.groupBy(_.getAs[Int]("hour"))
