@@ -176,6 +176,86 @@ object SimHash64 {
   }
 }
 
+/** Scan-side 8×8 average-hash chunks of a payload's byte stream: the
+  * four 16-bit aHash chunks m6's perceptual dedup blocks on, in ONE
+  * O(64) pass — 64 random byte reads off the m5 nearest-neighbor grid,
+  * one integer mean comparison per pixel, no substring materialization.
+  *
+  * Bit-compatibility contract (pinned in MultimodalSpec): on ASCII
+  * payloads, element c equals the unrolled
+  * `ascii(substring(text, pmod(idx, len)+1, 1))`-per-pixel composition
+  * it replaces (byte value == code point for ASCII — the multimodal
+  * payload contract, where the column is really bytes; the composition
+  * walks the string once PER PIXEL because UTF8String substring is
+  * O(position), making it O(64·len) per row vs this kernel's O(64)).
+  * Geometry is m5's: width = 64 + len%64, height = 64 + (len/64)%64,
+  * pixel t reads byte ((ty·height/8)·width + (tx·width/8)) mod len.
+  * Empty input yields an empty array (m6 filters len > 0 first). */
+case class AHashChunks(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "ahash_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ahash_chunks requires a string input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(AHashChunks.chunks(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = AHashChunks.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $helper.chunks($c));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AHashChunks {
+  /** The four 16-bit aHash chunks of `s` (empty in → empty out). Shared
+    * by interpreted eval and generated code. */
+  def chunks(s: UTF8String): Array[Int] = {
+    val len = s.numBytes
+    if (len == 0) return Array.emptyIntArray
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val width = 64 + len % 64
+    val height = 64 + (len / 64) % 64
+    val px = new Array[Int](64)
+    var sum = 0L
+    var t = 0
+    while (t < 64) {
+      val ty = t / 8
+      val tx = t % 8
+      val idx = (ty * height / 8) * width + (tx * width / 8)
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + idx % len)
+      px(t) = b & 0xFF
+      sum += px(t)
+      t += 1
+    }
+    val out = new Array[Int](4)
+    var c = 0
+    while (c < 4) {
+      var bits = 0
+      var j = 0
+      while (j < 16) {
+        if (px(16 * c + j) * 64L > sum) bits |= 1 << j
+        j += 1
+      }
+      out(c) = bits
+      c += 1
+    }
+    out
+  }
+}
+
 object SketchFunctions {
   /** Column-API entry point: `minhash_sig($"shingle_hashes")`. */
   def minhash_sig(c: Column): Column =
@@ -184,4 +264,8 @@ object SketchFunctions {
   /** Column-API entry point: `simhash64($"text")`. */
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
+  /** Column-API entry point: `ahash_chunks($"text")`. */
+  def ahash_chunks(c: Column): Column =
+    ColumnBridge.column(AHashChunks(ColumnBridge.expression(c)))
 }

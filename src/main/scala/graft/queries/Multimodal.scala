@@ -231,10 +231,14 @@ object Multimodal {
     * dedup on a perceptual hash of the DECODED pixels, so re-encoded /
     * differently-compressed copies of one image still collide). The hash
     * is the classic 8×8 average-hash: m5's nearest-neighbor thumbnail
-    * grid supplies 64 pixels (here `ascii` of the sampled payload byte —
-    * the decode seam's pixel read), and bit t is set iff pixel t exceeds
-    * the thumbnail mean — computed integer-only as `px*64 > sum(px)`, no
-    * division. Candidates must share one of four 16-bit hash chunks
+    * grid supplies 64 pixels (the sampled payload byte — the decode
+    * seam's pixel read), and bit t is set iff pixel t exceeds the
+    * thumbnail mean — computed integer-only as `px*64 > sum(px)`, no
+    * division, by the scan-side [[graft.functions.AHashChunks]] codegen
+    * kernel (O(64) byte reads per row; the unrolled substring
+    * composition it replaced — kept as [[aHashChunksComposed]] for the
+    * bit-compat pin — walks the string once per pixel, O(64·len)).
+    * Candidates must share one of four 16-bit hash chunks
     * (d4's pigeonhole: guaranteed for Hamming <= 3 when no bucket
     * overflows [[M6MaxBucket]]); survivors rank by exact Hamming
     * distance over all 64 bits.
@@ -250,7 +254,11 @@ object Multimodal {
     * groups via [[Dedup.pairCombos]] (never a self-join of the exploded
     * table); `distinct` + rank on the candidate set, which the cap keeps
     * linear-ish in the corpus. */
-  def m6PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** The unrolled per-pixel SQL composition [[graft.functions.AHashChunks]]
+    * replaced — kept as the reference semantics for MultimodalSpec's
+    * bit-compat pin (each `substring` walks the string from the start,
+    * so the composition is O(64·len) per row vs the kernel's O(64)). */
+  private[graft] def aHashChunksComposed(docs: DataFrame): DataFrame = {
     val n = 8 // ThumbEdge: 8x8 aHash grid, 64 bits
     val pixExprs = (0 until n * n).map { t =>
       val ty = t / n
@@ -262,7 +270,7 @@ object Multimodal {
         s"(CASE WHEN element_at(px, ${16 * c + j + 1}) * 64 > psum THEN ${1 << j} ELSE 0 END)"
       }.mkString("CAST(", " + ", " AS INT)")
     }
-    val sig = Dedup.d4bAugmented(Tables.documents(s, dir))
+    docs
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .filter(col("len") > 0)
       .withColumn("width", expr("CAST(64 + pmod(len, 64) AS INT)"))
@@ -271,6 +279,15 @@ object Multimodal {
       .withColumn("psum", expr("aggregate(px, 0, (a, x) -> a + x)"))
       .select(col("doc_id") +:
         chunkExprs.zipWithIndex.map { case (e, c) => expr(e).as(s"c$c") }: _*)
+  }
+
+  def m6PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.d4bAugmented(Tables.documents(s, dir))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SketchFunctions.ahash_chunks(col("text")).as("ch"))
+      .select(col("doc_id") +: (0 until 4).map(c =>
+        element_at(col("ch"), c + 1).as(s"c$c")): _*)
     val chunks = sig.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
       posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
         .as(Seq("chunk_idx", "chunk")))

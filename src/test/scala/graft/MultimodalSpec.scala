@@ -133,6 +133,32 @@ class MultimodalSpec extends SparkSpec {
       ("en", "<no_vec>", 1L))) // doc 1 was never embedded
   }
 
+  test("ahash_chunks == the unrolled ascii-substring composition, " +
+       "chunk for chunk, on the whole (ASCII) corpus + planted edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    // edge lengths: 1 byte, exactly 64, one under/over a 64 boundary
+    val planted = Seq(
+      (90001L, "x"), (90002L, "ab" * 32), (90003L, "q" * 63),
+      (90004L, "z" * 65), (90005L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = corpus.unionByName(planted)
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val kernel = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SketchFunctions.ahash_chunks(col("text")).as("ch"))
+    val composed = Multimodal.aHashChunksComposed(docs)
+      .select(col("doc_id"), array(col("c0"), col("c1"), col("c2"),
+        col("c3")).as("ch"))
+    val diff = kernel.as("k").join(composed.as("m"), "doc_id")
+      .filter(col("k.ch") =!= col("m.ch"))
+    assert(diff.count() == 0, s"kernel/composition mismatch:\n${diff.take(5).mkString("\n")}")
+    assert(kernel.count() == composed.count())
+  }
+
   test("m6 phash near-dup: identical payloads pair at hamming 0 (planted " +
        "dir and the d4b replant); distances bounded and sorted") {
     import spark.implicits._
