@@ -256,6 +256,66 @@ object AHashChunks {
   }
 }
 
+/** Scan-side 8×8 nearest-neighbor thumbnail as lowercase hex (m5's
+  * output contract): the 64 sampled payload bytes of the m5 grid,
+  * hex-encoded into one 128-char string in a single O(64) pass.
+  * Replaces the 64-term `lower(hex(substring(payload, …, 1)))` concat
+  * composition (kept as `Multimodal.thumbHexComposed` for the
+  * bit-compat pin) — same bytes for ALL inputs, since both sides are
+  * byte-addressed (the composition slices the binary payload, this
+  * kernel reads the UTF8String's bytes, and a string's UTF-8 bytes ARE
+  * its binary cast). Empty input yields an empty string (m5 filters
+  * len > 0 first). */
+case class ThumbHex(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "thumb_hex"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"thumb_hex requires a string input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    ThumbHex.thumb(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = ThumbHex.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.thumb($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ThumbHex {
+  private val HexDigits = "0123456789abcdef".getBytes
+
+  /** 128-char lowercase hex of the 64 m5-grid bytes (empty in → empty
+    * out). Shared by interpreted eval and generated code. */
+  def thumb(s: UTF8String): UTF8String = {
+    val len = s.numBytes
+    if (len == 0) return UTF8String.EMPTY_UTF8
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val width = 64 + len % 64
+    val height = 64 + (len / 64) % 64
+    val out = new Array[Byte](128)
+    var t = 0
+    while (t < 64) {
+      val ty = t / 8
+      val tx = t % 8
+      val idx = (ty * height / 8) * width + (tx * width / 8)
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + idx % len) & 0xFF
+      out(2 * t) = HexDigits(b >> 4)
+      out(2 * t + 1) = HexDigits(b & 0xF)
+      t += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
 object SketchFunctions {
   /** Column-API entry point: `minhash_sig($"shingle_hashes")`. */
   def minhash_sig(c: Column): Column =
@@ -268,4 +328,8 @@ object SketchFunctions {
   /** Column-API entry point: `ahash_chunks($"text")`. */
   def ahash_chunks(c: Column): Column =
     ColumnBridge.column(AHashChunks(ColumnBridge.expression(c)))
+
+  /** Column-API entry point: `thumb_hex($"text")`. */
+  def thumb_hex(c: Column): Column =
+    ColumnBridge.column(ThumbHex(ColumnBridge.expression(c)))
 }

@@ -180,22 +180,36 @@ object Multimodal {
     * compares content-exact (hex + md5 fingerprint). */
   def m5ResizeThumb(s: SparkSession, dir: String): DataFrame = {
     val payload = col("text").cast("binary")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), length(payload).as("len"))
+      .filter(col("len") > 0)
+      .select(col("doc_id"),
+        expr("CAST(64 + pmod(len, 64) AS INT)").as("width"),
+        expr("CAST(64 + pmod(len div 64, 64) AS INT)").as("height"),
+        graft.functions.SketchFunctions.thumb_hex(col("text")).as("thumb_hex"))
+      .withColumn("thumb_fp", md5(col("thumb_hex").cast("binary")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The 64-term hex-concat composition [[graft.functions.ThumbHex]]
+    * replaced — kept as the reference semantics for MultimodalSpec's
+    * bit-compat pin (byte-addressed binary substrings, so equivalence
+    * holds for ALL payloads, not only ASCII). */
+  private[graft] def thumbHexComposed(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
     val n = ThumbEdge
     val terms = (0 until n * n).map { t =>
       val ty = t / n
       val tx = t % n
       s"lower(hex(substring(payload, pmod((($ty * height) div $n) * width + (($tx * width) div $n), len)+1, 1)))"
     }
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), payload.as("payload"),
         length(payload).as("len"))
       .filter(col("len") > 0)
       .withColumn("width", expr("CAST(64 + pmod(len, 64) AS INT)"))
       .withColumn("height", expr("CAST(64 + pmod(len div 64, 64) AS INT)"))
-      .selectExpr("doc_id", "width", "height",
-        s"concat(${terms.mkString(", ")}) AS thumb_hex")
-      .withColumn("thumb_fp", md5(col("thumb_hex").cast("binary")))
-      .orderBy(col("doc_id"))
+      .selectExpr("doc_id", s"concat(${terms.mkString(", ")}) AS thumb_hex")
   }
 
   /** m4 — modality alignment audit: FULL OUTER join of the text table

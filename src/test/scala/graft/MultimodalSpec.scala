@@ -159,6 +159,28 @@ class MultimodalSpec extends SparkSpec {
     assert(kernel.count() == composed.count())
   }
 
+  test("thumb_hex == the 64-term hex-concat composition on the corpus " +
+       "+ planted length edges (byte-addressed: holds for all payloads)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val planted = Seq(
+      (90001L, "x"), (90002L, "ab" * 32), (90003L, "q" * 63),
+      (90004L, "z" * 65))
+      .toDF("doc_id", "text")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").unionByName(planted)
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val kernel = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SketchFunctions.thumb_hex(col("text")).as("th"))
+    val diff = kernel.as("k")
+      .join(Multimodal.thumbHexComposed(docs).as("m"), "doc_id")
+      .filter(col("k.th") =!= col("m.thumb_hex"))
+    assert(diff.count() == 0,
+      s"kernel/composition mismatch:\n${diff.take(3).mkString("\n")}")
+  }
+
   test("m6 phash near-dup: identical payloads pair at hamming 0 (planted " +
        "dir and the d4b replant); distances bounded and sorted") {
     import spark.implicits._
