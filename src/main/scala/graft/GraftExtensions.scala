@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Concat, DateFormatC
 import org.apache.spark.sql.types.{StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CosineSim, MinHashSig, RollingHash, SimHash64, SlidingMin, WordShingleHashes}
+import graft.functions.{AHashChunks, CosineSim, MinHashSig, RollingHash, SimHash64, SlidingMin, ThumbHex, WordShingleHashes}
 
 /** Session-extension wiring (SURVEY.md §7 custom-op ladder, step (c)):
   * registers graft's native expressions with the SQL function registry so
@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.wordShingleHashesDescriptor)
     e.injectFunction(GraftExtensions.minhashSigDescriptor)
     e.injectFunction(GraftExtensions.simhash64Descriptor)
+    e.injectFunction(GraftExtensions.ahashChunksDescriptor)
+    e.injectFunction(GraftExtensions.thumbHexDescriptor)
     e.injectFunction(GraftExtensions.strftimeDescriptor)
   }
 }
@@ -72,6 +74,16 @@ object GraftExtensions {
   private def buildSimhash64(children: Seq[Expression]): Expression = {
     require(children.length == 1, "simhash64 expects exactly 1 argument")
     SimHash64(children.head)
+  }
+
+  private def buildAhashChunks(children: Seq[Expression]): Expression = {
+    require(children.length == 1, "ahash_chunks expects exactly 1 argument")
+    AHashChunks(children.head)
+  }
+
+  private def buildThumbHex(children: Seq[Expression]): Expression = {
+    require(children.length == 1, "thumb_hex expects exactly 1 argument")
+    ThumbHex(children.head)
   }
 
   /** SQLite `STRFTIME(format, datetime)` (RDataFramesSQL.Rmd:75): the
@@ -231,6 +243,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
     buildSimhash64 _)
 
+  private val ahashChunksDescriptor = (
+    FunctionIdentifier("ahash_chunks"),
+    new ExpressionInfo(classOf[AHashChunks].getCanonicalName, "ahash_chunks"),
+    buildAhashChunks _)
+
+  private val thumbHexDescriptor = (
+    FunctionIdentifier("thumb_hex"),
+    new ExpressionInfo(classOf[ThumbHex].getCanonicalName, "thumb_hex"),
+    buildThumbHex _)
+
   private val strftimeDescriptor = (
     FunctionIdentifier("strftime"),
     new ExpressionInfo(classOf[DateFormatClass].getCanonicalName, "strftime"),
@@ -245,6 +267,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("word_shingle_hashes", buildWordShingleHashes, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", buildMinhashSig, "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", buildSimhash64, "scala_udf")
+    reg.createOrReplaceTempFunction("ahash_chunks", buildAhashChunks, "scala_udf")
+    reg.createOrReplaceTempFunction("thumb_hex", buildThumbHex, "scala_udf")
     reg.createOrReplaceTempFunction("strftime", buildStrftime, "scala_udf")
   }
 }

@@ -49,6 +49,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("ahash_chunks + thumb_hex registered as SQL functions; SQL result " +
+       "== Column-API result") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT ahash_chunks('hello world') AS ch, thumb_hex('hello world') AS th")
+      .collect().head
+    val viaCol = spark.range(1).select(
+      graft.functions.SketchFunctions.ahash_chunks(lit("hello world")).as("ch"),
+      graft.functions.SketchFunctions.thumb_hex(lit("hello world")).as("th"))
+      .collect().head
+    assert(r.getSeq[Int](0) == viaCol.getSeq[Int](0))
+    assert(r.getString(1) == viaCol.getString(1))
+    assert(r.getSeq[Int](0).length == 4)
+    assert(r.getString(1).matches("[0-9a-f]{128}"))
+    // empty input contract: empty array / empty string
+    val e = spark.sql("SELECT ahash_chunks('') AS ch, thumb_hex('') AS th")
+      .collect().head
+    assert(e.getSeq[Int](0).isEmpty && e.getString(1).isEmpty)
+  }
+
   test("property: cosine_sim(v, v) == 1 and symmetry, vs scala reference") {
     import spark.implicits._
     val gen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
