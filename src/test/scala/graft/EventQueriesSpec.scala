@@ -156,6 +156,35 @@ class EventQueriesSpec extends SparkSpec {
       (2L, 0L, 1L), (2L, 1L, 1L)))
   }
 
+  test("e8 on a randomized log: the engine funnel equals a driver-side " +
+       "fold over each user's time-sorted events (200 users, seed 1234)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextLong(1000000L) * 1000000000L,
+        rnd.nextInt(200).toLong, types(rnd.nextInt(types.length)), 0.0, "{}")
+    }
+    val dir = Files.createTempDirectory("graft-e8-rand").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val expected = rows
+      .groupBy(_._3).view.mapValues { evs =>
+        evs.sortBy(e => (e._2 / 1000, e._1)) // (ts_us, event_id) order
+          .foldLeft(0) { (st, e) =>
+            (st, e._4) match {
+              case (0, "view") => 1
+              case (1, "click") => 2
+              case (2, "purchase") => 3
+              case _ => st
+            }
+          }
+      }.toMap
+    val got = EventQueries.e8Funnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == expected)
+  }
+
   test("e10 rolling active: WAU counts a user once per trailing window, " +
        "DAU/WAU on a hand-computed log") {
     import spark.implicits._

@@ -69,6 +69,49 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getSeq[Int](0).isEmpty && e.getString(1).isEmpty)
   }
 
+  test("property: ahash_chunks + thumb_hex match an independent pure-Scala " +
+       "reference on random ASCII payloads") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent reference: same spec, written against plain
+    // Array[Byte] — no UTF8String offsets, no shared helpers
+    def refPixels(bytes: Array[Byte]): Array[Int] = {
+      val len = bytes.length
+      val w = 64 + len % 64
+      val h = 64 + (len / 64) % 64
+      (0 until 64).toArray.map { t =>
+        val idx = ((t / 8) * h / 8) * w + ((t % 8) * w / 8)
+        bytes(idx % len) & 0xFF
+      }
+    }
+    val asciiText = Gen.chooseNum(1, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString))
+    check(Prop.forAll(asciiText) { s =>
+      val bytes = s.getBytes("UTF-8")
+      val px = refPixels(bytes)
+      val sum = px.map(_.toLong).sum
+      val expChunks = (0 until 4).map { c =>
+        (0 until 16).map(j => if (px(16 * c + j) * 64L > sum) 1 << j else 0).sum
+      }
+      val expHex = px.map("%02x".format(_)).mkString
+      val u = UTF8String.fromString(s)
+      graft.functions.AHashChunks.chunks(u).toSeq == expChunks &&
+        graft.functions.ThumbHex.thumb(u).toString == expHex
+    })
+  }
+
+  test("property: t12's integer bits formula == floor(log2(total/freq)) " +
+       "for random positive (freq <= total) pairs") {
+    val gen = for {
+      total <- Gen.chooseNum(1L, Long.MaxValue / 2)
+      freq <- Gen.chooseNum(1L, total)
+    } yield (total, freq)
+    check(Prop.forAll(gen) { case (total, freq) =>
+      val viaBin = java.lang.Long.toBinaryString(total / freq).length - 1
+      val viaLog = (63 - java.lang.Long.numberOfLeadingZeros(total / freq))
+      viaBin == viaLog
+    })
+  }
+
   test("property: cosine_sim(v, v) == 1 and symmetry, vs scala reference") {
     import spark.implicits._
     val gen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
