@@ -226,6 +226,56 @@ object Analytics {
       .orderBy(col("n").desc, col("tok"))
   }
 
+  /** x10 — the window-function gallery: the analytic-window surface the
+    * reference never touches (SURVEY.md §2.6 — its only window shape is
+    * top-1-per-group) exercised in one query over two DIFFERENT window
+    * specs: per-customer order sequencing (row_number / lag-gap-days /
+    * lead-delta over the event-time order) and per-priority distribution
+    * ranks (ntile quartile, percent_rank, cume_dist over the price
+    * order). Money in exact cents, dates in integer micro-days, and
+    * both window orders are TOTAL (tie-broken by o_orderkey), so rank
+    * functions are deterministic and DuckDB replays every value —
+    * percent_rank/cume_dist included, because with no ties they are
+    * pure integer-ratio divisions rounded once.
+    *
+    * Scale shape: two window exchanges (one per partition key) and
+    * nothing else — the filter prunes at the scan. The two specs
+    * deliberately differ: sequencing windows shuffle on the
+    * high-cardinality customer key, distribution windows on the 5-value
+    * priority key — the latter is the shape that needs range
+    * partitioning at 100 TB (a 5-partition sort would bottleneck;
+    * Spark's window exec sorts within hash partitions, so the knob is a
+    * pre-repartitionByRange on (priority, cents), noted not needed at
+    * harness scale). */
+  def x10WindowGallery(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        // o_orderdate is TIMESTAMP_NTZ (micros; only events carries the
+        // nanos-as-long contract); the UTC session makes the cast a pure
+        // wall-clock reinterpretation, matching DuckDB's epoch_us
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("od_us"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("od_us"), col("o_orderkey"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    base
+      .withColumn("order_idx", row_number().over(wSeq))
+      .withColumn("gap_days",
+        expr(s"(od_us - lag(od_us, 1) OVER (PARTITION BY o_custkey ORDER BY od_us, o_orderkey)) div 86400000000"))
+      .withColumn("next_cents_delta",
+        lead(col("cents"), 1).over(wSeq) - col("cents"))
+      .withColumn("quartile", ntile(4).over(wRank))
+      .withColumn("pct_rank", round(percent_rank().over(wRank), 4))
+      .withColumn("cume", round(cume_dist().over(wRank), 4))
+      .select(col("o_orderkey"), col("o_custkey"), col("order_idx"),
+        col("gap_days"), col("next_cents_delta"), col("quartile"),
+        col("pct_rank"), col("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_rollup"          -> x1Rollup _,
     "x2_setops"          -> x2SetOps _,
@@ -237,6 +287,7 @@ object Analytics {
     "x7_approx_percentile_bound" -> x7ApproxPercentileBound _,
     "x8_grouping_sets"   -> x8GroupingSets _,
     "x9_heavy_hitters"   -> x9HeavyHitters _,
+    "x10_window_gallery" -> x10WindowGallery _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -311,5 +362,24 @@ object Analytics {
         |SELECT tok, count(*) AS n, TRUE AS sketch_exact
         |FROM t GROUP BY tok
         |ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "x10_window_gallery" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         epoch_us(o_orderdate) AS od_us,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey < 100
+        |)
+        |SELECT o_orderkey, o_custkey,
+        |       CAST(row_number() OVER wseq AS INT) AS order_idx,
+        |       (od_us - lag(od_us) OVER wseq) // 86400000000 AS gap_days,
+        |       lead(cents) OVER wseq - cents AS next_cents_delta,
+        |       CAST(ntile(4) OVER wrank AS INT) AS quartile,
+        |       round(percent_rank() OVER wrank, 4) AS pct_rank,
+        |       round(cume_dist() OVER wrank, 4) AS cume
+        |FROM b
+        |WINDOW wseq AS (PARTITION BY o_custkey ORDER BY od_us, o_orderkey),
+        |       wrank AS (PARTITION BY o_orderpriority
+        |                 ORDER BY cents, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

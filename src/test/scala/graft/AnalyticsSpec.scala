@@ -81,6 +81,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("x10 window gallery: contiguous per-customer sequence, balanced " +
+       "quartiles, rank metrics bounded and monotone in price order") {
+    val rows = Analytics.x10WindowGallery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // order_idx is 1..n within each customer
+    rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("order_idx")).sorted.toSeq ==
+        (1 to rs.length))
+    }
+    rows.foreach { r =>
+      val q = r.getAs[Int]("quartile")
+      assert(q >= 1 && q <= 4)
+      val pr = r.getAs[Double]("pct_rank")
+      val cd = r.getAs[Double]("cume")
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+      // with no ties cume_dist sits above percent_rank; 4-decimal
+      // rounding can collapse them to equality near the top of a group
+      assert(cd >= pr)
+    }
+  }
+
   test("x9 heavy hitters: under-capacity frequent-items sketch is exact " +
        "for every top-20 token; counts strictly ranked") {
     val rows = Analytics.x9HeavyHitters(spark, sfDir).collect()
