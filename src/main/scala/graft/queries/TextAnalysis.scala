@@ -458,6 +458,42 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** t14 — source vocabulary-overlap matrix: pairwise Jaccard of the
+    * DISTINCT token vocabularies of every source pair — the
+    * domain-similarity input a data-mixing step weighs sources by
+    * (near-identical vocabularies → redundant domains; disjoint →
+    * complementary). Pure set arithmetic: |A∩B| via a token-keyed join
+    * of the deduplicated (source, token) projection, |A∪B| by
+    * inclusion–exclusion from per-source sizes, one rounded division.
+    *
+    * Scale shape: the (source, token) DISTINCT collapses occurrence
+    * volume before any join (same discipline as e9/e10), and the
+    * token-keyed self-join expands each token to at most
+    * #sources²/2 pairs — a CONSTANT per token (document-pair expansion
+    * has no such bound; that's why d2 needs a doc-frequency cap and
+    * this needs none). Output is the #sources²/2-row matrix. */
+  def t14SourceVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -473,6 +509,7 @@ object TextAnalysis {
     "t11_repetition"        -> t11Repetition _,
     "t12_surprisal"         -> t12Surprisal _,
     "t13_source_quota"      -> t13SourceQuota _,
+    "t14_source_vocab_overlap" -> t14SourceVocabOverlap _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -653,5 +690,25 @@ object TextAnalysis {
         |)
         |SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars
         |FROM ranked WHERE rank <= 15 ORDER BY source, rank""".stripMargin,
+    "t14_source_vocab_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), sz AS (
+        |  SELECT source, count(*) AS n FROM v GROUP BY source
+        |), inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         count(*) AS n_common
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.source_a, i.source_b,
+        |       sa.n AS n_a, sb.n AS n_b, i.n_common,
+        |       round(CAST(i.n_common AS DOUBLE)
+        |             / (sa.n + sb.n - i.n_common), 4) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.source = i.source_a
+        |JOIN sz sb ON sb.source = i.source_b
+        |ORDER BY i.source_a, i.source_b""".stripMargin,
   )
 }

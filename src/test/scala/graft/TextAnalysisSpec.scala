@@ -269,6 +269,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t14 vocab overlap: hand-computed Jaccard on planted sources; " +
+       "occurrence counts do not inflate the set arithmetic") {
+    import spark.implicits._
+    val rows = Seq(
+      // s0 vocab {a,b,c,d}; repeats must not count twice
+      (1L, "a b c d a a b", "en", "s0", 1L),
+      // s1 vocab {c,d,e,f}: intersection {c,d}, union 6 -> 2/6
+      (2L, "c d e f", "en", "s1", 1L),
+      // s2 vocab {x}: disjoint from both
+      (3L, "x x x", "en", "s2", 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-t14").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.t14SourceVocabOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(("s0", "s1", 4L, 4L, 2L, 0.3333)))
+    // disjoint pairs produce no row at all (inner join on shared tokens)
+    assert(!out.exists(p => p._1 == "s2" || p._2 == "s2"))
+  }
+
   test("t4 fingerprints: md5 is stable and distinct_fp <= n_docs") {
     val out = TextAnalysis.t4Fingerprint(spark, sfDir).collect()
     assert(out.length == 20) // 20 sources
