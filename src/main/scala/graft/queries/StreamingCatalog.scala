@@ -22,8 +22,9 @@ import graft.streaming.StreamingOps
   *   st4  tumblingCounts        ≡ hour-floored grouped agg (exact cents)
   *   st5  sessionize            ≡ e3's sessions minus each user's open tail
   *   st6  funnelDepth           ≡ e8's 3-join formulation cut mid-stream
+  *   st7  sourceQuotaAdmit      ≡ first-N-per-source by arrival (row_number)
   *
-  * With these six, EVERY StreamingOps operator has a driver-gated entry.
+  * With these seven, EVERY StreamingOps operator has a driver-gated entry.
   *
   * Arrival time for st1/st2 is synthesized as `timestamp_micros(doc_id)`
   * — a deterministic, strictly-increasing ingest order (the harness
@@ -170,6 +171,22 @@ object StreamingCatalog {
       .orderBy(col("user_id"))
   }
 
+  /** st7 — the streaming quota admission's batch half: first 15 docs
+    * per source in arrival order (the st1 convention — arrival is
+    * synthesized as doc_id order, strictly increasing). The oracle
+    * replays the admit-by-arrival policy as a plain row_number — a
+    * counter bug, a lost micro-batch boundary, or an ordering bug
+    * shifts admit indices and hash-mismatches. */
+  def st7QuotaAdmitted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        col("doc_id").as("ts_us"))
+      .as[StreamingOps.DocArrival]
+    StreamingOps.sourceQuotaAdmit(in, quota = 15).toDF()
+      .orderBy(col("source"), col("admit_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_dedup_first_seen"    -> st1DedupFirstSeen _,
     "st2_neardup_verified"    -> st2NearDupVerified _,
@@ -177,6 +194,7 @@ object StreamingCatalog {
     "st4_tumbling_counts"     -> st4TumblingCounts _,
     "st5_sessions_closed"     -> st5SessionsClosed _,
     "st6_funnel_snapshot"     -> st6FunnelSnapshot _,
+    "st7_quota_admitted"      -> st7QuotaAdmitted _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -291,5 +309,14 @@ object StreamingCatalog {
          |LEFT JOIN c USING (user_id)
          |LEFT JOIN p USING (user_id)
          |ORDER BY u.user_id""".stripMargin,
+    // admit-by-arrival replayed as a row_number over the synthesized
+    // strictly-increasing arrival order
+    "st7_quota_admitted" ->
+      """SELECT doc_id, source, CAST(rn AS INT) AS admit_idx FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (
+        |           PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15 ORDER BY source, admit_idx""".stripMargin,
   )
 }

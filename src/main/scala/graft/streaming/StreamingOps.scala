@@ -182,6 +182,47 @@ object StreamingOps {
       }
   }
 
+  /** A document arrival for [[sourceQuotaAdmit]]. */
+  case class DocArrival(doc_id: Long, source: String, ts_us: Long)
+
+  /** An admitted document emitted by [[sourceQuotaAdmit]]. */
+  case class Admitted(doc_id: Long, source: String, admit_idx: Int)
+
+  /** Streaming per-source quota admission — the ingest-time half of the
+    * batch t13 domain cap ([[graft.queries.TextAnalysis.t13SourceQuota]]):
+    * admit the first `quota` documents per source IN ARRIVAL ORDER and
+    * drop the rest at the door, before they cost a single downstream
+    * byte. Batch t13 caps by md5-of-id (a fair draw over a corpus it can
+    * see whole); an ingest stream cannot draw fairly from a set it
+    * hasn't seen, so first-arrival is the honest online policy — the
+    * admit index records each doc's slot.
+    *
+    * State is one Int per source (a counter — no doc buffering), keyed
+    * on the source shuffle; each micro-batch sorts internally by
+    * (ts, id), so for an in-order stream the admitted set is exactly
+    * the first `quota` arrivals (the batch-symmetry contract: on a
+    * batch input the group sees everything sorted, which is what the
+    * st7 catalog entry gates against the row_number oracle). */
+  def sourceQuotaAdmit(docs: Dataset[DocArrival], quota: Int): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Int, Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[DocArrival], state: GroupState[Int]) =>
+          var n = state.getOption.getOrElse(0)
+          val out = Seq.newBuilder[Admitted]
+          batch.toSeq.sortBy(d => (d.ts_us, d.doc_id)).foreach { d =>
+            if (n < quota) {
+              n += 1
+              out += Admitted(d.doc_id, src, n)
+            }
+          }
+          state.update(n)
+          out.result().iterator
+      }
+  }
+
   /** One (doc, band) occupancy row feeding [[nearDupCandidates]]'s keyed
     * state; `bh` is the LSH band-bucket hash. */
   case class BandRow(doc_id: Long, band: Int, bh: Long, ts: java.sql.Timestamp)

@@ -280,6 +280,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming quota admission: the counter persists across " +
+       "micro-batches — a source full in batch 1 admits nothing later") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.DocArrival
+    val dir = Files.createTempDirectory("graft-stream-quota").toString
+    def writeBatch(ds: Seq[DocArrival], name: String): Unit =
+      ds.toDS().coalesce(1).write.parquet(s"$dir/$name")
+    val arrivalSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("ts_us", LongType)))
+    // batch 1: s0 gets 2 arrivals (fills quota=2), s1 gets 1
+    writeBatch(Seq(DocArrival(1L, "s0", 1L), DocArrival(2L, "s0", 2L),
+      DocArrival(3L, "s1", 3L)), "b1")
+    val in = spark.readStream.schema(arrivalSchema).parquet(s"$dir/b*")
+    val q = graft.streaming.StreamingOps
+      .sourceQuotaAdmit(in.as[DocArrival], quota = 2)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: s0 is full -> dropped; s1 takes one more then drops
+      writeBatch(Seq(DocArrival(4L, "s0", 4L), DocArrival(5L, "s1", 5L),
+        DocArrival(6L, "s1", 6L)), "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quota").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "s0", 1), (2L, "s0", 2), (3L, "s1", 1), (5L, "s1", 2)))
+  }
+
   test("streaming funnel: depth advances across micro-batches and the " +
        "final state equals the batch e8 result on the same events") {
     import spark.implicits._
