@@ -58,33 +58,60 @@ object Bench {
     }.min
   }
 
-  /** Per-query minimums (and the run's SF dir) from the most recent
-    * committed BENCH_r*.json (driver wrapper format: the inner "parsed"
-    * object carries the bench line; the escaped copy in "tail" cannot
-    * match the unescaped regexes). Regex-parsed so the bench stays
-    * dependency-free. */
+  /** Per-query minimums (and the run's SF dir) from the newest PARSEABLE
+    * baseline. Candidates, newest first: the bench's own committed
+    * `BENCH_SELF.json` (always a complete line — see [[writeSelf]]), then
+    * the driver-committed `BENCH_r*.json` descending. Files that yield no
+    * queries block are SKIPPED, not fatal: the committed BENCH_r10.json
+    * was truncated mid-JSON by the driver wrapper's output capture, and
+    * the old take-lexically-last-or-give-up logic silently disarmed the
+    * r11 regression guard ("prev":null). Regex-parsed so the bench stays
+    * dependency-free (driver wrapper format: the inner "parsed" object
+    * carries the bench line; the escaped copy in "tail" cannot match the
+    * unescaped regexes). */
   private def prevBench(): Option[(String, Option[String], Map[String, Double])] = {
-    val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
-    val latest = explicit.orElse {
-      val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
-      dirs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(_.getName).lastOption
-    }
-    latest.filter(_.isFile).flatMap { f =>
-      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      // \s* after every colon: the driver wrapper pretty-prints its copy
-      // of the bench line ("sf": 0.1, one query per line) — a
-      // space-intolerant pattern silently matches nothing and turns the
-      // guard into a no-op
-      val sf = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
-      val qBlock = """"queries":\s*\{([^}]*)\}""".r
-      qBlock.findFirstMatchIn(text).map { m =>
-        val pair = """"([A-Za-z0-9_]+)":\s*(-?[0-9.Ee+-]+)""".r
-        (f.getName, sf, pair.findAllMatchIn(m.group(1))
-          .map(p => p.group(1) -> p.group(2).toDouble).toMap)
+    val candidates = sys.env.get("SPARK_GRAFT_PREV_BENCH")
+      .map(f => Seq(new java.io.File(f)))
+      .getOrElse {
+        val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
+        val files = dirs
+          .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
+          .distinctBy(_.getCanonicalPath)
+        files.filter(_.getName == "BENCH_SELF.json") ++
+          files.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+            .sortBy(_.getName).reverse
       }
-    }
+    candidates.iterator.filter(_.isFile).map(parseBench)
+      .collectFirst { case Some(hit) => hit }
+  }
+
+  private def parseBench(f: java.io.File)
+      : Option[(String, Option[String], Map[String, Double])] = {
+    val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    // \s* after every colon: the driver wrapper pretty-prints its copy
+    // of the bench line ("sf": 0.1, one query per line) — a
+    // space-intolerant pattern silently matches nothing and turns the
+    // guard into a no-op
+    val sf = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+    val qBlock = """"queries":\s*\{([^}]*)\}""".r
+    qBlock.findFirstMatchIn(text).map { m =>
+      val pair = """"([A-Za-z0-9_]+)":\s*(-?[0-9.Ee+-]+)""".r
+      (f.getName, sf, pair.findAllMatchIn(m.group(1))
+        .map(p => p.group(1) -> p.group(2).toDouble).toMap)
+    }.filter(_._3.nonEmpty)
+  }
+
+  /** The durable copy of the emitted line. stdout is captured by the
+    * driver wrapper, whose `tail` truncated the r10 line mid-map and lost
+    * 13 queries' numbers from committed history — the bench now owns its
+    * artifact: the full line goes to a committed file that the next run's
+    * [[prevBench]] reads first. */
+  private def writeSelf(json: String): Unit = {
+    val repo = new java.io.File("/root/repo")
+    val dir = if (repo.isDirectory) repo else new java.io.File(".")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "BENCH_SELF.json").toPath,
+      (json + "\n").getBytes("UTF-8"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -134,7 +161,9 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
     val calibJson =
       s"""{"pre":${f(calibPre)},"post":${f(calibPost)},"ratio":${f(calibRatio)},"envelope":${f(calibEnvelope)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"calibration":$calibJson,"suspect":$suspect,"prev":${prev.map("\"" + _._1 + "\"").getOrElse("null")},"regressions":$regJson}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"calibration":$calibJson,"suspect":$suspect,"prev":${prev.map("\"" + _._1 + "\"").getOrElse("null")},"regressions":$regJson}"""
+    println(json)
+    writeSelf(json)
     spark.stop()
   }
 }

@@ -6,14 +6,17 @@ package graft
   * implementation; this main reproduces that reporting shape for every
   * catalog query. See [[BenchSupport]] for the shared timing kernel.
   *
-  * Usage: sbt "runMain graft.MicroBench [sfDir] [times]"
-  * (defaults: /root/testdata/sf0.01, 5 — the reference's times=5).
+  * Usage: sbt "runMain graft.MicroBench [sfDir] [times] [namePrefix...]"
+  * (defaults: /root/testdata/sf0.01, 5 — the reference's times=5; any
+  * further args restrict the run to queries matching one of the
+  * prefixes, for single-operator iteration).
   * Prints one aligned table plus one JSON line per query.
   */
 object MicroBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val times = args.lift(1).map(_.toInt).getOrElse(5)
+    val prefixes = args.drop(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = BenchSupport.session(cpus)
 
@@ -31,6 +34,7 @@ object MicroBench {
     // quartiles, which must not absorb cold page-cache reads or
     // first-execution AQE decisions for the measured dataset
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
     names.foreach(BenchSupport.once(spark, _, sfDir))
     println(f"${"query"}%-28s ${"min"}%8s ${"lq"}%8s ${"mean"}%8s ${"median"}%8s ${"uq"}%8s ${"max"}%8s  (sec, times=$times)")
     names.foreach { name =>

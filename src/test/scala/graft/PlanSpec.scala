@@ -157,6 +157,18 @@ class PlanSpec extends SparkSpec {
       s"document text crossed an exchange in:\n$p")
   }
 
+  test("t12 zipf: the head vocab resolves by BROADCAST and only the tail " +
+       "by shuffle (Zipf split: hot pair rows never reach the lookup exchange)") {
+    val p = plan(TextAnalysis.t12SurprisalZipf(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"head vocab not broadcast-joined in:\n$p")
+    // the tail lookup is hint-pinned to a shuffle join — at corpus scale
+    // the tail vocab (billions of cold types) can never be broadcast, and
+    // the pin keeps the test-scale plan in the 100 TB shape
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"tail vocab join lost its shuffle shape in:\n$p")
+  }
+
   test("whole-stage codegen covers the scan->project hot path of t2") {
     // AQE's plan string hides codegen annotation until execution; disable
     // it for this one plan so the `*(n)` codegen markers are visible
