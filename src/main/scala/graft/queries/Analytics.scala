@@ -212,17 +212,37 @@ object Analytics {
     * scan — the sketch side aggregates to ONE mergeable state (partial
     * sketches merge map-side, like any partial agg), the exact side is
     * a 31-group token count. */
+  /** x9's sketch item count. The exactness contract requires the
+    * corpus vocabulary to fit inside it (otherwise the exact top-20's
+    * boundary ties need not appear among the sketch's returned items);
+    * the query ASSERTS that instead of assuming it, so a generator
+    * vocabulary grown past this surfaces as an explicit raise, not an
+    * opaque oracle hash mismatch (ADVICE r10). */
+  private val X9K = 31
+
   def x9HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
-    val sk = tok.agg(expr("approx_top_k(tok, 31, 1000)").as("tops"))
+    val sk = tok.agg(expr(s"approx_top_k(tok, $X9K, 1000)").as("tops"))
       .select(explode(col("tops")).as("e"))
       .select(col("e.item").as("tok"), col("e.count").as("est"))
-    tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    // one exchange for both consumers (top-20 rank + vocab-size guard):
+    // the grouped token counts are Materialize'd like t12's vocab, so
+    // the guard costs a 31-row re-agg, not a second corpus scan
+    val grouped = graft.Materialize(
+      tok.groupBy(col("tok")).agg(count(lit(1)).as("n")))
+    val vocabN = grouped.agg(count(lit(1)).as("vocab_n"))
+    grouped
       .orderBy(col("n").desc, col("tok").asc).limit(20)
       .join(sk, Seq("tok"), "left")
+      .crossJoin(broadcast(vocabN))
       .select(col("tok"), col("n"),
-        (coalesce(col("est"), lit(-1L)) === col("n")).as("sketch_exact"))
+        when(
+          assert_true(col("vocab_n") <= X9K,
+            concat(lit(s"x9: vocabulary has "), col("vocab_n"),
+              lit(s" types > sketch k=$X9K; under-capacity exactness "),
+              lit("no longer holds — resize the sketch"))).isNull,
+          coalesce(col("est"), lit(-1L)) === col("n")).as("sketch_exact"))
       .orderBy(col("n").desc, col("tok"))
   }
 

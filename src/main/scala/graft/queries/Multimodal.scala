@@ -296,10 +296,23 @@ object Multimodal {
   }
 
   def m6PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    // ahash_chunks is byte-addressed (UTF-8 numBytes) while the DuckDB
+    // oracle and the composed-builtins spec reference are char-addressed
+    // — equivalent ONLY on ASCII text (ADVICE r10). Assert that loudly on
+    // the scan instead of letting a future multi-byte corpus desync the
+    // engine and oracle silently: assert_true is non-foldable, so fusing
+    // it into the text projection keeps it alive through optimization,
+    // and it costs one octet/char length compare inside codegen.
+    val asciiText = when(
+      assert_true(octet_length(col("text")) === length(col("text")),
+        concat(lit("m6: ahash_chunks is byte-addressed but doc_id="),
+          col("doc_id"), lit(" has multi-byte UTF-8 text; "),
+          lit("the char-addressed oracle would diverge"))).isNull,
+      col("text"))
     val sig = Dedup.d4bAugmented(Tables.documents(s, dir))
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
-        graft.functions.SketchFunctions.ahash_chunks(col("text")).as("ch"))
+        graft.functions.SketchFunctions.ahash_chunks(asciiText).as("ch"))
       .select(col("doc_id") +: (0 until 4).map(c =>
         element_at(col("ch"), c + 1).as(s"c$c")): _*)
     val chunks = sig.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
@@ -423,8 +436,8 @@ object Multimodal {
       s"""WITH aug AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
-         |  WHERE doc_id % 50 = 0
+         |  SELECT doc_id + ${Dedup.D4bIdShift} AS doc_id, text
+         |  FROM documents WHERE doc_id % ${Dedup.D4bEvery} = 0
          |), p AS (
          |  SELECT doc_id, text, length(text) AS len,
          |         64 + length(text) % 64 AS width,

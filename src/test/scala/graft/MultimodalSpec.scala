@@ -159,6 +159,26 @@ class MultimodalSpec extends SparkSpec {
     assert(kernel.count() == composed.count())
   }
 
+  test("m6 raises loudly on multi-byte text (the byte- vs char-addressed " +
+       "oracle divergence must not be silent)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-m6g").toString
+    Seq((1L, "plain ascii text"), (2L, "日本語のテキスト"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("ja")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      Multimodal.m6PhashNearDup(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m =>
+      m.contains("byte-addressed") && m.contains("doc_id=2")),
+      s"expected the m6 ascii guard to name doc 2, got: ${msgs(e)}")
+  }
+
   test("thumb_hex == the 64-term hex-concat composition on the corpus " +
        "+ planted length edges (byte-addressed: holds for all payloads)") {
     import spark.implicits._
