@@ -31,24 +31,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * measured cold.
   */
 object SharedStage {
-  private val memo = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val memo =
+    TrieMap.empty[(SparkSession, String, String), (DataFrame, Set[Int])]
   private val ids = TrieMap.empty[Int, Unit]
 
   /** Block-manager RDD ids the bench cleanup must NOT release. */
   def pinnedIds: Set[Int] = ids.keySet.toSet
 
   /** The artifact `name` for (`s`, `dir`), computing and pinning it on
-    * first use. `build` runs at most once per (session, dir, name). */
+    * first use. `build` runs at most once per (session, dir, name) —
+    * unless something outside this registry unpersisted the checkpoint
+    * blocks (a test's scorched-earth cleanup, an operator error):
+    * serving the stale memo would throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    * at collect time, so the entry self-heals by recomputing when any of
+    * its recorded blocks is no longer persistent. */
   def getOrCompute(s: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((s, dir, name), {
-      val df = build
-      val before = s.sparkContext.getPersistentRDDs.keySet
-      val pinned = df.localCheckpoint(eager = true)
-      (s.sparkContext.getPersistentRDDs.keySet -- before)
-        .foreach(ids.put(_, ()))
-      pinned
-    })
+      (build: => DataFrame): DataFrame = {
+    val key = (s, dir, name)
+    memo.get(key) match {
+      case Some((df, blockIds))
+          if blockIds.subsetOf(s.sparkContext.getPersistentRDDs.keySet) =>
+        df
+      case stale =>
+        stale.foreach { case (_, blockIds) =>
+          blockIds.foreach(ids.remove)
+          memo.remove(key)
+        }
+        val df = build
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val pinned = df.localCheckpoint(eager = true)
+        val newIds: Set[Int] =
+          (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
+        newIds.foreach(ids.put(_, ()))
+        memo.put(key, (pinned, newIds))
+        pinned
+    }
+  }
 
   /** Release every pinned artifact of session `s` (end of a bench phase;
     * a long-lived session calls this when a pipeline's stages are done). */

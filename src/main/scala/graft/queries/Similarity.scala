@@ -321,12 +321,47 @@ object Similarity {
     recallVsBrute(e, approx, Seq(lit(S5PrefixDims).as("prefix_dims")))
   }
 
+  /** s6 — metadata-filtered exact kNN: top-k restricted to corpus
+    * vectors sharing the query's label (the filtered-vector-search
+    * serving shape — "nearest neighbors among docs in my language /
+    * my tenant / this date range"). The filter is applied PRE-search
+    * (fused into the join condition, so it prunes before any cosine is
+    * computed), not post-search — post-filtering a global top-k
+    * under-returns whenever the filter is selective, the classic
+    * filtered-ANN correctness trap. Here the pre-filter is exact by
+    * construction; an IVF/LSH tier under a filter needs per-bucket
+    * probing with the same pre-filter, which this query is the ground
+    * truth for.
+    *
+    * Scale shape: identical to s1 (broadcast query set, one corpus
+    * scan, per-query TakeOrdered) with the label equality evaluated
+    * scan-side — at 100 TB with the corpus partitioned by label the
+    * filter becomes partition pruning. */
+  def s6FilteredKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    broadcast(q)
+      .join(e, col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .withColumn("cosine", round(cosine_sim(col("q_emb"), col("embedding")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("q_label").as("label"),
+        col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> s1KnnBrute _,
     "s2_ann_ivf"   -> s2AnnIvf _,
     "s3_ann_lsh"   -> s3AnnLsh _,
     "s4_ann_pq"    -> s4AnnPq _,
     "s5_ann_truncated" -> s5AnnTruncated _,
+    "s6_filtered_knn" -> s6FilteredKnn _,
   )
 
   // ---- DuckDB oracle construction -----------------------------------
@@ -584,5 +619,28 @@ object Similarity {
     "s3_ann_lsh" -> s3OracleSql,
     "s4_ann_pq"  -> s4OracleSql,
     "s5_ann_truncated" -> s5OracleSql,
+    "s6_filtered_knn" ->
+      s"""WITH enl AS (
+         |  SELECT vec_id, embedding, label,
+         |         sqrt(list_sum(list_transform(embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |),
+         |qnl AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         |         label AS q_label
+         |  FROM enl WHERE vec_id < $NumQueries
+         |),
+         |ranked AS (
+         |  SELECT q.q_id, q.q_label AS label, e.vec_id AS neighbor_id,
+         |         ${cosSql("q.q_emb", "q.q_nrm", "e.embedding", "e.nrm")} AS cosine,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY ${cosSql("q.q_emb", "q.q_nrm", "e.embedding", "e.nrm")} DESC,
+         |                    e.vec_id ASC) AS rank
+         |  FROM qnl q JOIN enl e
+         |    ON e.vec_id <> q.q_id AND e.label = q.q_label
+         |)
+         |SELECT q_id, label, neighbor_id, rank, cosine FROM ranked
+         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
   )
 }

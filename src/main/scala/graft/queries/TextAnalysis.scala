@@ -556,6 +556,111 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** t15's mixture: per-source token-mass weights for the training mix
+    * (the "data mixing" table of every LLM pretraining recipe — RedPajama
+    * / Dolma-style source proportions). Named sources get explicit
+    * weights; the remainder split the rest uniformly (17 others here).
+    * Weights sum to 1 by construction. */
+  private val t15Weights: Seq[(String, Double)] =
+    Seq(("src0", 0.15), ("src1", 0.15), ("src2", 0.10))
+  private val t15DefaultWeight: Double = (1.0 - 0.40) / 17
+  /** Token budget as a fraction of the corpus: B = total div 2. */
+  private val t15BudgetDen = 2
+
+  /** t15 — token-budget mixture sampling: realize a target training mix
+    * (per-source token weights × a global token budget) as a
+    * deterministic per-document sample. The two-pass corpus-statistic
+    * shape (t9/t12's): pass 1 aggregates per-source available token
+    * mass; the plan (target tokens, keep rate) is derived per source;
+    * pass 2 keeps a document iff its id-hash 16-bit uniform falls under
+    * its source's rate — t6/t7's engine-independence contract, so the
+    * realized sample is identical across runs, engines and partition
+    * layouts. An over-subscribed source (available ≤ target) keeps
+    * everything; an under-subscribed one carries the 65536/threshold
+    * importance weight into training.
+    *
+    * The keep threshold is INTEGER arithmetic end-to-end:
+    * th = (target·65536) div available — no float rate ever compares
+    * against a hash, so the engine and the DuckDB oracle realize the
+    * exact same membership (the float-rate formulation would be one
+    * ULP away from flipping a boundary doc).
+    *
+    * Scale shape: pass 1 is a per-source partial agg (20 groups); the
+    * 20-row plan broadcast-joins back onto the scan; pass 2 is a
+    * scan-side filter + one per-source agg. Two corpus scans total
+    * (inherent to corpus-statistic gating), zero wide shuffles. */
+  def t15MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val wCase = t15Weights.foldLeft(null: Column) { case (acc, (src, w)) =>
+      if (acc == null) when(col("source") === src, w)
+      else acc.when(col("source") === src, w)
+    }.otherwise(t15DefaultWeight)
+    val tokd = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+          .as("u4"))
+    val avail = tokd.groupBy(col("source"))
+      .agg(sum(col("tok")).as("avail_tok"), count(lit(1)).as("n_docs"))
+    val total = avail.agg(sum(col("avail_tok")).as("total_tok"))
+    val plan = avail.crossJoin(broadcast(total))
+      .withColumn("target_tok",
+        floor(wCase *
+          expr(s"total_tok div $t15BudgetDen").cast("double")).cast("long"))
+      .withColumn("th",
+        when(col("avail_tok") <= col("target_tok"), lit(65536L))
+          .otherwise(expr("(target_tok * 65536) div avail_tok")))
+      .withColumn("th_hex", lpad(lower(hex(least(col("th"), lit(65535L)))),
+        4, "0"))
+    val sampled = tokd
+      .join(broadcast(plan.select(col("source"), col("th"), col("th_hex"))),
+        "source")
+      .filter(col("th") === 65536L || col("u4") < col("th_hex"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("tok")).as("tok_sampled"))
+    plan
+      .join(broadcast(sampled), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("avail_tok"),
+        col("target_tok"),
+        round(least(col("th"), lit(65536L)).cast("double") / 65536.0, 4)
+          .as("rate"),
+        round(lit(65536.0) / least(col("th"), lit(65536L)).cast("double"), 4)
+          .as("weight"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("tok_sampled"), lit(0L)).as("tok_sampled"))
+      .orderBy(col("source"))
+  }
+
+  /** t16 — train/val split leakage audit: the check a pipeline runs
+    * AFTER t6's split and d3's near-dup pass — a validation document
+    * whose near-duplicate sits in train is leaked (its eval loss is
+    * memorization, not generalization; the reason decontamination
+    * exists). Reports every affected val doc with its train-side
+    * near-dup count and the worst Jaccard.
+    *
+    * Composition, not recomputation: split membership is t6's pure
+    * id-hash function and the verified pairs are the
+    * [[Dedup.sharedVerifiedPairs]] pipeline artifact, so the audit
+    * never scans the corpus at all — it filters and aggregates the
+    * pair set (a small fraction of the corpus by construction). At
+    * 100 TB this is the cheapest query in the catalog: O(|pairs|)
+    * with a 2-hex-char comparison per endpoint. First use computes
+    * the d3 ladder, keeping the entry self-contained under Verify. */
+  def t16SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    def isTrain(id: Column): Column =
+      substring(md5(id.cast("string").cast("binary")), 1, 2) < "cd"
+    val pairs = Dedup.sharedVerifiedPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val sym = pairs
+      .select(col("doc_a").as("v"), col("doc_b").as("t"), col("jaccard"))
+      .unionByName(pairs
+        .select(col("doc_b").as("v"), col("doc_a").as("t"), col("jaccard")))
+    sym.filter(!isTrain(col("v")) && isTrain(col("t")))
+      .groupBy(col("v").as("val_doc"))
+      .agg(count(lit(1)).as("n_train_dups"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("val_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -573,6 +678,8 @@ object TextAnalysis {
     "t12_surprisal_zipf"    -> t12SurprisalZipf _,
     "t13_source_quota"      -> t13SourceQuota _,
     "t14_source_vocab_overlap" -> t14SourceVocabOverlap _,
+    "t15_mixture_sample"    -> t15MixtureSample _,
+    "t16_split_leakage"     -> t16SplitLeakage _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -797,5 +904,64 @@ object TextAnalysis {
         |JOIN sz sa ON sa.source = i.source_a
         |JOIN sz sb ON sb.source = i.source_b
         |ORDER BY i.source_a, i.source_b""".stripMargin,
+    "t15_mixture_sample" -> {
+      val wCase = t15Weights.map { case (src, w) => s"WHEN '$src' THEN $w" }
+        .mkString("CASE source ", " ", s" ELSE $t15DefaultWeight END")
+      s"""WITH tokd AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS u4
+         |  FROM documents
+         |), avail AS (
+         |  SELECT source, CAST(sum(tok) AS BIGINT) AS avail_tok,
+         |         count(*) AS n_docs
+         |  FROM tokd GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(avail_tok) AS BIGINT) AS total_tok FROM avail),
+         |plan AS (
+         |  SELECT a.*,
+         |         CAST(floor(($wCase)
+         |           * CAST(total_tok // $t15BudgetDen AS DOUBLE))
+         |           AS BIGINT) AS target_tok
+         |  FROM avail a, tot
+         |), plan2 AS (
+         |  SELECT *,
+         |         CASE WHEN avail_tok <= target_tok THEN 65536
+         |              ELSE (target_tok * 65536) // avail_tok END AS th
+         |  FROM plan
+         |), plan3 AS (
+         |  SELECT *, lpad(lower(hex(least(th, 65535))), 4, '0') AS th_hex
+         |  FROM plan2
+         |), sampled AS (
+         |  SELECT t.source, count(*) AS n_sampled,
+         |         CAST(sum(t.tok) AS BIGINT) AS tok_sampled
+         |  FROM tokd t JOIN plan3 p ON t.source = p.source
+         |  WHERE p.th = 65536 OR t.u4 < p.th_hex
+         |  GROUP BY 1
+         |)
+         |SELECT p.source, p.n_docs, p.avail_tok, p.target_tok,
+         |       round(CAST(least(p.th, 65536) AS DOUBLE) / 65536.0, 4)
+         |         AS rate,
+         |       round(65536.0 / CAST(least(p.th, 65536) AS DOUBLE), 4)
+         |         AS weight,
+         |       coalesce(s.n_sampled, 0) AS n_sampled,
+         |       coalesce(s.tok_sampled, 0) AS tok_sampled
+         |FROM plan3 p LEFT JOIN sampled s ON p.source = s.source
+         |ORDER BY p.source""".stripMargin
+    },
+    "t16_split_leakage" ->
+      s"""WITH ${Dedup.d3PairsSqlCtes},
+         |sym AS (
+         |  SELECT doc_a AS v, doc_b AS t, jaccard FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS v, doc_a AS t, jaccard FROM pairs
+         |)
+         |SELECT v AS val_doc, count(*) AS n_train_dups,
+         |       max(jaccard) AS max_jaccard
+         |FROM sym
+         |WHERE substr(md5(CAST(v AS VARCHAR)), 1, 2) >= 'cd'
+         |  AND substr(md5(CAST(t AS VARCHAR)), 1, 2) < 'cd'
+         |GROUP BY v
+         |ORDER BY val_doc""".stripMargin,
   )
 }

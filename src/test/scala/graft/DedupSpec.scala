@@ -408,4 +408,33 @@ class DedupSpec extends SparkSpec {
     // must find real work even though NO document is an exact copy
     assert(out.exists(_.getLong(2) > 0), "no duplicated segments found")
   }
+
+  test("d9 quality-canonical: one keeper per d6 cluster, argmax by " +
+       "(quality, -doc_id), policy_differs consistent with the id policy") {
+    import org.apache.spark.sql.functions._
+    val clusters = Dedup.queries("d6_dup_clusters")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    val quality = graft.queries.TextAnalysis.queries("t2_quality_score")(
+      spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val expected = clusters.groupBy(_._2).view.mapValues { ms =>
+      val ranked = ms.map(_._1).sortBy(id => (-quality(id), id))
+      (ranked.head, ms.length.toLong)
+    }.toMap
+    val out = Dedup.d9QualityCanonical(spark, sfDir).collect()
+    assert(out.length == expected.size, "one row per cluster")
+    out.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val (wantKeep, wantN) = expected(cid)
+      assert(r.getAs[Long]("kept_doc") == wantKeep,
+        s"cluster $cid kept ${r.getAs[Long]("kept_doc")}, want $wantKeep")
+      assert(r.getAs[Long]("n_members") == wantN)
+      assert(r.getAs[Double]("kept_quality") == quality(wantKeep))
+      assert(r.getAs[Boolean]("policy_differs") == (wantKeep != cid))
+    }
+    // the operator only earns its keep if the quality policy actually
+    // disagrees with lowest-id somewhere on this corpus
+    assert(out.exists(_.getAs[Boolean]("policy_differs")),
+      "quality argmax never differed from lowest-id; corpus too easy")
+  }
 }

@@ -169,6 +169,24 @@ class PlanSpec extends SparkSpec {
       s"tail vocab join lost its shuffle shape in:\n$p")
   }
 
+  test("t15: the 20-row sampling plan reaches the scan by BROADCAST — " +
+       "the corpus is never shuffled to meet its own thresholds") {
+    val p = plan(TextAnalysis.t15MixtureSample(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), s"plan not broadcast in:\n$p")
+    // pass 2's corpus side must not hash-shuffle into the threshold join:
+    // the only exchanges are the two tiny per-source aggs' partials
+    assert(!p.contains("SortMergeJoin"),
+      s"threshold join degraded to sort-merge in:\n$p")
+  }
+
+  test("s6: the label pre-filter joins broadcast-side, same shape as s1") {
+    val p = plan(Similarity.queries("s6_filtered_knn")(spark, sfDir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"filtered knn lost its broadcast shape in:\n$p")
+  }
+
   test("whole-stage codegen covers the scan->project hot path of t2") {
     // AQE's plan string hides codegen annotation until execution; disable
     // it for this one plan so the `*(n)` codegen markers are visible

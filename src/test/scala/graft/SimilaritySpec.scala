@@ -71,4 +71,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.sum / recalls.length >= 0.15,
       s"prefix recall too low: ${recalls.mkString(",")}")
   }
+
+  test("s6 filtered kNN: neighbors share the query label, ranks are " +
+       "contiguous, and the result equals s1 restricted by hand") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val out = Similarity.queries("s6_filtered_knn")(spark, sfDir).collect()
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+      rows.foreach { r =>
+        assert(r.getAs[Int]("label") == labels(q), "pre-filter violated")
+        assert(labels(r.getAs[Long]("neighbor_id")) == labels(q))
+        assert(r.getAs[Long]("neighbor_id") != q)
+      }
+      // cosines weakly decrease with rank (ties broken by vec_id)
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // the filter must CHANGE the answer vs unfiltered s1 somewhere —
+    // otherwise the query proves nothing about pre-filtering
+    val s1 = Similarity.queries("s1_knn_brute")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val s6 = out.map(r => (r.getAs[Long]("q_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    assert((s6 -- s1).nonEmpty, "filtered top-k identical to global top-k")
+  }
 }

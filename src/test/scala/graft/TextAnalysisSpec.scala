@@ -298,4 +298,70 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[String]("min_fp").matches("[0-9a-f]{32}"))
     }
   }
+
+  test("t15 mixture sampling: budget realization invariants on the corpus") {
+    val out = TextAnalysis.t15MixtureSample(spark, sfDir).collect()
+    assert(out.length == 20) // one row per source, none vanish
+    var totalTarget = 0L
+    var totalSampled = 0L
+    out.foreach { r =>
+      val avail = r.getAs[Long]("avail_tok")
+      val target = r.getAs[Long]("target_tok")
+      val rate = r.getAs[Double]("rate")
+      val weight = r.getAs[Double]("weight")
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tok_sampled") <= avail)
+      assert(rate > 0.0 && rate <= 1.0)
+      // over-subscribed source: keeps everything at weight 1
+      if (avail <= target) {
+        assert(rate == 1.0 && weight == 1.0)
+        assert(r.getAs[Long]("n_sampled") == r.getAs[Long]("n_docs"))
+        assert(r.getAs[Long]("tok_sampled") == avail)
+      } else {
+        // under-subscribed: importance weight is the rate inverse (to
+        // rounding) and the realized mass cannot exceed what an exact
+        // per-doc threshold could admit
+        assert(weight >= 1.0)
+        assert(math.abs(rate * weight - 1.0) < 2e-3)
+      }
+      totalTarget += target
+      totalSampled += r.getAs[Long]("tok_sampled")
+    }
+    // the mixture weights sum to 1, so the summed targets realize the
+    // global budget (total div 2) up to 20 per-source floors
+    val totalAvail = out.map(_.getAs[Long]("avail_tok")).sum
+    assert(totalTarget <= totalAvail / 2)
+    assert(totalTarget >= totalAvail / 2 - 20)
+    // a 16-bit-uniform doc sample concentrates near the target; at this
+    // SF just pin it to the right order (not a statistical test)
+    assert(totalSampled > 0)
+  }
+
+  test("t16 split leakage: endpoints respect the t6 split and every " +
+       "reported doc has at least one train-side near-dup") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.t16SplitLeakage(spark, sfDir).collect()
+    def isTrain(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${md(0) & 0xff}%02x" < "cd"
+    }
+    out.foreach { r =>
+      assert(!isTrain(r.getAs[Long]("val_doc")),
+        s"val_doc ${r.getAs[Long]("val_doc")} is in train")
+      assert(r.getAs[Long]("n_train_dups") >= 1L)
+      val j = r.getAs[Double]("max_jaccard")
+      assert(j >= 0.5 && j <= 1.0) // verified-pair threshold carries over
+    }
+    // cross-check one side against the pair set: every val endpoint of a
+    // mixed pair appears in the audit
+    val pairs = graft.queries.Dedup.queries("d3_minhash_lsh")(spark, sfDir)
+      .collect()
+    val expected = pairs.flatMap { p =>
+      val (a, b) = (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))
+      Seq(a -> b, b -> a)
+    }.filter { case (v, t) => !isTrain(v) && isTrain(t) }
+      .map(_._1).distinct.sorted
+    assert(out.map(_.getAs[Long]("val_doc")).toSeq.sorted.sameElements(expected))
+  }
 }
