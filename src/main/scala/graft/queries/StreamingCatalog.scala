@@ -187,6 +187,30 @@ object StreamingCatalog {
       .orderBy(col("source"), col("admit_idx"))
   }
 
+  /** st8's per-source token budget. Binds at every SF (the smallest
+    * harness source carries ~140 tokens at sf0.001), so the truncation
+    * path is always exercised. */
+  private val St8Budget = 100L
+
+  /** st8 — the streaming token-budget admission's batch half: admit
+    * docs per source in arrival order while admitted token mass is
+    * under [[St8Budget]] (t15's online counterpart — st7 caps doc
+    * counts, this caps what training actually buys). The admitted set
+    * is an arrival-order prefix (admit-then-add freezes the counter at
+    * first crossing), so the oracle replays it as a running-sum window
+    * — a counter bug, a lost micro-batch boundary or an off-by-one in
+    * the crossing rule shifts `budget_used` and hash-mismatches. */
+  def st8TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        col("doc_id").as("ts_us"))
+      .as[StreamingOps.DocTokArrival]
+    StreamingOps.tokenBudgetAdmit(in, budget = St8Budget).toDF()
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_dedup_first_seen"    -> st1DedupFirstSeen _,
     "st2_neardup_verified"    -> st2NearDupVerified _,
@@ -195,6 +219,7 @@ object StreamingCatalog {
     "st5_sessions_closed"     -> st5SessionsClosed _,
     "st6_funnel_snapshot"     -> st6FunnelSnapshot _,
     "st7_quota_admitted"      -> st7QuotaAdmitted _,
+    "st8_token_budget"        -> st8TokenBudget _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -318,5 +343,22 @@ object StreamingCatalog {
         |           PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 15 ORDER BY source, admit_idx""".stripMargin,
+    // admit-then-add makes the admitted set a per-source arrival-order
+    // prefix, so prior-ALL running sum == prior-ADMITTED running sum on
+    // every admitted row (and both are >= budget on every rejected one)
+    "st8_token_budget" ->
+      s"""SELECT doc_id, source, tok, CAST(cum AS BIGINT) AS budget_used
+         |FROM (
+         |  SELECT doc_id, source, tok,
+         |         sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS prev
+         |  FROM (SELECT doc_id, source,
+         |               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |        FROM documents))
+         |WHERE prev < ${St8Budget}
+         |ORDER BY source, doc_id""".stripMargin,
   )
 }

@@ -661,6 +661,39 @@ object TextAnalysis {
       .orderBy(col("val_doc"))
   }
 
+  /** t17 — first-occurrence novelty scoring (the data-valuation shape:
+    * how much does each document ADD to the corpus, in ingestion order?).
+    * A shingle's owner is the lowest-id document containing it; a
+    * document's novelty is the fraction of its distinct 5-gram shingles
+    * it owns. Early documents score ≈1, boilerplate-heavy and
+    * near-duplicate late arrivals score ≈0 — the per-doc marginal
+    * contribution a curation run ranks by before paying dedup cost
+    * (documents with novelty ≈0 are droppable WITHOUT pairwise
+    * comparison: everything they say, an earlier doc said).
+    *
+    * Scale shape: explode the scan-side shingle-hash kernel (t8's
+    * [[word_shingle_hashes]], distinct within doc by construction), ONE
+    * groupBy(shingle) min-agg for ownership, join back on the shingle
+    * hash — the build side is 1 row/key by construction, so hot
+    * shingles ("the a of…") match exactly one row and amplify nothing
+    * (t8/t9's skew-free argument) — then one per-doc agg. Ownership is
+    * min(doc_id): associative, partial-aggregates map-side. */
+  def t17NoveltyScore(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(word_shingle_hashes(col("text"), ContamN)).as("sh"))
+    val owner = ex.groupBy(col("sh")).agg(min(col("doc_id")).as("owner"))
+    ex.join(owner, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_first"))
+      .select(col("doc_id"), col("n_sh"), col("n_first"),
+        round(col("n_first").cast("double") / col("n_sh").cast("double"), 4)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -680,6 +713,7 @@ object TextAnalysis {
     "t14_source_vocab_overlap" -> t14SourceVocabOverlap _,
     "t15_mixture_sample"    -> t15MixtureSample _,
     "t16_split_leakage"     -> t16SplitLeakage _,
+    "t17_novelty_score"     -> t17NoveltyScore _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -963,5 +997,30 @@ object TextAnalysis {
          |  AND substr(md5(CAST(t AS VARCHAR)), 1, 2) < 'cd'
          |GROUP BY v
          |ORDER BY val_doc""".stripMargin,
+    "t17_novelty_score" -> {
+      val joins = (0 until ContamN)
+        .map(k => s"string_split(text, ' ')[i+$k]").mkString(" || ' ' || ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(shs) AS sh
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(string_split(text, ' ')) >= $ContamN THEN
+         |        list_distinct(list_transform(
+         |          generate_series(1, len(string_split(text, ' ')) - ${ContamN - 1}),
+         |          i -> $joins))
+         |      ELSE CAST([] AS VARCHAR[]) END AS shs
+         |    FROM documents)
+         |),
+         |owner AS (SELECT sh, min(doc_id) AS owner FROM sh GROUP BY 1)
+         |SELECT s.doc_id, count(*) AS n_sh,
+         |       CAST(sum(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_first,
+         |       round(CAST(sum(CASE WHEN o.owner = s.doc_id
+         |                          THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 4) AS novelty
+         |FROM sh s JOIN owner o ON s.sh = o.sh
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    },
   )
 }

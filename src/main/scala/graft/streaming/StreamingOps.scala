@@ -223,6 +223,55 @@ object StreamingOps {
       }
   }
 
+  /** A document arrival with its token count, for [[tokenBudgetAdmit]]. */
+  case class DocTokArrival(doc_id: Long, source: String, tok: Long, ts_us: Long)
+
+  /** An admitted document emitted by [[tokenBudgetAdmit]]; `budget_used`
+    * is the source's cumulative admitted token mass AFTER this doc. */
+  case class TokAdmitted(doc_id: Long, source: String, tok: Long,
+      budget_used: Long)
+
+  /** Streaming per-source TOKEN-budget admission — the ingest-time half
+    * of batch t15's mixture realization
+    * ([[graft.queries.TextAnalysis.t15MixtureSample]]): admit arrivals
+    * while the source's admitted token mass is still under budget, drop
+    * everything after. Where st7 caps document COUNTS, this caps the
+    * quantity training actually buys — tokens — so a source of long
+    * documents exhausts its budget in fewer admissions.
+    *
+    * Admission is admit-then-add (a doc arriving under budget is
+    * admitted even if it overshoots — the policy that never starves a
+    * source whose next doc is large), which makes the admitted set a
+    * contiguous ARRIVAL-ORDER PREFIX per source: a rejected doc's
+    * tokens are never added, so `used` is frozen at first crossing and
+    * every later arrival sees `used >= budget`. That prefix property is
+    * what lets the batch oracle replay the policy as a plain running
+    * sum over all rows (prior-all ≡ prior-admitted on the prefix).
+    *
+    * State is ONE Long per source; same shuffle key and batch-symmetry
+    * contract as [[sourceQuotaAdmit]]. */
+  def tokenBudgetAdmit(docs: Dataset[DocTokArrival], budget: Long)
+      : Dataset[TokAdmitted] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, TokAdmitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[DocTokArrival],
+         state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[TokAdmitted]
+          batch.toSeq.sortBy(d => (d.ts_us, d.doc_id)).foreach { d =>
+            if (used < budget) {
+              used += d.tok
+              out += TokAdmitted(d.doc_id, src, d.tok, used)
+            }
+          }
+          state.update(used)
+          out.result().iterator
+      }
+  }
+
   /** One (doc, band) occupancy row feeding [[nearDupCandidates]]'s keyed
     * state; `bh` is the LSH band-bucket hash. */
   case class BandRow(doc_id: Long, band: Int, bh: Long, ts: java.sql.Timestamp)

@@ -312,6 +312,45 @@ class StreamingSpec extends SparkSpec {
       (1L, "s0", 1), (2L, "s0", 2), (3L, "s1", 1), (5L, "s1", 2)))
   }
 
+  test("streaming token-budget admission: admit-then-add freezes the " +
+       "counter at first crossing, across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.DocTokArrival
+    val dir = Files.createTempDirectory("graft-stream-tokbudget").toString
+    def writeBatch(ds: Seq[DocTokArrival], name: String): Unit =
+      ds.toDS().coalesce(1).write.parquet(s"$dir/$name")
+    val arrivalSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("tok", LongType),
+      StructField("ts_us", LongType)))
+    // batch 1: s0 admits 60 then 50 (overshoot to 110 >= 100 — admitted
+    // because it ARRIVED under budget); s1 admits 90
+    writeBatch(Seq(DocTokArrival(1L, "s0", 60L, 1L),
+      DocTokArrival(2L, "s0", 50L, 2L),
+      DocTokArrival(3L, "s1", 90L, 3L)), "b1")
+    val in = spark.readStream.schema(arrivalSchema).parquet(s"$dir/b*")
+    val q = graft.streaming.StreamingOps
+      .tokenBudgetAdmit(in.as[DocTokArrival], budget = 100L)
+      .writeStream.format("memory").queryName("tokbudget")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: s0 is frozen at 110 -> nothing, even a 1-token doc;
+      // s1 (at 90) admits one more (crossing to 130), then freezes
+      writeBatch(Seq(DocTokArrival(4L, "s0", 1L, 4L),
+        DocTokArrival(5L, "s1", 40L, 5L),
+        DocTokArrival(6L, "s1", 1L, 6L)), "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("tokbudget").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "s0", 60L, 60L), (2L, "s0", 50L, 110L),
+      (3L, "s1", 90L, 90L), (5L, "s1", 40L, 130L)))
+  }
+
   test("streaming funnel: depth advances across micro-batches and the " +
        "final state equals the batch e8 result on the same events") {
     import spark.implicits._
