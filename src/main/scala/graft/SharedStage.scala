@@ -60,10 +60,25 @@ object SharedStage {
         val df = build
         val before = s.sparkContext.getPersistentRDDs.keySet
         val pinned = df.localCheckpoint(eager = true)
-        val newIds: Set[Int] =
-          (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
-        newIds.foreach(ids.put(_, ()))
-        memo.put(key, (pinned, newIds))
+        // Pin and validate on the CHECKPOINT rdd only — the eager
+        // checkpoint EXECUTES the build here, so the raw before/after
+        // diff also captures any Materialize caches the build's plan
+        // registers on first run. Those die at the next bench cleanup
+        // (clearCache), and validating on them would read every memo
+        // entry as stale — the artifact would silently re-prime on every
+        // run (observed: t16 benched at full-ladder cost, not marginal).
+        // The served plan reads nothing but the checkpoint, so the
+        // checkpoint id is the correct liveness proxy; fall back to the
+        // diff if the plan isn't the expected LogicalRDD shape.
+        val ckptIds: Set[Int] = pinned.queryExecution.logical.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+        }.toSet match {
+          case s0 if s0.nonEmpty => s0
+          case _ =>
+            (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
+        }
+        ckptIds.foreach(ids.put(_, ()))
+        memo.put(key, (pinned, ckptIds))
         pinned
     }
   }
