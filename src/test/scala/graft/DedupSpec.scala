@@ -437,4 +437,49 @@ class DedupSpec extends SparkSpec {
     assert(out.exists(_.getAs[Boolean]("policy_differs")),
       "quality argmax never differed from lowest-id; corpus too easy")
   }
+
+  test("d10 planted spans: exact dups span their whole text; the near-dup's " +
+       "span stops where the edited word enters the shingle window") {
+    val rows = Dedup.d10DupSpans(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 20-word docs, K=13: 8 shingle starts (0..7). Docs 1/2 are identical
+    // so every shingle is cross-doc duplicated -> one maximal span of 8
+    // shingles covering all 20 words. Doc 3 differs at word 18 (1-based),
+    // which enters the 13-word window from start 5 on -> shared run is
+    // starts 0..4, covering words 1..17. Docs 4 (12 words < K) and 5
+    // produce no shingles at all.
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 8L, 20L), (2L, 0L, 8L, 20L), (3L, 0L, 5L, 17L)))
+  }
+
+  test("d10 on the harness corpus == a brute-force string-shingle " +
+       "recompute; every span is maximal") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val K = 13
+    val owners = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for ((id, ws) <- docs; p <- 0 to ws.length - K) {
+      val sh = ws.slice(p, p + K).mkString(" ")
+      val (lo, hi) = owners.getOrElse(sh, (id, id))
+      owners(sh) = (math.min(lo, id), math.max(hi, id))
+    }
+    val expected = docs.flatMap { case (id, ws) =>
+      val dupPos = (0 to ws.length - K).filter { p =>
+        val o = owners(ws.slice(p, p + K).mkString(" ")); o._1 != o._2
+      }
+      // islands over consecutive dup positions
+      val spans = dupPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: tail, p) if p == e + 1 => (s, p) :: tail
+        case (acc, p)                          => (p, p) :: acc
+      }.reverse
+      spans.collect { case (s, e) if e - s + 1 >= 3 =>
+        (id, s.toLong, (e - s + 1).toLong, (e - s + K).toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Dedup.d10DupSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty, "harness corpus has planted dups; spans expected")
+  }
 }
