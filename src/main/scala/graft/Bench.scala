@@ -58,31 +58,48 @@ object Bench {
     }.min
   }
 
-  /** Per-query minimums (and the run's SF dir) from the newest PARSEABLE
-    * baseline. Candidates, newest first: the bench's own committed
-    * `BENCH_SELF.json` (always a complete line — see [[writeSelf]]), then
-    * the driver-committed `BENCH_r*.json` descending. Files that yield no
-    * queries block are SKIPPED, not fatal: the committed BENCH_r10.json
-    * was truncated mid-JSON by the driver wrapper's output capture, and
-    * the old take-lexically-last-or-give-up logic silently disarmed the
-    * r11 regression guard ("prev":null). Regex-parsed so the bench stays
-    * dependency-free (driver wrapper format: the inner "parsed" object
-    * carries the bench line; the escaped copy in "tail" cannot match the
-    * unescaped regexes). */
-  private def prevBench(): Option[(String, Option[String], Map[String, Double])] = {
-    val candidates = sys.env.get("SPARK_GRAFT_PREV_BENCH")
-      .map(f => Seq(new java.io.File(f)))
-      .getOrElse {
+  /** Per-query minimums from every baseline that matches the run's SF.
+    * TWO baselines are consulted when available (ADVICE r11 — each alone
+    * has a blind spot):
+    *
+    *   - `BENCH_SELF.json`, the bench's own durable artifact: always a
+    *     complete line, but rewritten by every run — consecutive runs of
+    *     already-regressed code would self-baseline each other green, so
+    *     a <1.5x-per-run ratchet could creep in unflagged;
+    *   - the newest parseable driver-committed `BENCH_r*.json`: stable
+    *     for a whole round (catches the ratchet), but can be truncated
+    *     (r10) or absent.
+    *
+    * A query is flagged when EITHER baseline shows the jump. SF-mismatch
+    * is rejected INSIDE the candidate scan, not after committing to the
+    * first parseable file: a single sf0.01 debug run rewrites BENCH_SELF
+    * with the wrong SF, and the old pick-then-filter order turned that
+    * into "prev":null — guard silently disarmed — even though a valid
+    * same-SF BENCH_r*.json sat right behind it (ADVICE r11). Files too
+    * old to carry an "sf" stamp are accepted (sf.forall). Regex-parsed so
+    * the bench stays dependency-free (driver wrapper format: the inner
+    * "parsed" object carries the bench line; the escaped copy in "tail"
+    * cannot match the unescaped regexes). */
+  private def baselines(expectedSf: String)
+      : Seq[(String, Map[String, Double])] = {
+    def firstMatching(cands: Seq[java.io.File]) =
+      cands.iterator.filter(_.isFile).map(parseBench).collectFirst {
+        case Some((name, sf, qs)) if sf.forall(_ == expectedSf) => (name, qs)
+      }
+    sys.env.get("SPARK_GRAFT_PREV_BENCH") match {
+      case Some(f) => firstMatching(Seq(new java.io.File(f))).toSeq
+      case None =>
         val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
         val files = dirs
           .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
           .distinctBy(_.getCanonicalPath)
-        files.filter(_.getName == "BENCH_SELF.json") ++
+        val self = firstMatching(files.filter(_.getName == "BENCH_SELF.json"))
+        // numeric round order: lexical sort reads r9 > r11
+        val round = firstMatching(
           files.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-            .sortBy(_.getName).reverse
-      }
-    candidates.iterator.filter(_.isFile).map(parseBench)
-      .collectFirst { case Some(hit) => hit }
+            .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt).reverse)
+        (self ++ round).toSeq
+    }
   }
 
   private def parseBench(f: java.io.File)
@@ -143,16 +160,16 @@ object Bench {
     val suspect = calibRatio > 2.0 ||
       math.max(calibPre, calibPost) > calibEnvelope
     def f(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
-    // cross-SF ratios are meaningless: only guard against a prior run
-    // over the same data (or one too old to record its SF)
-    val prev = prevBench().filter { case (_, sf, _) =>
-      sf.forall(_ == sfDir)
+    // cross-SF ratios are meaningless: baselines() already rejected any
+    // candidate recorded at a different SF dir
+    val prevs = baselines(sfDir)
+    val regressions = timed.flatMap { case (n, v) =>
+      val ratios = prevs.flatMap { case (_, p) =>
+        p.get(n).filter(old => old > 0 && v > 0 && v / old > 1.5)
+          .map(v / _)
+      }
+      if (ratios.isEmpty) None else Some(n -> ratios.max)
     }
-    val regressions = prev.map { case (_, _, p) =>
-      timed.filter { case (n, v) =>
-        v > 0 && p.get(n).exists(old => old > 0 && v / old > 1.5)
-      }.map { case (n, v) => n -> v / p(n) }
-    }.getOrElse(Seq.empty)
 
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -161,7 +178,10 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
     val calibJson =
       s"""{"pre":${f(calibPre)},"post":${f(calibPost)},"ratio":${f(calibRatio)},"envelope":${f(calibEnvelope)}}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"calibration":$calibJson,"suspect":$suspect,"prev":${prev.map("\"" + _._1 + "\"").getOrElse("null")},"regressions":$regJson}"""
+    val prevJson =
+      if (prevs.isEmpty) "null"
+      else "\"" + prevs.map(_._1).mkString(",") + "\""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"calibration":$calibJson,"suspect":$suspect,"prev":$prevJson,"regressions":$regJson}"""
     println(json)
     writeSelf(json)
     spark.stop()

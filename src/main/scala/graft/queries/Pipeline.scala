@@ -100,10 +100,12 @@ object Pipeline {
     * aggregated row stacked five ways. */
   def p2CurationFunnelNearDup(s: SparkSession, dir: String): DataFrame = {
     // the staged flags feed the survivor filter AND the final funnel
-    // join; the [[sharedStagedFlags]] artifact is already an eager
-    // checkpoint, so both branches read the materialized copy (and in a
-    // full pipeline run p1 has primed it — p2's benched steady state is
-    // its marginal near-dup cost, the r10 plan-audit item)
+    // join; the [[sharedStagedFlags]] artifact is an eager checkpoint,
+    // so both branches read the materialized copy. p1 deliberately does
+    // NOT route through the artifact (upstream stages stay measured at
+    // full pipeline cost, the d6/d7 convention), so p2 self-primes it on
+    // first use — its benched steady state is the marginal near-dup
+    // cost, the r10 plan-audit item
     val staged = sharedStagedFlags(s, dir)
     val surv = staged.filter(col("d_pass")).select(col("doc_id"))
     val pairsAmong = Dedup.sharedVerifiedPairs(s, dir)

@@ -623,7 +623,13 @@ object TextAnalysis {
         col("target_tok"),
         round(least(col("th"), lit(65536L)).cast("double") / 65536.0, 4)
           .as("rate"),
-        round(lit(65536.0) / least(col("th"), lit(65536L)).cast("double"), 4)
+        // th can floor to 0 (tiny weight x tiny budget vs a large
+        // source): rate 0 admits nothing, so the importance weight is
+        // moot — report 0.0 instead of the 65536/0 = Infinity row
+        // (ADVICE r11)
+        when(col("th") === 0L, lit(0.0))
+          .otherwise(round(
+            lit(65536.0) / least(col("th"), lit(65536L)).cast("double"), 4))
           .as("weight"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
         coalesce(col("tok_sampled"), lit(0L)).as("tok_sampled"))
@@ -976,8 +982,9 @@ object TextAnalysis {
          |SELECT p.source, p.n_docs, p.avail_tok, p.target_tok,
          |       round(CAST(least(p.th, 65536) AS DOUBLE) / 65536.0, 4)
          |         AS rate,
-         |       round(65536.0 / CAST(least(p.th, 65536) AS DOUBLE), 4)
-         |         AS weight,
+         |       CASE WHEN p.th = 0 THEN 0.0
+         |            ELSE round(65536.0 / CAST(least(p.th, 65536) AS DOUBLE), 4)
+         |       END AS weight,
          |       coalesce(s.n_sampled, 0) AS n_sampled,
          |       coalesce(s.tok_sampled, 0) AS tok_sampled
          |FROM plan3 p LEFT JOIN sampled s ON p.source = s.source
