@@ -250,10 +250,52 @@ object Pipeline {
       .orderBy(col("stage"))
   }
 
+  /** p4 — dedup-policy savings: what the surgical span excision (d11)
+    * preserves versus d7's whole-document drops, on the same corpus —
+    * the number that justifies running span removal at all (Lee et al.
+    * 2022's headline comparison). Two rows, one per policy:
+    * docs_affected, tok_removed, tok_kept (tok = whitespace words, the
+    * t-series unit; the corpus total is the shared base line).
+    * The doc-drop side is d7's keep-lowest policy over the near-dup
+    * clusters; the span side is d11's merged-interval excisions —
+    * different dup definitions by design (MinHash-verified whole-doc
+    * similarity vs exact 13-gram runs): the comparison shows what each
+    * POLICY costs in training tokens, not the same detector twice.
+    *
+    * Scale shape: pure composition — both inputs are pipeline-stage
+    * artifacts ([[Dedup.sharedStarEdges]], [[Dedup.sharedDupSpans]] via
+    * [[Dedup.d11Excisions]]), so p4 pays one corpus scan for token
+    * counts plus two small-side joins/aggregates; first use computes
+    * the ladders, keeping the entry self-contained under Verify. */
+  def p4PolicySavings(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val total = tok.agg(sum(col("tok")).as("t_all"))
+    val dd = tok
+      .join(Dedup.sharedStarEdges(s, dir).select(col("v").as("doc_id"))
+        .distinct(), "doc_id")
+      .agg(count(lit(1)).as("docs"),
+        coalesce(sum(col("tok")), lit(0L)).as("removed"))
+    val sp = Dedup.d11Excisions(s, dir)
+      .agg(count(lit(1)).as("docs"),
+        coalesce(sum(col("words_removed")), lit(0L)).as("removed"))
+    dd.select(lit("a_drop_whole_docs").as("policy"),
+        col("docs"), col("removed"))
+      .unionByName(sp.select(lit("b_excise_spans").as("policy"),
+        col("docs"), col("removed")))
+      .crossJoin(broadcast(total))
+      .select(col("policy"), col("docs").as("docs_affected"),
+        col("removed").as("tok_removed"),
+        (col("t_all") - col("removed")).as("tok_kept"))
+      .orderBy(col("policy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_curation_funnel" -> p1CurationFunnel _,
     "p2_funnel_neardup"  -> p2CurationFunnelNearDup _,
     "p3_curation_v2"     -> p3CurationV2 _,
+    "p4_policy_savings"  -> p4PolicySavings _,
   )
 
   /** The per-doc staged-flag CTE chain (d → f → g → h) shared by the p1
@@ -314,6 +356,69 @@ object Pipeline {
     * oracle uses, with cluster id = min reachable label ≡ the engine's
     * star root. */
   val oracleSql: Map[String, String] = Map(
+    // p4: both dup ladders replayed whole — the d6/d7 recursive
+    // component closure over the brute-force pair set for the doc-drop
+    // side, the d10 string-shingle span CTEs + the d11 interval merge
+    // for the span side — then the two policies' removal masses against
+    // the same corpus token total.
+    "p4_policy_savings" ->
+      s"""WITH RECURSIVE ${Dedup.d3PairsSqlCtes},
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |),
+         |reach(node, lab) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+         |),
+         |comp AS (
+         |  SELECT node AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY node
+         |),
+         |drops AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+         |${Dedup.d10SpansSqlCtes},
+         |iv AS (
+         |  SELECT doc_id, start_word AS s,
+         |         start_word + span_words - 1 AS e
+         |  FROM spans
+         |), ord AS (
+         |  SELECT doc_id, s, e,
+         |         coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2)
+         |           AS pmax
+         |  FROM iv
+         |), isl AS (
+         |  SELECT doc_id, s, e,
+         |         sum(CASE WHEN s > pmax + 1 THEN 1 ELSE 0 END) OVER (
+         |           PARTITION BY doc_id ORDER BY s, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS island
+         |  FROM ord
+         |), merged AS (
+         |  SELECT doc_id, island, min(s) AS ms, max(e) AS me
+         |  FROM isl GROUP BY doc_id, island
+         |), perdoc AS (
+         |  SELECT doc_id, CAST(sum(me - ms + 1) AS BIGINT) AS words_removed
+         |  FROM merged GROUP BY doc_id
+         |), tokd AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |  FROM documents
+         |), tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t_all FROM tokd),
+         |pol AS (
+         |  SELECT 'a_drop_whole_docs' AS policy,
+         |         count(*) AS docs_affected,
+         |         CAST(coalesce(sum(t.tok), 0) AS BIGINT) AS tok_removed
+         |  FROM drops d JOIN tokd t USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'b_excise_spans', count(*),
+         |         CAST(coalesce(sum(words_removed), 0) AS BIGINT)
+         |  FROM perdoc
+         |)
+         |SELECT policy, docs_affected, tok_removed,
+         |       (SELECT t_all FROM tot) - tok_removed AS tok_kept
+         |FROM pol ORDER BY policy""".stripMargin,
     "p1_curation_funnel" ->
       s"""WITH $funnelCtes
         |SELECT * FROM (

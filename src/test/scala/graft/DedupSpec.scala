@@ -452,6 +452,40 @@ class DedupSpec extends SparkSpec {
       (1L, 0L, 8L, 20L), (2L, 0L, 8L, 20L), (3L, 0L, 5L, 17L)))
   }
 
+  test("d11 planted excisions: doc 3 keeps only its edited tail, and " +
+       "overlapping spans from different partners merge without " +
+       "double-deleting") {
+    import spark.implicits._
+    val rows = Dedup.d11SpanRemoval(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // docs 1/2: wholly duplicated -> fully excised; doc 3: the d10 span
+    // covers words 0..16, so only the edited-word tail survives
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 20L, 20L, ""),
+      (2L, 1L, 20L, 20L, ""),
+      (3L, 1L, 20L, 17L, "sigmaX tau upsilon")))
+    // overlap fixture: Y copies X[0..16], Z copies X[10..29] — X's two
+    // spans ([0,16] from Y, [10,29] from Z, runs separated by unique
+    // shingles 5..9) overlap in words 10..16 and must merge to ONE
+    // excision of exactly 30 words (37 would be the double-delete bug)
+    val dir = Files.createTempDirectory("graft-d11-overlap").toString
+    val xs = (0 until 30).map(i => s"x$i")
+    Seq(
+      (1L, xs.mkString(" "), "en", "s0", 100L),
+      (2L, xs.slice(0, 17).mkString(" "), "en", "s0", 100L),
+      (3L, xs.slice(10, 30).mkString(" "), "en", "s0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.d11SpanRemoval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 30L, 30L, ""),
+      (2L, 1L, 17L, 17L, ""),
+      (3L, 1L, 20L, 20L, "")))
+  }
+
   test("d10 on the harness corpus == a brute-force string-shingle " +
        "recompute; every span is maximal") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
