@@ -214,6 +214,60 @@ object StreamingCatalog {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** st9's admission caps. Quota 3 with budget 150 makes BOTH caps bind
+    * across the harness sources (short-doc sources hit the count cap,
+    * long-doc sources cross the token budget first), so the gate's two
+    * paths are exercised in one entry. */
+  private val St9Quota = 3
+  private val St9Budget = 150L
+
+  /** st9 — the composed ingest pipeline's batch half: the fused
+    * admission gate (st7 count cap + st8 token budget as ONE stateful
+    * policy — [[StreamingOps.ingestAdmit]]) feeding the st3 Bloom
+    * contamination screen, over the val split arriving in doc_id order
+    * against the frozen t8 train split. The admission columns replay in
+    * DuckDB as the prefix window (both caps stated literally); the
+    * Bloom counts are st3-gated as bound BOOLEANS against the exact
+    * t8-shaped join computed on the admitted subset only (the probe has
+    * no false negatives and never exceeds the shingle count — a
+    * regression in either direction flips a literal-stated boolean).
+    * The streaming half — same gate, same screen, micro-batched — is
+    * pinned equal in StreamingSpec with both caps freezing across
+    * micro-batch boundaries. */
+  def st9IngestAdmission(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"),
+        (bucket < "cd").as("is_train"))
+    val train = docs.filter(col("is_train")).select(col("doc_id"), col("text"))
+    val arrivals = docs.filter(!col("is_train"))
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        col("doc_id").as("ts_us"))
+      .as[StreamingOps.IngestArrival]
+    val piped = StreamingOps.ingestPipeline(arrivals, train,
+      St9Quota, St9Budget)
+    // exact t8-shaped hit counts, computed ONLY for the admitted subset
+    // (left-semi before the explode — the screen bound check never
+    // re-scans what admission already dropped)
+    val admIds = piped.select(col("doc_id"))
+    val ex = docs.filter(!col("is_train"))
+      .join(admIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(word_shingle_hashes(col("text"), 5)).as("sh"))
+    val trainSh = train
+      .select(explode(word_shingle_hashes(col("text"), 5)).as("sh")).distinct()
+    val exact = ex.join(trainSh.withColumn("hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col("doc_id")).agg(count(col("hit")).as("n_exact"))
+    piped.join(exact, "doc_id")
+      .select(col("doc_id"), col("source"), col("tok"), col("admit_idx"),
+        col("budget_used"), col("n_sh"), col("n_exact"),
+        (col("n_hit") >= col("n_exact")).as("no_undercount"),
+        (col("n_hit") <= col("n_sh")).as("within_total"))
+      .orderBy(col("source"), col("admit_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_dedup_first_seen"    -> st1DedupFirstSeen _,
     "st2_neardup_verified"    -> st2NearDupVerified _,
@@ -223,6 +277,7 @@ object StreamingCatalog {
     "st6_funnel_snapshot"     -> st6FunnelSnapshot _,
     "st7_quota_admitted"      -> st7QuotaAdmitted _,
     "st8_token_budget"        -> st8TokenBudget _,
+    "st9_ingest_admission"    -> st9IngestAdmission _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -363,5 +418,63 @@ object StreamingCatalog {
          |        FROM documents))
          |WHERE prev < ${St8Budget}
          |ORDER BY source, doc_id""".stripMargin,
+    // st9: the fused prefix window (count cap AND token budget — both
+    // caps only increment on admission, so prior-all == prior-admitted)
+    // plus the exact t8-shaped hit counts on the admitted subset; the
+    // Bloom bounds are ground truth, stated as literals (st3's gate)
+    "st9_ingest_admission" -> {
+      val n = 5
+      val joins = (0 until n)
+        .map(k => s"string_split(text, ' ')[i+$k]").mkString(" || ' ' || ")
+      s"""WITH tokd AS (
+         |  SELECT doc_id, source, text,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+         |           AS is_train
+         |  FROM documents
+         |), adm AS (
+         |  SELECT doc_id, source, text, tok,
+         |         CAST(rn AS INT) AS admit_idx,
+         |         CAST(cum AS BIGINT) AS budget_used
+         |  FROM (
+         |    SELECT doc_id, source, text, tok,
+         |           row_number() OVER (
+         |             PARTITION BY source ORDER BY doc_id) AS rn,
+         |           sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             AS cum,
+         |           coalesce(sum(tok) OVER (
+         |             PARTITION BY source ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             AS prev
+         |    FROM tokd WHERE NOT is_train)
+         |  WHERE rn <= $St9Quota AND prev < $St9Budget
+         |), shv AS (
+         |  SELECT doc_id, unnest(shs) AS sh FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(string_split(text, ' ')) >= $n THEN
+         |        list_distinct(list_transform(
+         |          generate_series(1, len(string_split(text, ' ')) - ${n - 1}),
+         |          i -> $joins))
+         |      ELSE CAST([] AS VARCHAR[]) END AS shs
+         |    FROM adm)
+         |), tr AS (
+         |  SELECT DISTINCT sh FROM (
+         |    SELECT unnest(list_distinct(list_transform(
+         |        generate_series(1, len(string_split(text, ' ')) - ${n - 1}),
+         |        i -> $joins))) AS sh
+         |    FROM tokd
+         |    WHERE is_train AND len(string_split(text, ' ')) >= $n)
+         |), ex AS (
+         |  SELECT s.doc_id, count(*) AS n_sh, count(t.sh) AS n_exact
+         |  FROM shv s LEFT JOIN tr t ON s.sh = t.sh
+         |  GROUP BY s.doc_id
+         |)
+         |SELECT a.doc_id, a.source, a.tok, a.admit_idx, a.budget_used,
+         |       e.n_sh, e.n_exact,
+         |       TRUE AS no_undercount, TRUE AS within_total
+         |FROM adm a JOIN ex e USING (doc_id)
+         |ORDER BY a.source, a.admit_idx""".stripMargin
+    },
   )
 }

@@ -362,6 +362,98 @@ object StreamingOps {
       }
   }
 
+  /** An ingest arrival for [[ingestAdmit]]: `text` rides along for the
+    * downstream contamination screen (it flows through the handler's
+    * output, never into state). */
+  case class IngestArrival(doc_id: Long, source: String, text: String,
+      tok: Long, ts_us: Long)
+
+  /** Per-source admission state for [[ingestAdmit]]: docs admitted and
+    * token mass used — two numbers, nothing else. */
+  case class AdmitState(n: Int, used: Long)
+
+  /** A document admitted by [[ingestAdmit]]. */
+  case class IngestAdmitted(doc_id: Long, source: String, text: String,
+      tok: Long, admit_idx: Int, budget_used: Long)
+
+  /** The fused ingest ADMISSION GATE — st7's per-source count cap and
+    * st8's token budget applied as ONE policy in one stateful pass, the
+    * way a production ingest actually runs them (one gate, one state
+    * row per source, not two chained stateful operators — chaining
+    * `flatMapGroupsWithState` stages in a single streaming query is
+    * exactly the shape Spark's multiple-stateful-operator support does
+    * not cover). A doc is admitted iff its source is under BOTH caps;
+    * both counters increment only on admission.
+    *
+    * Because neither cap can re-open (a count-full source stays full; a
+    * budget-crossed source's mass is frozen), the admitted set is an
+    * arrival-order PREFIX per source, so:
+    *   - BATCH inputs replay the policy as one row_number + running-sum
+    *     window (sort-spilling, no group materialization — the same
+    *     formulation the st9 oracle states);
+    *   - STREAMING inputs fold each micro-batch through
+    *     [[selectSmallest]] (the admitted set is contained in the
+    *     (quota − n) earliest arrivals, so the candidate buffer stays
+    *     O(quota)) and walk both counters over the candidates.
+    * Same shuffle key, batch-symmetry and bounded-memory contracts as
+    * the standalone operators; StreamingSpec pins the cross-micro-batch
+    * freeze of both caps and the batch ≡ streaming equality. */
+  def ingestAdmit(docs: Dataset[IngestArrival], quota: Int, budget: Long)
+      : Dataset[IngestAdmitted] = {
+    import docs.sparkSession.implicits._
+    if (!docs.isStreaming) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("ts_us"), col("doc_id"))
+      val whole = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val before = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs.toDF()
+        .withColumn("admit_idx", row_number().over(w))
+        .withColumn("budget_used", sum(col("tok")).over(whole))
+        .withColumn("__prior", coalesce(sum(col("tok")).over(before), lit(0L)))
+        .filter(col("admit_idx") <= quota && col("__prior") < budget)
+        .select(col("doc_id"), col("source"), col("text"), col("tok"),
+          col("admit_idx"), col("budget_used"))
+        .as[IngestAdmitted]
+    } else {
+      val ord: Ordering[IngestArrival] = Ordering.by(d => (d.ts_us, d.doc_id))
+      docs
+        .groupByKey(_.source)
+        .flatMapGroupsWithState[AdmitState, IngestAdmitted](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (src: String, batch: Iterator[IngestArrival],
+           state: GroupState[AdmitState]) =>
+            var st = state.getOption.getOrElse(AdmitState(0, 0L))
+            val out = Seq.newBuilder[IngestAdmitted]
+            selectSmallest(quota - st.n, batch)(ord).foreach { d =>
+              if (st.n < quota && st.used < budget) {
+                st = AdmitState(st.n + 1, st.used + d.tok)
+                out += IngestAdmitted(d.doc_id, src, d.text, d.tok,
+                  st.n, st.used)
+              }
+            }
+            state.update(st)
+            out.result().iterator
+        }
+    }
+  }
+
+  /** The end-to-end streaming INGEST pipeline: admission gate
+    * ([[ingestAdmit]] — count cap + token budget) → contamination
+    * screen ([[screenColumns]] — stateless Bloom probe against the
+    * frozen train split). One stateful operator plus a pure map: the
+    * composition a crawl ingest actually runs, with per-source state
+    * bounded at two numbers and screen work only for docs that paid
+    * their way through admission. Output: admission metadata + screen
+    * counts, text dropped. */
+  def ingestPipeline(docs: Dataset[IngestArrival], trainDocs: DataFrame,
+      quota: Int, budget: Long, expectedShingles: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame =
+    screenColumns(ingestAdmit(docs, quota, budget).toDF(), trainDocs,
+      expectedShingles, fpp).drop("text")
+
   /** One (doc, band) occupancy row feeding [[nearDupCandidates]]'s keyed
     * state; `bh` is the LSH band-bucket hash. */
   case class BandRow(doc_id: Long, band: Int, bh: Long, ts: java.sql.Timestamp)
@@ -490,6 +582,16 @@ object StreamingOps {
     * is order-independent — bit OR — so the two paths see identical
     * bits). */
   def contaminationScreen(docs: DataFrame, trainDocs: DataFrame,
+      expectedShingles: Long = 1L << 20, fpp: Double = 0.01): DataFrame =
+    screenColumns(docs, trainDocs, expectedShingles, fpp)
+      .select(col("doc_id"), col("n_sh"), col("n_hit"), col("contam_frac"))
+
+  /** [[contaminationScreen]] in its composable form: the screen's
+    * columns (n_sh, n_hit, contam_frac) ADDED to the input frame, every
+    * input column kept — what [[ingestPipeline]] chains after the
+    * admission gate. Docs too short to carry a single 5-gram shingle
+    * are dropped (nothing to screen), as in the narrow form. */
+  def screenColumns(docs: DataFrame, trainDocs: DataFrame,
       expectedShingles: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
     import graft.functions.BloomFunctions.bloom_hit_count
     import graft.functions.TextHashFunctions.word_shingle_hashes
@@ -505,9 +607,10 @@ object StreamingOps {
     docs
       .withColumn("shs", word_shingle_hashes(col("text"), 5))
       .filter(size(col("shs")) > 0)
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
-        bloom_hit_count(bloomBytes, col("shs")).as("n_hit"))
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+      .withColumn("n_hit", bloom_hit_count(bloomBytes, col("shs")))
       .withColumn("contam_frac",
         round(col("n_hit").cast("double") / col("n_sh").cast("double"), 4))
+      .drop("shs")
   }
 }

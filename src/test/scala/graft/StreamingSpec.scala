@@ -396,6 +396,52 @@ class StreamingSpec extends SparkSpec {
     assert(folded == e8)
   }
 
+  test("st9 ingest pipeline: both admission caps freeze across " +
+       "micro-batches and the composed stream equals the batch run") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.IngestArrival
+    val train = Seq((100L, "t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val b1 = Seq(
+      IngestArrival(1L, "sA", "t1 t2 t3 t4 t5 x1", 10L, 1L), // leaked 5-gram
+      IngestArrival(2L, "sA", "a b c d e f g", 10L, 2L),
+      IngestArrival(3L, "sB", "h i j k l m n", 120L, 3L))    // crosses budget
+    val b2 = Seq(
+      IngestArrival(4L, "sA", "o p q r s t", 5L, 4L),  // sA count-capped out
+      IngestArrival(5L, "sB", "u v w x y z", 1L, 5L))  // sB budget-frozen out
+    val dir = Files.createTempDirectory("graft-st9").toString
+    b1.toDS().coalesce(1).write.parquet(s"$dir/b0")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType), StructField("tok", LongType),
+      StructField("ts_us", LongType)))
+    val in = spark.readStream.schema(schema).parquet(s"$dir/b*")
+      .as[IngestArrival]
+    val q = StreamingOps.ingestPipeline(in, train, quota = 2, budget = 100L)
+      .writeStream.format("memory").queryName("st9pipe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      b2.toDS().coalesce(1).write.parquet(s"$dir/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("tok"), r.getAs[Int]("admit_idx"),
+        r.getAs[Long]("budget_used"), r.getAs[Long]("n_sh"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("contam_frac")))
+      .sortBy(_._1)
+    val streamed = rows(spark.table("st9pipe"))
+    // docs 4 and 5 must be gone: sA's count cap and sB's budget both
+    // froze in batch 1; doc 1's leaked train 5-gram is flagged
+    assert(streamed.toSeq == Seq(
+      (1L, "sA", 10L, 1, 10L, 2L, 1L, 0.5),
+      (2L, "sA", 10L, 2, 20L, 3L, 0L, 0.0),
+      (3L, "sB", 120L, 1, 120L, 3L, 0L, 0.0)))
+    val batch = rows(StreamingOps.ingestPipeline(
+      (b1 ++ b2).toDS(), train, quota = 2, budget = 100L))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   // ---- bounded-memory pins for the admission handlers (VERDICT r11:
   // the r11 handlers' batch.toSeq.sortBy materialized a whole source's
   // docs in one task — these pin the O(quota)/O(budget) replacements
