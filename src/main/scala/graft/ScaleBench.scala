@@ -40,7 +40,17 @@ object ScaleBench {
     "d8_segment_dedup", "e8_funnel", "e10_rolling_active",
     "p2_funnel_neardup", "p3_curation_v2", "s1_knn_brute",
     "t1_token_count", "t12_surprisal", "t12_surprisal_zipf",
-    "t13_source_quota")
+    "t13_source_quota",
+    // r12 (VERDICT r11 #3): every operator the r11 series left uncovered
+    // — the admission gates (st7 was the one with the flagged bench
+    // number), the span ladder (d10/d11/p4), the quality/mixture family
+    // (d9/t15-t17), the multimodal scan kernels (m5/m6), x9's
+    // sketch-vs-exact pair, and the composed ingest (st9)
+    "d9_quality_canonical", "d10_dup_spans", "d11_span_removal",
+    "m5_resize_thumb", "m6_phash_neardup", "p4_policy_savings",
+    "st7_quota_admitted", "st8_token_budget", "st9_ingest_admission",
+    "t15_mixture_sample", "t16_split_leakage", "t17_novelty_score",
+    "x9_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)
