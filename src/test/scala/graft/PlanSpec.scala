@@ -187,6 +187,36 @@ class PlanSpec extends SparkSpec {
       s"filtered knn lost its broadcast shape in:\n$p")
   }
 
+  test("st8 batch half: the token budget plans as a running-sum window — " +
+       "zero object serde (the r11 handler shape is gone from the batch " +
+       "path)") {
+    val p = plan(StreamingCatalog.st8TokenBudget(spark, sfDir))
+    assert(p.contains("Window"), s"no WindowExec in:\n$p")
+    for (bad <- Seq("MapGroups", "AppendColumns", "SerializeFromObject"))
+      assert(!p.contains(bad),
+        s"$bad in the batch plan — the window branch was not taken:\n$p")
+  }
+
+  test("st9 batch half: the fused admission gate is the prefix-window " +
+       "formulation and the Bloom screen rides it with no serde and no " +
+       "UDF") {
+    val p = plan(StreamingCatalog.st9IngestAdmission(spark, sfDir))
+    assert(p.contains("Window"), s"no WindowExec in:\n$p")
+    assert(p.contains("bloom_hit_count"), s"screen probe missing in:\n$p")
+    for (bad <- Seq("MapGroups", "AppendColumns", "SerializeFromObject",
+        "BatchEvalPython", "ScalaUDF"))
+      assert(!p.contains(bad), s"$bad in the batch plan:\n$p")
+  }
+
+  test("d11: the stitch is pure array arithmetic on the documents scan — " +
+       "no Generate anywhere (spans come from the materialized d10 " +
+       "artifact; words never become rows)") {
+    val p = plan(Dedup.d11SpanRemoval(spark, sfDir))
+    val gens = p.linesIterator.count(_.trim.stripPrefix("+- ").stripPrefix("*(")
+      .contains("Generate "))
+    assert(gens == 0, s"expected 0 Generate nodes, got $gens in:\n$p")
+  }
+
   test("whole-stage codegen covers the scan->project hot path of t2") {
     // AQE's plan string hides codegen annotation until execution; disable
     // it for this one plan so the `*(n)` codegen markers are visible
