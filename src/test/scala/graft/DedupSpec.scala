@@ -486,6 +486,52 @@ class DedupSpec extends SparkSpec {
       (3L, 1L, 20L, 20L, "")))
   }
 
+  test("d12 on the harness corpus == a brute-force delta-restricted " +
+       "recompute (cross probe + self pairs + exact-dup flags)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val isDelta = docs.map { case (id, _) =>
+      id -> (md5hex(id.toString).substring(0, 2) >= Dedup.D12DeltaBucket)
+    }.toMap
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Set.empty
+      else (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val ids = docs.map(_._1).sorted
+    val partners = scala.collection.mutable.Map.empty[Long, List[Double]]
+      .withDefaultValue(Nil)
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val (sa, sb) = (sh(a), sh(b))
+      if (sa.nonEmpty && sb.nonEmpty) {
+        val inter = (sa & sb).size
+        // round-then-threshold, the engine's exact order
+        val jr = math.round(inter.toDouble / (sa.size + sb.size - inter)
+          * 10000).toDouble / 10000
+        if (jr >= 0.5) { partners(a) ::= jr; partners(b) ::= jr }
+      }
+    }
+    val byText = docs.groupBy(_._2)
+    val expected = ids.filter(isDelta).map { id =>
+      val twins = byText(docs.find(_._1 == id).get._2).map(_._1)
+      val exact = twins.exists(t => !isDelta(t) || t < id)
+      val ps = partners(id)
+      (id, exact, ps.size.toLong,
+        if (ps.isEmpty) 0.0 else ps.max)
+    }
+    val got = Dedup.d12DeltaNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.exists(_._2) || got.exists(_._3 > 0),
+      "harness corpus has planted dups; the delta should see some")
+  }
+
   test("d10 on the harness corpus == a brute-force string-shingle " +
        "recompute; every span is maximal") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
