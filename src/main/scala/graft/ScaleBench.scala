@@ -47,6 +47,7 @@ object ScaleBench {
     // (d9/t15-t17), the multimodal scan kernels (m5/m6), x9's
     // sketch-vs-exact pair, and the composed ingest (st9)
     "d9_quality_canonical", "d10_dup_spans", "d11_span_removal",
+    "d12_delta_neardup",
     "m5_resize_thumb", "m6_phash_neardup", "p4_policy_savings",
     "st7_quota_admitted", "st8_token_budget", "st9_ingest_admission",
     "t15_mixture_sample", "t16_split_leakage", "t17_novelty_score",
