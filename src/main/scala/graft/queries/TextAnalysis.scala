@@ -700,6 +700,59 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t18's planted-PII augmentation (the d4b convention): every 25th
+    * doc gets a variant under a shifted id with one email, one phone
+    * number and one IPv4 address appended, all derived from doc_id —
+    * the harness corpus is lowercase words with no organic PII, so an
+    * unaugmented run would pass vacuously (0 rows ≡ 0 rows). Both
+    * engines construct the plant identically. */
+  private[graft] val T18IdShift = 20000000L
+  private[graft] val T18Every = 25
+
+  /** t18's patterns. Kept inside the ASCII subset where Java regex
+    * (Spark) and RE2 (DuckDB) agree exactly: character classes,
+    * bounded/unbounded repetition, non-capturing groups and ASCII
+    * word boundaries — no backreferences, no lookaround (RE2 has
+    * neither). */
+  private[graft] val T18Email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val T18Phone = "\\b555-[0-9]{4}\\b"
+  private[graft] val T18Ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** t18 — PII detection + redaction: the scrub stage every production
+    * corpus runs before training (emails, phone numbers, IP addresses →
+    * typed placeholders). Output is one row per PII-BEARING document:
+    * per-category counts and the redacted text. Clean documents emit
+    * nothing — a false positive on a clean doc adds a row and fails
+    * the oracle's row-count/hash compare, so precision is gated too.
+    *
+    * Scale shape: a pure per-doc map — `regexp_count`/`regexp_replace`
+    * are codegen'd Catalyst expressions evaluated at the scan, no
+    * shuffle before the presentation sort. Replacement is chained
+    * email → phone → IP in both engines (the categories cannot overlap
+    * on these patterns, so order is cosmetic but pinned anyway). The
+    * DuckDB oracle replays the same augmentation, the same RE2-safe
+    * patterns and the same chained replacement with the 'g' flag. */
+  def t18PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % T18Every === 0)
+      .select((col("doc_id") + T18IdShift).as("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")).as("text"))
+    base.unionByName(planted)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(T18Email)).as("n_email"),
+        regexp_count(col("text"), lit(T18Phone)).as("n_phone"),
+        regexp_count(col("text"), lit(T18Ip)).as("n_ip"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          T18Email, "<EMAIL>"), T18Phone, "<PHONE>"), T18Ip, "<IP>")
+          .as("text_redacted"))
+      .filter(col("n_email") + col("n_phone") + col("n_ip") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -720,6 +773,7 @@ object TextAnalysis {
     "t15_mixture_sample"    -> t15MixtureSample _,
     "t16_split_leakage"     -> t16SplitLeakage _,
     "t17_novelty_score"     -> t17NoveltyScore _,
+    "t18_pii_redaction"     -> t18PiiRedaction _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1029,5 +1083,33 @@ object TextAnalysis {
          |GROUP BY s.doc_id
          |ORDER BY s.doc_id""".stripMargin
     },
+    // t18: same planted augmentation, same RE2-safe patterns, same
+    // chained replacement — DuckDB needs the 'g' flag (its
+    // regexp_replace is first-match by default; Spark's is global)
+    "t18_pii_redaction" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $T18IdShift,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |              || '@example.com call 555-'
+         |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |              || '.7'
+         |  FROM documents WHERE doc_id % $T18Every = 0
+         |), counted AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(text, '$T18Email')) AS n_email,
+         |         len(regexp_extract_all(text, '$T18Phone')) AS n_phone,
+         |         len(regexp_extract_all(text, '$T18Ip')) AS n_ip,
+         |         regexp_replace(regexp_replace(regexp_replace(text,
+         |           '$T18Email', '<EMAIL>', 'g'),
+         |           '$T18Phone', '<PHONE>', 'g'),
+         |           '$T18Ip', '<IP>', 'g') AS text_redacted
+         |  FROM aug
+         |)
+         |SELECT * FROM counted
+         |WHERE n_email + n_phone + n_ip > 0
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -364,4 +364,24 @@ class TextAnalysisSpec extends SparkSpec {
       .map(_._1).distinct.sorted
     assert(out.map(_.getAs[Long]("val_doc")).toSeq.sorted.sameElements(expected))
   }
+
+  test("t18: counts and redacts every email/phone/IP occurrence; clean " +
+       "docs emit nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t18").toString
+    Seq(
+      (1L, "reach a.smith+x@mail.co.uk or bob@ex.org call 555-0042 " +
+        "and 555-9999 from 192.168.0.1 ok", "en", "s0", 10L),
+      (2L, "plain clean words only", "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t18PiiRedaction(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    // doc 2 is clean -> no row (precision); neither id is % 25 == 0, so
+    // the planted augmentation adds nothing here
+    assert(got.toSeq == Seq(
+      (1L, 2, 2, 1,
+        "reach <EMAIL> or <EMAIL> call <PHONE> and <PHONE> from <IP> ok")))
+  }
 }
