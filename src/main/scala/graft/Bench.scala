@@ -87,7 +87,16 @@ object Bench {
         case Some((name, sf, qs)) if sf.forall(_ == expectedSf) => (name, qs)
       }
     sys.env.get("SPARK_GRAFT_PREV_BENCH") match {
-      case Some(f) => firstMatching(Seq(new java.io.File(f))).toSeq
+      case Some(f) =>
+        val hit = firstMatching(Seq(new java.io.File(f)))
+        // an explicitly pinned baseline that doesn't apply must be LOUD:
+        // the operator believes the guard is armed (the silent-disarm
+        // failure mode, ADVICE r11 — same rule as the discovery path)
+        if (hit.isEmpty) System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_PREV_BENCH=$f is unreadable, " +
+            s"unparseable or recorded at a different SF than $expectedSf " +
+            "— regression guard DISARMED")
+        hit.toSeq
       case None =>
         val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
         val files = dirs

@@ -224,7 +224,10 @@ object Analytics {
     * measure. The driver's Verify/Bench never set the env, so the gated
     * entry and its oracle always run at the pinned default. */
   private val X9K: Int =
-    sys.env.get("SPARK_GRAFT_X9_K").map(_.toInt).getOrElse(31)
+    sys.env.get("SPARK_GRAFT_X9_K").map { v =>
+      v.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
+        s"invalid SPARK_GRAFT_X9_K '$v': need a positive integer"))
+    }.getOrElse(31)
 
   def x9HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)

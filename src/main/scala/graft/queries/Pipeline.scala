@@ -378,30 +378,7 @@ object Pipeline {
          |),
          |drops AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
          |${Dedup.d10SpansSqlCtes},
-         |iv AS (
-         |  SELECT doc_id, start_word AS s,
-         |         start_word + span_words - 1 AS e
-         |  FROM spans
-         |), ord AS (
-         |  SELECT doc_id, s, e,
-         |         coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2)
-         |           AS pmax
-         |  FROM iv
-         |), isl AS (
-         |  SELECT doc_id, s, e,
-         |         sum(CASE WHEN s > pmax + 1 THEN 1 ELSE 0 END) OVER (
-         |           PARTITION BY doc_id ORDER BY s, e
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |           AS island
-         |  FROM ord
-         |), merged AS (
-         |  SELECT doc_id, island, min(s) AS ms, max(e) AS me
-         |  FROM isl GROUP BY doc_id, island
-         |), perdoc AS (
-         |  SELECT doc_id, CAST(sum(me - ms + 1) AS BIGINT) AS words_removed
-         |  FROM merged GROUP BY doc_id
-         |), tokd AS (
+         |${Dedup.d11MergeSqlCtes}, tokd AS (
          |  SELECT doc_id,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
          |  FROM documents

@@ -253,6 +253,18 @@ object StreamingOps {
       }
   }
 
+  /** The per-source arrival-order window frames shared by the admission
+    * batch branches: (whole = unbounded..current, before =
+    * unbounded..previous), both over PARTITION BY source ORDER BY
+    * (ts_us, doc_id) — one definition, so the batch halves of st8 and
+    * st9 cannot drift in tie-break or frame. */
+  private def arrivalFrames = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("source")).orderBy(col("ts_us"), col("doc_id"))
+    (w, w.rowsBetween(W.unboundedPreceding, W.currentRow),
+      w.rowsBetween(W.unboundedPreceding, -1))
+  }
+
   /** A document arrival with its token count, for [[tokenBudgetAdmit]]. */
   case class DocTokArrival(doc_id: Long, source: String, tok: Long, ts_us: Long)
 
@@ -330,13 +342,7 @@ object StreamingOps {
       : Dataset[TokAdmitted] = {
     import docs.sparkSession.implicits._
     if (!docs.isStreaming) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("ts_us"), col("doc_id"))
-      val whole = w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-      val before = w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val (_, whole, before) = arrivalFrames
       docs.toDF()
         .withColumn("budget_used", sum(col("tok")).over(whole))
         .withColumn("__prior", coalesce(sum(col("tok")).over(before), lit(0L)))
@@ -402,13 +408,7 @@ object StreamingOps {
       : Dataset[IngestAdmitted] = {
     import docs.sparkSession.implicits._
     if (!docs.isStreaming) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("ts_us"), col("doc_id"))
-      val whole = w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-      val before = w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val (w, whole, before) = arrivalFrames
       docs.toDF()
         .withColumn("admit_idx", row_number().over(w))
         .withColumn("budget_used", sum(col("tok")).over(whole))
