@@ -355,6 +355,99 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** s7 — IVF-PQ, the two scale cuts COMPOSED the way a production ANN
+    * index (the FAISS IndexIVFPQ shape, here without residual encoding)
+    * actually serves: the IVF coarse quantizer (s2's cells) decides
+    * WHICH vectors are scanned — a query touches only its
+    * [[ProbeCells]] probed cells — and the PQ codes (s4's) decide how
+    * many BYTES each scanned vector costs — ADC reads 4 sub-codes, not
+    * 256 float bytes. Candidates are ADC-scored, a
+    * [[PqShortlist]]-deep shortlist is re-ranked exactly, and measured
+    * recall@10 vs brute force is reported alongside both knobs.
+    *
+    * Scale shape: at 100 TB the cell id is the partition key (a probe
+    * prunes to ProbeCells/NumCentroids of the corpus partitions) and
+    * the codes column is the only thing the ADC scan reads — the two
+    * savings multiply, which is why this composition IS the default
+    * large-scale ANN index. The recall losses multiply too — on these
+    * unclustered synthetic embeddings s7's measured recall sits at
+    * roughly the product of s2's and s4's, the honest cost of the
+    * combined cut (a trained corpus with real cluster structure is
+    * where the trade earns its keep). Encoding and assignment are each
+    * one broadcast pass over the corpus (index build, not query cost).
+    * Everything — centroid rule, assignment/probe tie-breaks, code
+    * argmins, ADC arithmetic — is deterministic and the DuckDB oracle
+    * replays the full pipeline. */
+  def s7AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cent = e.orderBy(idMix(col("vec_id")), col("vec_id"))
+      .limit(NumCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // IVF half: cell assignment + per-query probe list (s2's machinery)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val cells = e.join(broadcast(cent), lit(true))
+      .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val probes = querySet(e).join(broadcast(cent), lit(true))
+      .withColumn("c_cos", round(cosine_sim(col("q_emb"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= ProbeCells)
+      .select(col("q_id"), col("c_id").as("cell"))
+    // PQ half: whole-corpus encoding (index build — s4's codes)
+    val joined = e.join(broadcast(cent), lit(true))
+    val codeAggs = (0 until PqM).map { m =>
+      val csq = dot_product(pqSub(col("c_emb"), m), pqSub(col("c_emb"), m))
+      val d2 = round(
+        csq - lit(2.0) * dot_product(pqSub(col("embedding"), m), pqSub(col("c_emb"), m)), 6)
+      min_by(struct(col("c_id").as("id"), csq.as("csq")),
+        struct(d2.as("d"), col("c_id").as("c"))).as(s"k$m")
+    }
+    val codes = joined.groupBy(col("vec_id")).agg(codeAggs.head, codeAggs.tail: _*)
+    val q = querySet(e)
+      .withColumn("q_nrm", sqrt(dot_product(col("q_emb"), col("q_emb"))))
+    val lut = q.join(broadcast(cent), lit(true))
+      .select(col("q_id").as("l_qid") +: col("c_id").as("l_cid") +:
+        (0 until PqM).map(m =>
+          dot_product(pqSub(col("q_emb"), m), pqSub(col("c_emb"), m)).as(s"dp$m")): _*)
+    // the composition: ADC scores ONLY vectors in the query's probed
+    // cells (the IVF cut applied before any code is read)
+    var adc = codes
+      .join(cells, "vec_id")
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(q.select(col("q_id"), col("q_nrm"))), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+    for (m <- 0 until PqM) {
+      val l = lut.select(col("l_qid").as(s"lq$m"), col("l_cid").as(s"lc$m"), col(s"dp$m"))
+      adc = adc.join(broadcast(l),
+        col("q_id") === col(s"lq$m") && col(s"k$m.id") === col(s"lc$m"))
+    }
+    val dpSum = (0 until PqM).map(m => col(s"dp$m")).reduce(_ + _)
+    val csqSum = (0 until PqM).map(m => col(s"k$m.csq")).reduce(_ + _)
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val shortlist = adc
+      .withColumn("adc", round(dpSum / (col("q_nrm") * sqrt(csqSum)), 4))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= PqShortlist)
+      .select(col("q_id"), col("vec_id"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val approx = shortlist
+      .join(e, "vec_id")
+      .join(broadcast(querySet(e)), "q_id")
+      .withColumn("cosine", round(cosine_sim(col("q_emb"), col("embedding")), 4))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+    recallVsBrute(e, approx,
+      Seq(lit(ProbeCells).as("probed_cells"), lit(PqM).as("m_subspaces")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> s1KnnBrute _,
     "s2_ann_ivf"   -> s2AnnIvf _,
@@ -362,6 +455,7 @@ object Similarity {
     "s4_ann_pq"    -> s4AnnPq _,
     "s5_ann_truncated" -> s5AnnTruncated _,
     "s6_filtered_knn" -> s6FilteredKnn _,
+    "s7_ann_ivfpq" -> s7AnnIvfPq _,
   )
 
   // ---- DuckDB oracle construction -----------------------------------
@@ -602,6 +696,87 @@ object Similarity {
        |${recallSql(s"CAST($S5PrefixDims AS INTEGER) AS prefix_dims")}""".stripMargin
   }
 
+  /** s7: the s2 cell/probe CTEs and the s4 code/ADC CTEs composed — the
+    * candidate set is the probed-cells join, the scoring is ADC, the
+    * shortlist re-ranks exactly. */
+  private def s7OracleSql: String = {
+    val cms = (0 until PqM).map { m =>
+      val csq = pqSubDotSql("c.c_emb", "c.c_emb", m)
+      val dot = pqSubDotSql("e.embedding", "c.c_emb", m)
+      s"""cm$m AS (
+         |  SELECT vec_id, c_id, csq FROM (
+         |    SELECT e.vec_id, c.c_id, $csq AS csq,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round($csq - 2.0 * $dot, 6), c.c_id) AS rn
+         |    FROM en e CROSS JOIN cent c
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val cmJoins = (1 until PqM).map(m =>
+      s"JOIN cm$m c$m ON c$m.vec_id = c0.vec_id").mkString("\n  ") + "\n  " +
+      (0 until PqM).map(m =>
+        s"JOIN cent s$m ON s$m.c_id = c$m.c_id").mkString("\n  ")
+    val dpSum = (0 until PqM).map(m => pqSubDotSql("q.q_emb", s"s$m.c_emb", m))
+      .mkString(" + ")
+    val csqSum = (0 until PqM).map(m => s"c$m.csq").mkString(" + ")
+    s"""WITH $commonCtes,
+       |cent AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM en
+       |  ORDER BY (vec_id * $MixA + $MixB) % $MixM, vec_id
+       |  LIMIT $NumCentroids
+       |),
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT en.vec_id, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY en.vec_id
+       |             ORDER BY ${cosSql("en.embedding", "en.nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |                      c.c_id ASC) AS rn
+       |    FROM en CROSS JOIN cent c
+       |  ) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT qn.q_id, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY qn.q_id
+       |             ORDER BY ${cosSql("qn.q_emb", "qn.q_nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |                      c.c_id ASC) AS rn
+       |    FROM qn CROSS JOIN cent c
+       |  ) WHERE rn <= $ProbeCells
+       |),
+       |$cms,
+       |adc AS (
+       |  SELECT q.q_id, c0.vec_id,
+       |         round(($dpSum) / (q.q_nrm * sqrt($csqSum)), 4) AS adc
+       |  FROM qn q
+       |  JOIN probes p ON p.q_id = q.q_id
+       |  JOIN cells cl ON cl.cell = p.cell
+       |  JOIN cm0 c0 ON c0.vec_id = cl.vec_id
+       |  $cmJoins
+       |  WHERE c0.vec_id <> q.q_id
+       |),
+       |shortlist AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY adc DESC, vec_id ASC) AS rn
+       |    FROM adc
+       |  ) WHERE rn <= $PqShortlist
+       |),
+       |approx AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT sl.q_id, sl.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY sl.q_id
+       |             ORDER BY ${cosSql("qn.q_emb", "qn.q_nrm", "en.embedding", "en.nrm")} DESC,
+       |                      sl.vec_id ASC) AS rank
+       |    FROM shortlist sl
+       |    JOIN qn ON qn.q_id = sl.q_id
+       |    JOIN en ON en.vec_id = sl.vec_id
+       |  ) WHERE rank <= $K
+       |)
+       |${recallSql(s"CAST($ProbeCells AS INTEGER) AS probed_cells, CAST($PqM AS INTEGER) AS m_subspaces")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "s1_knn_brute" ->
       s"""WITH $commonCtes,
@@ -619,6 +794,7 @@ object Similarity {
     "s3_ann_lsh" -> s3OracleSql,
     "s4_ann_pq"  -> s4OracleSql,
     "s5_ann_truncated" -> s5OracleSql,
+    "s7_ann_ivfpq" -> s7OracleSql,
     "s6_filtered_knn" ->
       s"""WITH enl AS (
          |  SELECT vec_id, embedding, label,

@@ -99,4 +99,20 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Long]("neighbor_id"))).toSet
     assert((s6 -- s1).nonEmpty, "filtered top-k identical to global top-k")
   }
+
+  test("s7: IVF-PQ recall is bounded per query by s2's pure-IVF recall " +
+       "(same probed cells — any brute hit s7 can return is inside the " +
+       "cells, where s2's exact top-k already counts it)") {
+    val ivf = Similarity.s2AnnIvf(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall_at_10"))
+      .toMap
+    val ivfpq = Similarity.s7AnnIvfPq(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Double]("recall_at_10"),
+        r.getAs[Long]("n_returned")))
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { case (q, r, n) =>
+      assert(r <= ivf(q) + 1e-9, s"query $q: ivfpq recall $r > ivf ${ivf(q)}")
+      assert(n <= 10, s"query $q returned $n > K")
+    }
+  }
 }
