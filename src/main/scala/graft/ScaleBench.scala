@@ -51,7 +51,7 @@ object ScaleBench {
     "m5_resize_thumb", "m6_phash_neardup", "p4_policy_savings",
     "st7_quota_admitted", "st8_token_budget", "st9_ingest_admission",
     "t15_mixture_sample", "t16_split_leakage", "t17_novelty_score",
-    "t18_pii_redaction", "x9_heavy_hitters")
+    "t18_pii_redaction", "x9_heavy_hitters", "s7_ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)
