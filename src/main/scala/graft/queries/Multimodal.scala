@@ -334,7 +334,65 @@ object Multimodal {
       .limit(20)
   }
 
+  /** m7's window geometry: 50 16-bit samples (100 bytes) per energy
+    * window — byte-aligned with [[FrameBytes]] so the audio windows and
+    * m3's video frames tile the payload identically — and the peak
+    * threshold under which a window counts as silence. */
+  private val M7Win = 50
+  private val M7SilencePeak = 1024
+
+  /** m7 — audio energy profile: the third modality's codec-free half.
+    * The opaque payload is read as 16-bit little-endian PCM; per
+    * [[M7Win]]-sample window this computes the integer energy
+    * (Σ sample², exact), the RMS (one rounded sqrt at the end), the
+    * peak |sample|, and a silence flag (peak < [[M7SilencePeak]]) — the
+    * voice-activity-detection preprocessing an audio pipeline runs
+    * BEFORE the expensive codec/ASR stage, so silent windows never cost
+    * a decode (the same budget argument as m3's frame sampling).
+    *
+    * Byte access rides the m3/m5/m6 hex common ground: both engines
+    * address `lower(hex(payload))` with identical substr/ascii
+    * arithmetic (DuckDB's md5/substring cannot touch BLOBs), so every
+    * sample value is bit-identical by construction. The per-window
+    * lambda stack here is the documented decode SEAM (m2's contract):
+    * a production build swaps it for a codec/kernel over the raw bytes
+    * without touching the windowing geometry, the energy policy, or
+    * anything downstream. Only FULL windows are scored (a trailing
+    * partial window has no honest RMS denominator); docs shorter than
+    * one window emit nothing, in both engines. */
+  def m7AudioEnergy(s: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast("binary")
+    def hv(pos: String) =
+      s"(ascii(substr(hx, $pos, 1)) - (CASE WHEN substr(hx, $pos, 1) " +
+        "BETWEEN '0' AND '9' THEN 48 ELSE 87 END))"
+    val base = s"(win * $M7Win + k) * 4"
+    val b0 = s"(${hv(s"$base + 1")} * 16 + ${hv(s"$base + 2")})"
+    val b1 = s"(${hv(s"$base + 3")} * 16 + ${hv(s"$base + 4")})"
+    val v0 = s"($b0 + 256 * $b1)"
+    val v = s"(CASE WHEN $v0 >= 32768 THEN $v0 - 65536 ELSE $v0 END)"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), lower(hex(payload)).as("hx"),
+        expr(s"CAST((length(CAST(text AS BINARY)) div 2) div $M7Win AS BIGINT)")
+          .as("n_win"))
+      .filter(col("n_win") >= 1)
+      .select(col("doc_id"), col("hx"),
+        explode(expr("sequence(0L, n_win - 1)")).as("win"))
+      .withColumn("vs",
+        expr(s"transform(sequence(0, ${M7Win - 1}), k -> CAST($v AS BIGINT))"))
+      .select(col("doc_id"), col("win"),
+        expr("aggregate(vs, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+          .as("energy"),
+        expr("array_max(transform(vs, x -> abs(x)))").as("peak"))
+      .withColumn("rms",
+        round(sqrt(col("energy").cast("double") / M7Win), 4))
+      .withColumn("is_silence", col("peak") < M7SilencePeak)
+      .select(col("doc_id"), col("win"), col("energy"), col("rms"),
+        col("peak"), col("is_silence"))
+      .orderBy(col("doc_id"), col("win"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_audio_energy"     -> m7AudioEnergy _,
     "m1_multimodal_meta"  -> m1MultimodalMeta _,
     "m2_decode_features"  -> m2DecodeFeatures _,
     "m2_decode_dims"      -> m2bDecodeDims _,
@@ -349,6 +407,46 @@ object Multimodal {
     * oracle-checked (byte length, modality tag and md5 all have exact
     * DuckDB equivalents). */
   val oracleSql: Map[String, String] = Map(
+    // m7: the identical substr/ascii sample arithmetic over the same
+    // lowercase-hex common ground, exact integer energy, one rounded
+    // sqrt — a sample-decode bug, a sign error on values >= 0x8000, a
+    // window misalignment or a flipped silence threshold shifts a value
+    // and hash-mismatches
+    "m7_audio_energy" -> {
+      def hv(pos: String) =
+        s"(ascii(substr(hx, $pos, 1)) - (CASE WHEN substr(hx, $pos, 1) " +
+          "BETWEEN '0' AND '9' THEN 48 ELSE 87 END))"
+      val base = s"(win * $M7Win + k) * 4"
+      val b0 = s"(${hv(s"$base + 1")} * 16 + ${hv(s"$base + 2")})"
+      val b1 = s"(${hv(s"$base + 3")} * 16 + ${hv(s"$base + 4")})"
+      val v0 = s"($b0 + 256 * $b1)"
+      val v = s"(CASE WHEN $v0 >= 32768 THEN $v0 - 65536 ELSE $v0 END)"
+      s"""WITH p AS (
+         |  SELECT doc_id, lower(hex(text)) AS hx,
+         |         (octet_length(CAST(text AS BLOB)) // 2) // $M7Win AS n_win
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, hx, t.win
+         |  FROM p, unnest(range(n_win)) AS t(win)
+         |  WHERE n_win >= 1
+         |), vs AS (
+         |  SELECT doc_id, win,
+         |         list_transform(range(0, $M7Win),
+         |           k -> CAST($v AS BIGINT)) AS samples
+         |  FROM w
+         |)
+         |SELECT doc_id, win,
+         |       CAST(list_sum(list_transform(samples, x -> x * x))
+         |            AS BIGINT) AS energy,
+         |       round(sqrt(CAST(list_sum(list_transform(samples, x -> x * x))
+         |            AS DOUBLE) / $M7Win), 4) AS rms,
+         |       CAST(list_max(list_transform(samples, x -> abs(x)))
+         |            AS BIGINT) AS peak,
+         |       list_max(list_transform(samples, x -> abs(x)))
+         |         < $M7SilencePeak AS is_silence
+         |FROM vs
+         |ORDER BY doc_id, win""".stripMargin
+    },
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |       ['image','audio','video'][(doc_id % 3) + 1] AS media_type,

@@ -233,4 +233,26 @@ class MultimodalSpec extends SparkSpec {
       assert(a % 50 == 0 && h == 0, s"bad planted pair ($a, $h)")
     }
   }
+
+  test("m7: planted PCM — a low-amplitude window flags silence with the " +
+       "exact hand-computed energy, a loud one does not, and sub-window " +
+       "docs emit nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-m7").toString
+    // doc 1: 100 bytes of 0x01 -> 50 samples of 0x0101 = 257 (silent);
+    // doc 2: 100 'z' bytes -> samples 0x7a7a = 31354 (loud);
+    // doc 3: 40 bytes < one window -> no rows
+    Seq(
+      (1L, "\u0001" * 100, "en", "s0", 100L),
+      (2L, "z" * 100, "en", "s0", 100L),
+      (3L, "z" * 40, "en", "s0", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.m7AudioEnergy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 50L * 257L * 257L, 257.0, 257L, true),
+      (2L, 0L, 50L * 31354L * 31354L, 31354.0, 31354L, false)))
+  }
 }
