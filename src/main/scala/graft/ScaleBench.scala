@@ -51,7 +51,13 @@ object ScaleBench {
     "m5_resize_thumb", "m6_phash_neardup", "p4_policy_savings",
     "st7_quota_admitted", "st8_token_budget", "st9_ingest_admission",
     "t15_mixture_sample", "t16_split_leakage", "t17_novelty_score",
-    "t18_pii_redaction", "x9_heavy_hitters", "s7_ann_ivfpq")
+    "t18_pii_redaction", "x9_heavy_hitters", "s7_ann_ivfpq",
+    // r12 late additions: m7's full-payload window scan, e11's
+    // lag-window + matrix agg, s8's broadcast radius scan, and the
+    // t19-t21 corpus-statistic trio (t20's pair explode and t21's
+    // type-ownership agg are the two with real shuffle growth to watch)
+    "m7_audio_energy", "e11_transition_matrix", "s8_radius_search",
+    "t19_gopher_rules", "t20_bigram_lm", "t21_vocab_growth")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)

@@ -305,6 +305,38 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** e11 — event-type transition matrix (first-order Markov estimate):
+    * for every (previous, next) event-type pair across each user's
+    * time-ordered stream, the transition count and the row-normalized
+    * probability P(next|prev) — the session-model input for behavioral
+    * analytics and synthetic-journey generation. Each user's first
+    * event has no predecessor and is excluded (stated identically in
+    * both engines).
+    *
+    * Scale shape: ONE shuffle on user_id for the lag window (the same
+    * partitioning e1/e3 use), then the pair aggregation's map-side
+    * combine collapses each partition to ≤ |types|² rows before its
+    * exchange; the normalizing window runs over the aggregated matrix
+    * (≤ |types|² rows, corpus-size-independent). Deterministic
+    * ordering inside a user via the (ts_us, event_id) total order. */
+  def e11TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val withPrev = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUserTime))
+      .filter(col("prev").isNotNull)
+    val counts = withPrev
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wRow = Window.partitionBy(col("prev"))
+    counts
+      .withColumn("n_from", sum(col("n_trans")).over(wRow))
+      .withColumn("p_trans",
+        round(col("n_trans").cast("double") / col("n_from").cast("double"),
+          4))
+      .orderBy(col("prev"), col("next"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_user_journey" -> e1UserJourney _,
     "e2_rolling_value" -> e2RollingValue _,
@@ -316,6 +348,7 @@ object EventQueries {
     "e8_funnel"       -> e8Funnel _,
     "e9_cohort_retention" -> e9CohortRetention _,
     "e10_rolling_active" -> e10RollingActive _,
+    "e11_transition_matrix" -> e11TransitionMatrix _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -476,5 +509,25 @@ object EventQueries {
         |       round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
         |FROM dau d JOIN wau w ON w.wday = d.day
         |ORDER BY d.day""".stripMargin,
+    // e11: same lag window over the (ts_us, event_id) total order; the
+    // normalizing window sum is cast back to BIGINT (DuckDB widens to
+    // HUGEINT)
+    "e11_transition_matrix" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev,
+        |         event_type AS next
+        |  FROM events
+        |), c AS (
+        |  SELECT prev, next, count(*) AS n_trans
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev, next, n_trans,
+        |       CAST(sum(n_trans) OVER (PARTITION BY prev) AS BIGINT)
+        |         AS n_from,
+        |       round(CAST(n_trans AS DOUBLE)
+        |             / CAST(sum(n_trans) OVER (PARTITION BY prev)
+        |                    AS DOUBLE), 4) AS p_trans
+        |FROM c ORDER BY prev, next""".stripMargin,
   )
 }

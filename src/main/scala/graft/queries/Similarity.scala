@@ -448,6 +448,35 @@ object Similarity {
       Seq(lit(ProbeCells).as("probed_cells"), lit(PqM).as("m_subspaces")))
   }
 
+  /** s8's cosine radius, on the ROUNDED cosine so the boundary set is
+    * identical in both engines (calibrated: the query set's neighbors
+    * top out near 0.40 on these synthetic embeddings, so 0.30 returns
+    * 1–6 matches per query at sf0.01). */
+  private val S8Radius = 0.30
+
+  /** s8 — radius (threshold) similarity search: every corpus vector
+    * within cosine ≥ [[S8Radius]] of each query vector, the "find all
+    * sufficiently-similar" primitive (retrieval dedup candidates,
+    * policy screens) that top-k cannot express — k is unknown and
+    * varies per query.
+    *
+    * Scale shape: identical to s1's broadcast-nested-loop — the
+    * fixed-size query set broadcasts, the corpus is scanned once, and
+    * the threshold is evaluated scan-side (no per-query sort at all,
+    * cheaper than s1: radius search needs no ranking state). At 100 TB
+    * the same IVF/LSH cell pruning as s2/s3 applies unchanged — a
+    * radius probe scans the probed cells and keeps everything above
+    * the threshold. */
+  def s8RadiusSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    broadcast(querySet(e)).join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(cosine_sim(col("q_emb"), col("embedding")), 4))
+      .filter(col("cosine") >= S8Radius)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> s1KnnBrute _,
     "s2_ann_ivf"   -> s2AnnIvf _,
@@ -456,6 +485,7 @@ object Similarity {
     "s5_ann_truncated" -> s5AnnTruncated _,
     "s6_filtered_knn" -> s6FilteredKnn _,
     "s7_ann_ivfpq" -> s7AnnIvfPq _,
+    "s8_radius_search" -> s8RadiusSearch _,
   )
 
   // ---- DuckDB oracle construction -----------------------------------
@@ -818,5 +848,14 @@ object Similarity {
          |)
          |SELECT q_id, label, neighbor_id, rank, cosine FROM ranked
          |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+    // s8: threshold on the ROUNDED cosine — the boundary set is pinned
+    // identically in both engines (the s1 determinism contract)
+    "s8_radius_search" ->
+      s"""WITH $commonCtes
+         |SELECT qn.q_id, en.vec_id AS neighbor_id,
+         |       ${cosSql("qn.q_emb", "qn.q_nrm", "en.embedding", "en.nrm")} AS cosine
+         |FROM qn JOIN en ON en.vec_id <> qn.q_id
+         |WHERE ${cosSql("qn.q_emb", "qn.q_nrm", "en.embedding", "en.nrm")} >= $S8Radius
+         |ORDER BY qn.q_id, cosine DESC, neighbor_id""".stripMargin,
   )
 }

@@ -753,6 +753,137 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t19's rule thresholds, calibrated so every rule fires on a real
+    * fraction of the harness corpus (word counts span 10–99, mean word
+    * lengths 3.7–5.3, 47 docs carry zero English stopwords). */
+  private[graft] val T19MinWords = 20
+  private[graft] val T19MaxWords = 90
+  private[graft] val T19MinMeanLen = 4.0
+  private[graft] val T19MaxMeanLen = 5.0
+  private[graft] val T19MinStops = 2
+  private[graft] val T19MinDistinct = 0.4
+
+  /** t19 — composite rule-based quality filter (the Gopher/MassiveText
+    * document-rule shape, Rae et al. 2021 §A1.1, public): word-count
+    * bounds, mean-word-length bounds, minimum function-word evidence,
+    * and a duplicate-word (distinct-ratio) bound, each reported as its
+    * own flag plus the conjunction. Complements t2 (a weighted score)
+    * with the hard-cutoff formulation production pipelines actually
+    * gate on — a doc must clear EVERY rule.
+    *
+    * Scale shape: a pure per-doc map over one scan, all Spark built-ins
+    * (higher-order `aggregate`/`array_distinct`, codegen'd) — no
+    * shuffle before the presentation sort. Rules are evaluated on the
+    * UNROUNDED doubles; both engines build the identical IEEE
+    * expression tree over exact integers, so the booleans agree
+    * bit-for-bit (the t2/p1 convention). */
+  def t19GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val sumLen = aggregate(
+      transform(w, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+    val meanLen = sumLen.cast("double") / nWords.cast("double")
+    val distinctRatio =
+      size(array_distinct(w)).cast("double") / nWords.cast("double")
+    val stops = stopHits(col("text"), stopEn)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        round(meanLen, 4).as("mean_wlen"),
+        round(distinctRatio, 4).as("distinct_ratio"),
+        stops.as("stop_hits"),
+        (nWords >= T19MinWords && nWords <= T19MaxWords).as("r_nwords"),
+        (meanLen >= T19MinMeanLen && meanLen <= T19MaxMeanLen)
+          .as("r_meanlen"),
+        (stops >= T19MinStops).as("r_stops"),
+        (distinctRatio >= T19MinDistinct).as("r_distinct"))
+      .withColumn("pass",
+        col("r_nwords") && col("r_meanlen") && col("r_stops") &&
+          col("r_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t20's tail prune: bigrams seen fewer times are dropped AFTER the
+    * marginal is computed, so conditional probabilities stay exact. */
+  private[graft] val T20MinCount = 30L
+
+  /** t20 — bigram language-model estimation (the KenLM-style counting
+    * step): explode each document into adjacent token pairs, count
+    * pairs, compute each pair's conditional probability
+    * P(w2|w1) = n(w1 w2) / n(w1 ·) via a window sum over the AGGREGATED
+    * pair table, and prune the tail below [[T20MinCount]].
+    *
+    * Scale shape: one corpus scan + explode, ONE shuffle for the pair
+    * aggregation (map-side partial combine shrinks it to the distinct
+    * pair vocabulary), then the marginal window runs over pair-table
+    * rows (≤ vocab² — corpus-size-independent). The min-count prune is
+    * what bounds the output at web scale; the marginal is computed
+    * BEFORE pruning so probabilities are exact. */
+  def t20BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2)," +
+          " i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val wMarginal = Window.partitionBy(col("w1"))
+    counts
+      .withColumn("n_w1", sum(col("n_pair")).over(wMarginal))
+      .withColumn("p_cond",
+        round(col("n_pair").cast("double") / col("n_w1").cast("double"), 4))
+      .filter(col("n_pair") >= T20MinCount)
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+  }
+
+  /** t21 — vocabulary-growth (Heaps-law) curve: cumulative token count
+    * and cumulative DISTINCT-token count at ten corpus prefixes, the
+    * measurement that sizes a tokenizer vocabulary before training.
+    * Prefixes are deciles of the doc_id RANGE (min + d·span/10), not of
+    * the row rank: range bucketing is one O(1) min/max aggregate
+    * broadcast back onto the scan, where rank deciles would need a
+    * global row_number — an unpartitioned window that cannot scale.
+    *
+    * Each token's FIRST bucket (min bucket over its occurrences) turns
+    * "distinct tokens in prefix d" into a cumulative sum over a 10-row
+    * histogram: one explode + one (token → min bucket) aggregation, no
+    * per-prefix rescan. The cumulative windows run over ≤10 rows.
+    * All bucket arithmetic is integer division — bit-identical in both
+    * engines. */
+  def t21VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val stats = docs.agg(min(col("doc_id")).as("mn"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1L).as("span"))
+    val bucketed = docs.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        expr("CAST(((doc_id - mn) * 10) DIV span AS INT) + 1"))
+    val perBucket = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("w")).cast("long")).as("n_tokens"))
+    val firstBucket = bucketed
+      .select(col("bucket"), explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("bucket")).as("first_bucket"))
+      .groupBy(col("first_bucket")).agg(count(lit(1)).as("n_new_types"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .join(firstBucket, col("bucket") === col("first_bucket"), "left")
+      .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+      .withColumn("docs_cum", sum(col("n_docs")).over(wCum))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(wCum))
+      .withColumn("vocab_cum", sum(col("n_new_types")).over(wCum))
+      .withColumn("ttr", round(
+        col("vocab_cum").cast("double") / col("tokens_cum").cast("double"),
+        6))
+      .select(col("bucket").as("decile"), col("docs_cum"),
+        col("tokens_cum"), col("vocab_cum"), col("ttr"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -774,6 +905,9 @@ object TextAnalysis {
     "t16_split_leakage"     -> t16SplitLeakage _,
     "t17_novelty_score"     -> t17NoveltyScore _,
     "t18_pii_redaction"     -> t18PiiRedaction _,
+    "t19_gopher_rules"      -> t19GopherRules _,
+    "t20_bigram_lm"         -> t20BigramLm _,
+    "t21_vocab_growth"      -> t21VocabGrowth _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1111,5 +1245,97 @@ object TextAnalysis {
          |SELECT * FROM counted
          |WHERE n_email + n_phone + n_ip > 0
          |ORDER BY doc_id""".stripMargin,
+    // t19: identical IEEE expression tree (exact-integer divides), rules
+    // evaluated on the UNROUNDED doubles in both engines
+    "t19_gopher_rules" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         len(string_split(text, ' ')) AS n_words,
+         |         CAST(list_sum(list_transform(string_split(text, ' '),
+         |              w -> strlen(w))) AS DOUBLE)
+         |           / CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |           AS mean_wlen,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |           / CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |           AS distinct_ratio,
+         |         len(list_filter(string_split(text, ' '),
+         |             w -> w IN ('the','a','of','to','in','and'))) AS stop_hits
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_words,
+         |       round(mean_wlen, 4) AS mean_wlen,
+         |       round(distinct_ratio, 4) AS distinct_ratio,
+         |       stop_hits,
+         |       n_words BETWEEN $T19MinWords AND $T19MaxWords AS r_nwords,
+         |       mean_wlen >= $T19MinMeanLen AND mean_wlen <= $T19MaxMeanLen
+         |         AS r_meanlen,
+         |       stop_hits >= $T19MinStops AS r_stops,
+         |       distinct_ratio >= $T19MinDistinct AS r_distinct,
+         |       (n_words BETWEEN $T19MinWords AND $T19MaxWords)
+         |         AND mean_wlen >= $T19MinMeanLen
+         |         AND mean_wlen <= $T19MaxMeanLen
+         |         AND stop_hits >= $T19MinStops
+         |         AND distinct_ratio >= $T19MinDistinct AS pass
+         |FROM f ORDER BY doc_id""".stripMargin,
+    // t20: DuckDB lists are 1-based (range(1, len) pairs l[i] with
+    // l[i+1]); the marginal window runs before the min-count prune in
+    // both engines, and the window sum is cast back to BIGINT (DuckDB
+    // widens to HUGEINT)
+    "t20_bigram_lm" ->
+      s"""WITH toks AS (
+         |  SELECT string_split(text, ' ') AS l FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2
+         |), bg AS (
+         |  SELECT unnest(list_transform(range(1, len(l)),
+         |                i -> l[i] || ' ' || l[i+1])) AS b
+         |  FROM toks
+         |), c AS (
+         |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+         |         count(*) AS n_pair
+         |  FROM bg GROUP BY 1, 2
+         |), t AS (
+         |  SELECT w1, w2, n_pair,
+         |         CAST(sum(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
+         |  FROM c
+         |)
+         |SELECT w1, w2, n_pair, n_w1,
+         |       round(CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE), 4)
+         |         AS p_cond
+         |FROM t WHERE n_pair >= $T20MinCount
+         |ORDER BY n_pair DESC, w1, w2""".stripMargin,
+    // t21: same integer range-bucket rule (// is DuckDB's integer
+    // division, DIV Spark's); cumulative sums cast back to BIGINT
+    "t21_vocab_growth" ->
+      """WITH stats AS (
+        |  SELECT min(doc_id) AS mn, max(doc_id) - min(doc_id) + 1 AS span
+        |  FROM documents
+        |), b AS (
+        |  SELECT CAST(((doc_id - mn) * 10) // span AS INT) + 1 AS bucket,
+        |         string_split(text, ' ') AS w
+        |  FROM documents, stats
+        |), per_bucket AS (
+        |  SELECT bucket, count(*) AS n_docs,
+        |         CAST(sum(len(w)) AS BIGINT) AS n_tokens
+        |  FROM b GROUP BY 1
+        |), first_b AS (
+        |  SELECT tok, min(bucket) AS first_bucket
+        |  FROM (SELECT bucket, unnest(w) AS tok FROM b)
+        |  GROUP BY 1
+        |), new_types AS (
+        |  SELECT first_bucket, count(*) AS n_new_types
+        |  FROM first_b GROUP BY 1
+        |)
+        |SELECT p.bucket AS decile,
+        |       CAST(sum(p.n_docs) OVER win AS BIGINT) AS docs_cum,
+        |       CAST(sum(p.n_tokens) OVER win AS BIGINT) AS tokens_cum,
+        |       CAST(sum(coalesce(n.n_new_types, 0)) OVER win AS BIGINT)
+        |         AS vocab_cum,
+        |       round(CAST(sum(coalesce(n.n_new_types, 0)) OVER win AS DOUBLE)
+        |             / CAST(sum(p.n_tokens) OVER win AS DOUBLE), 6) AS ttr
+        |FROM per_bucket p LEFT JOIN new_types n
+        |  ON p.bucket = n.first_bucket
+        |WINDOW win AS (ORDER BY p.bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY decile""".stripMargin,
   )
 }

@@ -214,4 +214,18 @@ class EventQueriesSpec extends SparkSpec {
       assert(math.abs(total - 1.0) < 0.01, s"hour $h shares sum to $total")
     }
   }
+
+  test("e11 transition matrix: hand-computed counts and row-normalized " +
+       "probabilities; first events excluded") {
+    val rows = EventQueries.e11TransitionMatrix(spark, plantedDir).collect()
+      .map(r => (r.getAs[String]("prev"), r.getAs[String]("next"),
+        r.getAs[Long]("n_trans"), r.getAs[Long]("n_from"),
+        r.getAs[Double]("p_trans")))
+    // user 1: view->click->view->purchase; user 2: signup only (no
+    // transitions). From "view": click and purchase, 1 each of 2.
+    assert(rows.toSeq == Seq(
+      ("click", "view", 1L, 1L, 1.0),
+      ("view", "click", 1L, 2L, 0.5),
+      ("view", "purchase", 1L, 2L, 0.5)))
+  }
 }

@@ -115,4 +115,26 @@ class SimilaritySpec extends SparkSpec {
       assert(n <= 10, s"query $q returned $n > K")
     }
   }
+
+  test("s8 radius search: planted geometry — only pairs above the 0.30 " +
+       "cosine threshold return, magnitude-invariant, self excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-s8").toString
+    def axis(i: Int, scale: Float = 1f): Array[Float] = {
+      val a = Array.fill(8)(0f); a(i) = scale; a
+    }
+    // queries 0..4 = axes e1..e5; corpus: v5 = 2*e1 (cos 1.0 with q0 —
+    // scale must not matter), v6 = e6 (orthogonal to everything), v7 =
+    // e1+e2 (cos 0.7071 with BOTH q0 and q1)
+    val v7 = { val a = Array.fill(8)(0f); a(0) = 1f; a(1) = 1f; a }
+    ((0 to 4).map(i => (i.toLong, axis(i), i)) ++ Seq(
+      (5L, axis(0, 2f), 0), (6L, axis(5), 1), (7L, v7, 2)))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.s8RadiusSearch(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine")))
+    assert(got.toSeq == Seq(
+      (0L, 5L, 1.0), (0L, 7L, 0.7071), (1L, 7L, 0.7071)))
+  }
 }

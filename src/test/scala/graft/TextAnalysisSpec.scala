@@ -384,4 +384,70 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 2, 2, 1,
         "reach <EMAIL> or <EMAIL> call <PHONE> and <PHONE> from <IP> ok")))
   }
+
+  test("t19 gopher rules: each rule fails on its own planted doc and the " +
+       "conjunction gates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t19").toString
+    // doc 1: 30 copies of one word -> distinct 1/30 fails, zero stops
+    //        fails; mean_wlen exactly 4.0 passes (boundary inclusive)
+    // doc 2: 20 words (boundary), mean (3+3+18*5)/20 = 4.8, two stops,
+    //        all distinct -> passes every rule
+    // doc 3: 10 words -> fails the word-count floor
+    val passing = s"the and ${(1 to 18).map(i => f"tok$i%02d").mkString(" ")}"
+    Seq(
+      (1L, Seq.fill(30)("word").mkString(" "), "en", "s0", 149L),
+      (2L, passing, "en", "s0", 115L),
+      (3L, (1 to 10).map(i => f"tok$i%02d").mkString(" "), "en", "s0", 59L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t19GopherRules(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("r_nwords"),
+        r.getAs[Boolean]("r_meanlen"), r.getAs[Boolean]("r_stops"),
+        r.getAs[Boolean]("r_distinct"), r.getAs[Boolean]("pass")))
+    assert(got.toSeq == Seq(
+      // doc 1: mean_wlen exactly 4.0 passes (boundary inclusive)
+      (1L, true, true, false, false, false),
+      (2L, true, true, true, true, true),
+      // doc 3: mean_wlen exactly 5.0 also passes the inclusive ceiling
+      (3L, false, true, false, true, false)))
+  }
+
+  test("t20 bigram LM: hand-computed pair counts, marginals and " +
+       "conditional probabilities; tail pruned AFTER the marginal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t20").toString
+    // "a b a b ... a b": 31 "a b" pairs, 30 "b a" pairs -> both survive
+    // the >=30 prune; P(b|a) = 31/31, P(a|b) = 30/30
+    Seq((1L, Seq.fill(31)("a b").mkString(" "), "en", "s0", 123L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t20BigramLm(spark, dir).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("n_pair"), r.getAs[Long]("n_w1"),
+        r.getAs[Double]("p_cond")))
+    assert(got.toSeq == Seq(
+      ("a", "b", 31L, 31L, 1.0),
+      ("b", "a", 30L, 30L, 1.0)))
+  }
+
+  test("t21 vocab growth: planted one-doc-per-decile corpus gives exact " +
+       "cumulative token and vocabulary counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t21").toString
+    // ids 0..9 (span 10) -> doc d lands alone in bucket d+1; each doc
+    // contributes one fresh type plus the shared one
+    (0 to 9).map(d => (d.toLong, s"w$d shared", "en", "s0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t21VocabGrowth(spark, dir).collect()
+      .map(r => (r.getAs[Int]("decile"), r.getAs[Long]("docs_cum"),
+        r.getAs[Long]("tokens_cum"), r.getAs[Long]("vocab_cum")))
+    assert(got.toSeq == (1 to 10).map(d =>
+      (d, d.toLong, 2L * d, d + 1L)))
+    // type-token ratio at the last decile: 11 types / 20 tokens
+    val ttr = TextAnalysis.t21VocabGrowth(spark, dir).collect()
+      .last.getAs[Double]("ttr")
+    assert(ttr == 0.55)
+  }
 }
