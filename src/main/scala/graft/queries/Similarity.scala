@@ -113,6 +113,35 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** The s2 centroid seed table: the [[NumCentroids]] vectors with the
+    * smallest deterministic id-mix — an O(N) TakeOrdered scan, fixed-size
+    * broadcast. */
+  private def centroids(e: DataFrame): DataFrame =
+    e.orderBy(idMix(col("vec_id")), col("vec_id"))
+      .limit(NumCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+
+  /** Every vector assigned to its max-cosine centroid cell in one
+    * broadcast pass (row_number argmax on the per-vector × per-centroid
+    * product; cosines rounded to 4 decimals BEFORE ranking with c_id
+    * tie-break, so the DuckDB oracle reproduces every assignment
+    * bit-for-bit). Shared by s2/s7's IVF probe path and
+    * [[Dedup.d13SemanticDedup]]'s cluster blocking. */
+  private[queries] def cellAssigned(e: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    e.join(broadcast(centroids(e)), lit(true))
+      .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+  }
+
+  /** The embeddings table for other catalog families composing on the
+    * cell machinery (e.g. d13). */
+  private[queries] def embeddingsFor(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+
   /** s2 — IVF: [[NumCentroids]] deterministic sampled centroid seeds
     * (smallest id-mix values — an O(N) TakeOrdered scan, fixed-size
     * broadcast); every vector is assigned to its max-cosine cell in one
@@ -122,18 +151,8 @@ object Similarity {
     * assignment and probe choices bit-for-bit. */
   def s2AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val cent = e.orderBy(idMix(col("vec_id")), col("vec_id"))
-      .limit(NumCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    // cell assignment: argmax cosine over centroids (row_number on the
-    // small per-vector × per-centroid product; centroid side broadcast)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
-    val cells = e.join(broadcast(cent), lit(true))
-      .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    val cent = centroids(e)
+    val cells = cellAssigned(e)
     // probe list: nearest cells per query
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("c_id").asc)
@@ -544,9 +563,11 @@ object Similarity {
        |  ON h.q_id = qn.q_id
        |ORDER BY qn.q_id""".stripMargin
 
-  private def s2OracleSql: String =
-    s"""WITH $commonCtes,
-       |cent AS (
+  /** The centroid-seed + cell-assignment CTE pair (the engine's
+    * [[cellAssigned]] as oracle SQL), appended after [[commonCtes]].
+    * Shared by the s2 oracle and Dedup's d13 oracle. */
+  private[queries] def cellsOracleCtes: String =
+    s"""cent AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
        |  FROM en
        |  ORDER BY (vec_id * $MixA + $MixB) % $MixM, vec_id
@@ -560,7 +581,21 @@ object Similarity {
        |                      c.c_id ASC) AS rn
        |    FROM en CROSS JOIN cent c
        |  ) WHERE rn = 1
-       |),
+       |)""".stripMargin
+
+  /** The shared norm/query/brute CTE text for composing oracles outside
+    * this object (d13 reuses en + the cell CTEs; unreferenced CTEs cost
+    * DuckDB nothing). */
+  private[queries] def sharedOracleCtes: String = commonCtes
+
+  /** The rounded-cosine SQL fragment over normed columns, for composing
+    * oracles outside this object. */
+  private[queries] def cosineSql(a: String, an: String, b: String,
+      bn: String): String = cosSql(a, an, b, bn)
+
+  private def s2OracleSql: String =
+    s"""WITH $commonCtes,
+       |$cellsOracleCtes,
        |probes AS (
        |  SELECT q_id, q_emb, q_nrm, cell FROM (
        |    SELECT qn.q_id, qn.q_emb, qn.q_nrm, c.c_id AS cell,

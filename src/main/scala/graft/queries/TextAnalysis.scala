@@ -561,11 +561,24 @@ object TextAnalysis {
     * / Dolma-style source proportions). Named sources get explicit
     * weights; the remainder split the rest uniformly (17 others here).
     * Weights sum to 1 by construction. */
-  private val t15Weights: Seq[(String, Double)] =
+  private[queries] val t15Weights: Seq[(String, Double)] =
     Seq(("src0", 0.15), ("src1", 0.15), ("src2", 0.10))
-  private val t15DefaultWeight: Double = (1.0 - 0.40) / 17
+  private[queries] val t15DefaultWeight: Double = (1.0 - 0.40) / 17
   /** Token budget as a fraction of the corpus: B = total div 2. */
-  private val t15BudgetDen = 2
+  private[queries] val t15BudgetDen = 2
+
+  /** The per-source mixture-weight CASE expression over `source`
+    * (shared by t15 and p5's mixture stage). */
+  private[queries] def t15WeightExpr: Column =
+    t15Weights.foldLeft(null: Column) { case (acc, (src, w)) =>
+      if (acc == null) when(col("source") === src, w)
+      else acc.when(col("source") === src, w)
+    }.otherwise(t15DefaultWeight)
+
+  /** The same CASE as oracle SQL text. */
+  private[queries] def t15WeightSql: String =
+    t15Weights.map { case (src, w) => s"WHEN '$src' THEN $w" }
+      .mkString("CASE source ", " ", s" ELSE $t15DefaultWeight END")
 
   /** t15 — token-budget mixture sampling: realize a target training mix
     * (per-source token weights × a global token budget) as a
@@ -590,10 +603,7 @@ object TextAnalysis {
     * scan-side filter + one per-source agg. Two corpus scans total
     * (inherent to corpus-statistic gating), zero wide shuffles. */
   def t15MixtureSample(s: SparkSession, dir: String): DataFrame = {
-    val wCase = t15Weights.foldLeft(null: Column) { case (acc, (src, w)) =>
-      if (acc == null) when(col("source") === src, w)
-      else acc.when(col("source") === src, w)
-    }.otherwise(t15DefaultWeight)
+    val wCase = t15WeightExpr
     val tokd = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("tok"),
@@ -1133,8 +1143,7 @@ object TextAnalysis {
         |JOIN sz sb ON sb.source = i.source_b
         |ORDER BY i.source_a, i.source_b""".stripMargin,
     "t15_mixture_sample" -> {
-      val wCase = t15Weights.map { case (src, w) => s"WHEN '$src' THEN $w" }
-        .mkString("CASE source ", " ", s" ELSE $t15DefaultWeight END")
+      val wCase = t15WeightSql
       s"""WITH tokd AS (
          |  SELECT doc_id, source,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,

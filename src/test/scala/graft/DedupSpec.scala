@@ -562,4 +562,30 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
     assert(got.nonEmpty, "harness corpus has planted dups; spans expected")
   }
+
+  test("d13 semantic dedup: planted geometry — exact dups drop with the " +
+       "SMALLEST-id keeper, cells block cross-cluster pairs, orthogonal " +
+       "vectors survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d13").toString
+    def axis(i: Int, scale: Float = 1f): Array[Float] = {
+      val a = Array.fill(8)(0f); a(i) = scale; a
+    }
+    // 10 vectors => every vector is its own s2 centroid. 5 = 2*e1 and
+    // 8 = 3*e1 are parallel to 0 (cos 1.0, assignment tie broken to
+    // cell 0); 6 = e1+e2 has cos 0.7071 with 0/5/8 but lands in its OWN
+    // cell (cos 1.0 with itself beats 0.7071) — blocking must keep it.
+    val v6 = { val a = Array.fill(8)(0f); a(0) = 1f; a(1) = 1f; a }
+    ((0 to 4).map(i => (i.toLong, axis(i), i)) ++ Seq(
+      (5L, axis(0, 2f), 0), (6L, v6, 1), (7L, axis(5), 2),
+      (8L, axis(0, 3f), 0), (9L, axis(6), 3)))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Dedup.d13SemanticDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("kept_by"), r.getAs[Double]("cosine")))
+    // 8's qualifying lower-id in-cell neighbors are 0 AND 5 — the
+    // reported keeper must be the smallest (0), pinning the argmin rule
+    assert(got.toSeq == Seq((5L, 0L, 0L, 1.0), (8L, 0L, 0L, 1.0)))
+  }
 }
