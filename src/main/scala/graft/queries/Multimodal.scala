@@ -362,21 +362,34 @@ object Multimodal {
     * one window emit nothing, in both engines. */
   def m7AudioEnergy(s: SparkSession, dir: String): DataFrame = {
     val payload = col("text").cast("binary")
+    // per-window arithmetic addresses the window's OWN 4*M7Win-char hex
+    // slice (whx), not the whole-document string: carrying the full hx
+    // into every exploded row made the operator O(doc_len * n_win) bytes
+    // — quadratic in document length — which dominated the bench (51 s
+    // at sf0.1) and drove the scale slope super-linear. The slice is cut
+    // inside the window-generating transform, so each row holds exactly
+    // one window of payload and the explode stays linear.
     def hv(pos: String) =
-      s"(ascii(substr(hx, $pos, 1)) - (CASE WHEN substr(hx, $pos, 1) " +
+      s"(ascii(substr(whx, $pos, 1)) - (CASE WHEN substr(whx, $pos, 1) " +
         "BETWEEN '0' AND '9' THEN 48 ELSE 87 END))"
-    val base = s"(win * $M7Win + k) * 4"
+    val base = s"(k * 4)"
     val b0 = s"(${hv(s"$base + 1")} * 16 + ${hv(s"$base + 2")})"
     val b1 = s"(${hv(s"$base + 3")} * 16 + ${hv(s"$base + 4")})"
     val v0 = s"($b0 + 256 * $b1)"
     val v = s"(CASE WHEN $v0 >= 32768 THEN $v0 - 65536 ELSE $v0 END)"
+    val winBytesHex = 4 * M7Win
     Tables.documents(s, dir)
       .select(col("doc_id"), lower(hex(payload)).as("hx"),
         expr(s"CAST((length(CAST(text AS BINARY)) div 2) div $M7Win AS BIGINT)")
           .as("n_win"))
       .filter(col("n_win") >= 1)
-      .select(col("doc_id"), col("hx"),
-        explode(expr("sequence(0L, n_win - 1)")).as("win"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0L, n_win - 1),
+             |  w -> struct(w AS win,
+             |    substr(hx, CAST(w * $winBytesHex + 1 AS INT),
+             |           $winBytesHex) AS whx))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.win").as("win"), col("p.whx").as("whx"))
       .withColumn("vs",
         expr(s"transform(sequence(0, ${M7Win - 1}), k -> CAST($v AS BIGINT))"))
       .select(col("doc_id"), col("win"),
