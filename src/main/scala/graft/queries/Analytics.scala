@@ -120,15 +120,17 @@ object Analytics {
     * per hour with a column per type. The value list is EXPLICIT — an
     * unlisted pivot triggers an extra distinct-collection job and makes
     * the output schema data-dependent, both wrong at scale. */
-  def x5Pivot(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .select(hour(timestamp_micros(expr("ts div 1000"))).as("hour"),
+  def x5Pivot(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(s, dir)
+    raw
+      .select(hour(timestamp_micros(Tables.eventsTsUs(raw))).as("hour"),
         col("event_type"))
       .groupBy(col("hour"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .count()
       .na.fill(0L)
       .orderBy(col("hour"))
+  }
 
   /** x6 — exact interpolated percentiles (median/p90) of order value per
     * priority. Spark's `percentile` and DuckDB's `quantile_cont` share

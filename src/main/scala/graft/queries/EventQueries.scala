@@ -28,8 +28,10 @@ import graft.sources.Tables
   */
 object EventQueries {
 
-  private def events(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(s, dir)
+    raw.withColumn("ts_us", Tables.eventsTsUs(raw))
+  }
 
   private val byUserTime = Window.partitionBy(col("user_id"))
     .orderBy(col("ts_us").asc, col("event_id").asc)

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the harness-generated TPC-H-ish parquet tables (see repo
   * TESTDATA.md): `region nation customer supplier part orders lineitem
@@ -36,6 +38,28 @@ object Tables {
     * reader side effect. Cast/derive downstream; see
     * graft.queries.EventQueries for the micros contract with DuckDB. */
   def events(s: SparkSession, dir: String): DataFrame = apply(s, dir, "events")
+
+  /** Epoch-microsecond expression for an events frame's `ts`, tolerant of
+    * every physical schema the harness and [[graft.ScaleGen]] have
+    * shipped for that column:
+    *   - raw Long nanos (TIMESTAMP(NANOS) parquet under `nanosAsLong`,
+    *     and ScaleGen's synthetic long column) → `ts div 1000`;
+    *   - TIMESTAMP_NTZ (TIMESTAMP(MICROS) parquet, the 2026-08 testdata
+    *     regeneration) → `unix_micros` after an NTZ→TZ cast, exact
+    *     because every session builder pins spark.sql.session.timeZone
+    *     to UTC (the DuckDB oracles' `epoch_us(ts)` reads the same naive
+    *     instant);
+    *   - TIMESTAMP → `unix_micros` directly.
+    * Deriving per-schema HERE keeps every downstream operator on the one
+    * repo-wide integer-micros contract (see graft.queries.EventQueries). */
+  def eventsTsUs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType        => expr("ts div 1000")
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampType   => unix_micros(col("ts"))
+    case other => sys.error(
+      s"events.ts has unsupported type ${other.sql}; expected raw long " +
+        "nanos, timestamp_ntz or timestamp")
+  }
   def documents(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
 

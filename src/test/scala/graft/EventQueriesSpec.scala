@@ -58,8 +58,9 @@ class EventQueriesSpec extends SparkSpec {
     // native session_window operator. Boundary note: session_window merges
     // on gap < 30min (strict) while e3 merges on gap <= 30min — identical
     // unless a gap is EXACTLY 30min, impossible-in-practice with ns data.
-    val builtIn = graft.sources.Tables.events(spark, sfDir)
-      .withColumn("ts_us", expr("ts div 1000"))
+    val rawEv = graft.sources.Tables.events(spark, sfDir)
+    val builtIn = rawEv
+      .withColumn("ts_us", graft.sources.Tables.eventsTsUs(rawEv))
       .withColumn("t", timestamp_micros(col("ts_us")))
       .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"),

@@ -19,8 +19,10 @@ class StreamingSpec extends SparkSpec {
   /** Write the sf0.001 events (micros-projected) as the streaming input. */
   lazy val streamInputDir: String = {
     val dir = Files.createTempDirectory("graft-stream-in").toString
-    graft.sources.Tables.events(spark, sfDir)
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+    val raw = graft.sources.Tables.events(spark, sfDir)
+    raw
+      .select(col("event_id"), col("user_id"),
+        graft.sources.Tables.eventsTsUs(raw).as("ts_us"),
         col("event_type"), col("value"))
       .coalesce(2).write.mode("overwrite").parquet(dir)
     dir
@@ -386,8 +388,10 @@ class StreamingSpec extends SparkSpec {
     assert(finalDepth == Map(1L -> 3, 2L -> 1))
     // batch symmetry on the harness corpus: folding ALL events as one
     // batch equals e8 (same state machine, same (ts, id) order)
-    val evs = graft.sources.Tables.events(spark, sfDir)
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+    val rawEv = graft.sources.Tables.events(spark, sfDir)
+    val evs = rawEv
+      .select(col("event_id"), col("user_id"),
+        graft.sources.Tables.eventsTsUs(rawEv).as("ts_us"),
         col("event_type"), col("value")).as[Ev]
     val folded = StreamingOps.funnelDepth(evs).collect()
       .map(f => (f.user_id, f.reached)).toMap
