@@ -338,7 +338,7 @@ object Multimodal {
     * window — byte-aligned with [[FrameBytes]] so the audio windows and
     * m3's video frames tile the payload identically — and the peak
     * threshold under which a window counts as silence. */
-  private val M7Win = 50
+  private val M7Win = graft.functions.PcmWindowStats.Win
   private val M7SilencePeak = 1024
 
   /** m7 — audio energy profile: the third modality's codec-free half.
@@ -359,8 +359,33 @@ object Multimodal {
     * without touching the windowing geometry, the energy policy, or
     * anything downstream. Only FULL windows are scored (a trailing
     * partial window has no honest RMS denominator); docs shorter than
-    * one window emit nothing, in both engines. */
-  def m7AudioEnergy(s: SparkSession, dir: String): DataFrame = {
+    * one window emit nothing, in both engines.
+    *
+    * The engine path runs the [[graft.functions.PcmWindowStats]] codegen
+    * kernel — one O(bytes) pass per document emitting (win, energy,
+    * peak) rows directly, with the RMS/silence policy applied on top.
+    * [[m7AudioEnergyComposed]] keeps the built-ins-only hex composition
+    * alive as the bit-compat reference (MultimodalSpec pins kernel ≡
+    * composition on real payloads); the DuckDB oracle below runs the
+    * composition's arithmetic, so the kernel stays differentially
+    * checked end to end. */
+  def m7AudioEnergy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.SketchFunctions.pcm_window_stats(col("text")))
+          .as("w"))
+      .select(col("doc_id"), col("w.win").as("win"),
+        col("w.energy").as("energy"),
+        round(sqrt(col("w.energy").cast("double") / M7Win), 4).as("rms"),
+        col("w.peak").as("peak"),
+        (col("w.peak") < M7SilencePeak).as("is_silence"))
+      .orderBy(col("doc_id"), col("win"))
+
+  /** The built-ins-only formulation of m7 — the bit-compat reference the
+    * [[graft.functions.PcmWindowStats]] kernel must match (and the shape
+    * the DuckDB oracle runs). Kept linear: each exploded row carries only
+    * its own window's hex slice, not the whole document. */
+  def m7AudioEnergyComposed(s: SparkSession, dir: String): DataFrame = {
     val payload = col("text").cast("binary")
     // per-window arithmetic addresses the window's OWN 4*M7Win-char hex
     // slice (whx), not the whole-document string: carrying the full hx

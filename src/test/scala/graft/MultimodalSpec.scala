@@ -234,6 +234,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m7 kernel == the hex substr/ascii composition on the corpus " +
+       "(every window row identical: energy, rms, peak, silence flag)") {
+    import org.apache.spark.sql.functions._
+    val kernel = Multimodal.m7AudioEnergy(spark, sfDir)
+    val composed = Multimodal.m7AudioEnergyComposed(spark, sfDir)
+    assert(kernel.count() == composed.count())
+    val diff = kernel.as("k")
+      .join(composed.as("c"), Seq("doc_id", "win"))
+      .filter(col("k.energy") =!= col("c.energy") ||
+        col("k.rms") =!= col("c.rms") || col("k.peak") =!= col("c.peak") ||
+        col("k.is_silence") =!= col("c.is_silence"))
+    assert(diff.count() == 0,
+      s"kernel/composition mismatch:\n${diff.take(3).mkString("\n")}")
+  }
+
   test("m7: planted PCM — a low-amplitude window flags silence with the " +
        "exact hand-computed energy, a loud one does not, and sub-window " +
        "docs emit nothing") {
