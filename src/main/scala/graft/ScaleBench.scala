@@ -57,7 +57,11 @@ object ScaleBench {
     // t19-t21 corpus-statistic trio (t20's pair explode and t21's
     // type-ownership agg are the two with real shuffle growth to watch)
     "m7_audio_energy", "e11_transition_matrix", "s8_radius_search",
-    "t19_gopher_rules", "t20_bigram_lm", "t21_vocab_growth")
+    "t19_gopher_rules", "t20_bigram_lm", "t21_vocab_growth",
+    // this session's additions: e12's per-user entropy rollup and
+    // t22's intra-doc gram aggregation (its gram explode is the
+    // volume to watch)
+    "e12_journey_entropy", "t22_dup_ngrams")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)

@@ -339,6 +339,54 @@ object EventQueries {
       .orderBy(col("prev"), col("next"))
   }
 
+  /** e12 — per-user journey predictability: the quantized conditional
+    * entropy of each user's own transition matrix. For every transition
+    * the user made, its surprisal is floor(log2(n_prev / n_pair)) whole
+    * bits — how surprising that step was GIVEN the user's own history —
+    * and the per-user mean over all transitions separates deterministic
+    * journeys (bots, scripted crawlers: 0 bits — every prev has exactly
+    * one next) from erratic ones. The behavioral-segmentation /
+    * bot-screen signal a crawl-ingest pipeline computes before trusting
+    * a source's engagement stream.
+    *
+    * Bits are quantized via the t12 trick — `length(bin(n_prev div
+    * n_pair)) - 1` on exact integer counts — so there is no float log
+    * and no cross-row float accumulation; both engines agree
+    * bit-for-bit, where a sum of `ln()`s over shuffled rows would be
+    * order- and engine-dependent.
+    *
+    * Scale shape: ONE shuffle on user_id for the lag window (shared
+    * key with e1/e3/e11), then the (user, prev, next) aggregation is
+    * map-side-combined to ≤ |users|·|types|² rows, the n_prev window
+    * runs over that aggregated table partitioned by (user, prev), and
+    * the final per-user rollup re-shuffles only pair-table rows. No
+    * stage ever carries more than the aggregated matrix. */
+  def e12JourneyEntropy(s: SparkSession, dir: String): DataFrame = {
+    val withPrev = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUserTime))
+      .filter(col("prev").isNotNull)
+    val pairCounts = withPrev
+      .groupBy(col("user_id"), col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n_pair"))
+    val wPrev = Window.partitionBy(col("user_id"), col("prev"))
+    pairCounts
+      .withColumn("n_prev", sum(col("n_pair")).over(wPrev))
+      .withColumn("pair_bits",
+        (length(bin(expr("n_prev div n_pair"))) - 1).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("n_pair")).as("n_trans"),
+        count(lit(1)).as("n_pairs"),
+        sum(col("n_pair") * col("pair_bits")).as("bits_sum"))
+      .select(col("user_id"), col("n_trans"), col("n_pairs"),
+        col("bits_sum"),
+        round(col("bits_sum").cast("double") / col("n_trans").cast("double"),
+          4).as("mean_bits"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_user_journey" -> e1UserJourney _,
     "e2_rolling_value" -> e2RollingValue _,
@@ -351,6 +399,7 @@ object EventQueries {
     "e9_cohort_retention" -> e9CohortRetention _,
     "e10_rolling_active" -> e10RollingActive _,
     "e11_transition_matrix" -> e11TransitionMatrix _,
+    "e12_journey_entropy" -> e12JourneyEntropy _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -531,5 +580,31 @@ object EventQueries {
         |             / CAST(sum(n_trans) OVER (PARTITION BY prev)
         |                    AS DOUBLE), 4) AS p_trans
         |FROM c ORDER BY prev, next""".stripMargin,
+    // e12: the same lag window, then per-user quantized conditional
+    // entropy on exact integer counts — length(bin(x))-1 is the shared
+    // floor-log2, so no float log exists in either engine
+    "e12_journey_entropy" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev,
+        |         event_type AS next
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, prev, next, count(*) AS n_pair
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2, 3
+        |), b AS (
+        |  SELECT user_id, n_pair,
+        |         length(bin(CAST(sum(n_pair) OVER (PARTITION BY user_id,
+        |             prev) AS BIGINT) // n_pair)) - 1 AS pair_bits
+        |  FROM c
+        |)
+        |SELECT user_id,
+        |       CAST(sum(n_pair) AS BIGINT) AS n_trans,
+        |       count(*) AS n_pairs,
+        |       CAST(sum(n_pair * pair_bits) AS BIGINT) AS bits_sum,
+        |       round(CAST(sum(n_pair * pair_bits) AS DOUBLE)
+        |             / sum(n_pair), 4) AS mean_bits
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -894,6 +894,56 @@ object TextAnalysis {
       .orderBy(col("decile"))
   }
 
+  /** t22's n-gram width. The Gopher duplicate-n-gram rule family (Rae
+    * et al. 2021, Table A1) spans 2–10-grams; 3 is calibrated to this
+    * corpus the way t19's thresholds are — trigram repeats occur in a
+    * real slice of the harness documents (27 docs at sf0.01) while
+    * widths ≥ 4 never fire on its 10–100-token random-draw shape, which
+    * would leave the dup branch dead in every gate. */
+  private[graft] val T22N = 3
+
+  /** t22 — intra-document duplicate n-gram fraction: for each document,
+    * the share of its [[T22N]]-gram occurrences that belong to an
+    * n-gram repeated WITHIN the same document — the Gopher
+    * "duplicate n-gram" rule family at n-gram granularity, the
+    * repetition signal t11's unigram counts cannot see (templated
+    * boilerplate repeats phrases built from common words; every unigram
+    * can look ordinary while the n-grams scream). Complements d10: d10
+    * finds spans copied ACROSS documents, t22 scores repetition INSIDE
+    * one.
+    *
+    * Scale shape: grams are hashed scan-side (d10's slice + array_join
+    * + xxhash64 pattern — 8-byte keys, the text never shuffles), then
+    * two doc_id-keyed aggregations with map-side partial combine; every
+    * group is bounded by a single document's length, so no hot key is
+    * possible and nothing ever carries more than the per-doc distinct
+    * gram table. The 64-bit hash stands in for the gram string exactly
+    * as in d10: a within-doc collision is ~2^-64·grams² and the
+    * string-keyed DuckDB oracle is the differential check that none
+    * occurred. */
+  def t22DupNgrams(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), ws.as("ws"), size(ws).cast("long").as("m"))
+      .select(col("doc_id"), col("ws"),
+        explode(when(col("m") >= T22N, sequence(lit(0L), col("m") - T22N))
+          .otherwise(array().cast("array<bigint>"))).as("pos"))
+      .select(col("doc_id"),
+        xxhash64(array_join(
+          slice(col("ws"), (col("pos") + 1).cast("int"), lit(T22N)), " "))
+          .as("gh"))
+      .groupBy(col("doc_id"), col("gh"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_grams"), count(lit(1)).as("n_distinct"),
+        sum(when(col("n") > 1L, col("n")).otherwise(lit(0L))).as("dup_occ"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        col("dup_occ"),
+        round(col("dup_occ").cast("double") / col("n_grams"), 4)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -918,6 +968,7 @@ object TextAnalysis {
     "t19_gopher_rules"      -> t19GopherRules _,
     "t20_bigram_lm"         -> t20BigramLm _,
     "t21_vocab_growth"      -> t21VocabGrowth _,
+    "t22_dup_ngrams"        -> t22DupNgrams _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1346,5 +1397,28 @@ object TextAnalysis {
         |WINDOW win AS (ORDER BY p.bucket
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY decile""".stripMargin,
+    // t22: gram construction over the STRING grams (1-based inclusive
+    // list slice = Spark's slice(ws, pos+1, n)); the engine's 64-bit
+    // gram hashes matching these string-keyed counts is the
+    // no-collision differential evidence, as in d10
+    "t22_dup_ngrams" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |         array_to_string(
+         |           w[CAST(i AS INT):CAST(i + ${T22N - 1} AS INT)], ' ')
+         |           AS gram
+         |  FROM t, unnest(range(1, len(w) - ${T22N - 2})) AS r(i)
+         |), c AS (
+         |  SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2
+         |)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+         |       count(*) AS n_distinct,
+         |       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+         |         AS dup_occ,
+         |       round(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+         |             / sum(n), 4) AS dup_ratio
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

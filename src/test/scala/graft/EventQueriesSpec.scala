@@ -229,4 +229,29 @@ class EventQueriesSpec extends SparkSpec {
       ("view", "click", 1L, 2L, 0.5),
       ("view", "purchase", 1L, 2L, 0.5)))
   }
+
+  test("e12 journey entropy: hand-computed quantized bits; transitionless " +
+       "users excluded; a deterministic journey scores zero") {
+    val rows = EventQueries.e12JourneyEntropy(spark, plantedDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_trans"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("bits_sum"),
+        r.getAs[Double]("mean_bits")))
+    // user 1 (view->click->view->purchase): from "view" two equally
+    // likely nexts (1 bit each), from "click" one (0 bits) ->
+    // bits_sum 2 over 3 transitions; user 2 (signup only) has no
+    // transitions and no row
+    assert(rows.toSeq == Seq((1L, 3L, 3L, 2L, 0.6667)))
+
+    // a strictly alternating bot: every prev has exactly one next
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-e12-bot").toString
+    (0L to 5L).map(i =>
+      (i, i * 1000000000L, 9L, if (i % 2 == 0) "ping" else "pong", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val bot = EventQueries.e12JourneyEntropy(spark, dir).collect()
+    assert(bot.length == 1 && bot.head.getAs[Long]("n_trans") == 5L &&
+      bot.head.getAs[Long]("bits_sum") == 0L &&
+      bot.head.getAs[Double]("mean_bits") == 0.0)
+  }
 }

@@ -217,6 +217,30 @@ class PlanSpec extends SparkSpec {
     assert(gens == 0, s"expected 0 Generate nodes, got $gens in:\n$p")
   }
 
+  test("t22: gram hashes shuffle exactly twice (per-gram count + doc " +
+       "rollup) and the document text never reaches an exchange") {
+    val p = plan(TextAnalysis.t22DupNgrams(spark, sfDir))
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.length == 2,
+      s"expected 2 hash exchanges, got ${exchanges.length} in:\n$p")
+    assert(!exchanges.exists(e => e.contains("text#") || e.contains("ws#")),
+      s"text or token array crossed an exchange in:\n$p")
+  }
+
+  test("e12: one user_id lag shuffle; the n_prev window and both rollups " +
+       "run over the aggregated pair matrix without a new corpus exchange") {
+    val p = plan(EventQueries.e12JourneyEntropy(spark, sfDir))
+    // exchanges: the lag window's user_id partition, the pair agg's
+    // (user, prev, next), the per-user rollup, and the presentation
+    // range sort — all post-lag ones carry only aggregated pair rows
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) <= 3,
+      s"unexpected extra shuffle in:\n$p")
+    assert(!exchanges.exists(_.contains("props#")),
+      s"unused event columns crossed an exchange in:\n$p")
+  }
+
   test("whole-stage codegen covers the scan->project hot path of t2") {
     // AQE's plan string hides codegen annotation until execution; disable
     // it for this one plan so the `*(n)` codegen markers are visible

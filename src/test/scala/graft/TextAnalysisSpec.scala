@@ -450,4 +450,27 @@ class TextAnalysisSpec extends SparkSpec {
       .last.getAs[Double]("ttr")
     assert(ttr == 0.55)
   }
+
+  test("t22 dup n-grams: planted trigram repeats hand-count; all-distinct " +
+       "docs score zero; sub-width docs emit nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t22").toString
+    // doc 1: a b a b a -> trigrams (a b a), (b a b), (a b a): 3 grams,
+    //        2 distinct, dup_occ 2 (both "a b a" occurrences)
+    // doc 2: five distinct tokens -> 3 grams, all distinct, dup 0
+    // doc 3: two tokens -> no trigram, no row
+    Seq(
+      (1L, "a b a b a", "en", "s0", 9L),
+      (2L, "v w x y z", "en", "s0", 9L),
+      (3L, "p q", "en", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t22DupNgrams(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("dup_occ"),
+        r.getAs[Double]("dup_ratio")))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 2L, 0.6667),
+      (2L, 3L, 3L, 0L, 0.0)))
+  }
 }
