@@ -107,19 +107,32 @@ object RelationalQueries {
     * extension at RDataFramesSQL.Rmd:411 — rewritten as a post-join filter,
     * SURVEY.md §2.2), sort on the derived column. */
   def q4DerivedDiffFilter(s: SparkSession, dir: String): DataFrame = {
+    // ONE lineitem scan (was two + a third join in r12): the grouped max
+    // becomes a partition-window max attached to every line, then the
+    // l_linenumber=1 filter selects the "first line" rows. The window
+    // formulation — not `max(when(l_linenumber===1, …))` in a grouped agg —
+    // is required for oracle parity: the harness data has orders with
+    // SEVERAL line-1 rows (1,693 at sf0.01), and both the oracle SQL and
+    // the former two-scan shape fan out one output row per line-1 row.
+    // A grouped conditional max would collapse that multiplicity.
+    // The orders join itself is ELIMINATED (referential-integrity join
+    // elimination, the classic RI rewrite): orders.o_orderkey is the PK and
+    // every lineitem.l_orderkey references an existing order (verified 0
+    // dangling keys at all three SFs), so the inner join to
+    // orders.select(o_orderkey) neither filters nor duplicates — the oracle
+    // SQL keeps the join, and the hash gate would catch the data ever
+    // breaking that FK. One scan + one exchange where r12 had two scans,
+    // an agg exchange, and two joins.
     val li = Tables.lineitem(s, dir)
-    val maxPrice = li.groupBy(col("l_orderkey").as("m_orderkey"))
-      .agg(max(col("l_extendedprice")).as("max_price"))
-    val firstLine = li.filter(col("l_linenumber") === 1)
-      .select(col("l_orderkey").as("f_orderkey"), col("l_extendedprice").as("first_price"))
-    val orders = Tables.orders(s, dir).select(col("o_orderkey"))
-    orders
-      .join(maxPrice, col("o_orderkey") === col("m_orderkey"))
-      .join(firstLine, col("o_orderkey") === col("f_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    li.withColumn("max_price", max(col("l_extendedprice")).over(w))
+      .filter(col("l_linenumber") === 1)
+      .withColumn("first_price", col("l_extendedprice"))
       .withColumn("price_gap", col("max_price") - col("first_price"))
       .filter(col("price_gap") > 50000)
       .select(
-        col("o_orderkey"),
+        col("l_orderkey").as("o_orderkey"),
         round(col("max_price"), 2).as("max_price"),
         round(col("first_price"), 2).as("first_price"),
         round(col("price_gap"), 2).as("price_gap"))
@@ -170,10 +183,17 @@ object RelationalQueries {
       .select(col("p_partkey"), col("p_brand"))
     val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
     val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+    // DISTINCT runs BEFORE the supplier dim join (r13 reorder): the
+    // distinct's shuffle state is two narrow keys instead of three wider
+    // columns, and the dim join then processes only the collapsed
+    // ≤ brands×suppliers set instead of every qualifying lineitem row.
+    // Equivalent because s_suppkey is the supplier PK (s_name functionally
+    // dependent), so distinct-then-join ≡ join-then-distinct.
     li.join(midParts, col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_suppkey"))
+      .distinct()
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("p_brand"), col("s_suppkey"), col("s_name"))
-      .distinct()
       .orderBy(col("p_brand").asc, col("s_suppkey").asc)
   }
 
