@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.functions.{call_function, col, lit, unix_micros}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the harness-generated TPC-H-ish parquet tables (see repo
@@ -52,13 +52,24 @@ object Tables {
     *   - TIMESTAMP → `unix_micros` directly.
     * Deriving per-schema HERE keeps every downstream operator on the one
     * repo-wide integer-micros contract (see graft.queries.EventQueries). */
-  def eventsTsUs(df: DataFrame): Column = df.schema("ts").dataType match {
-    case LongType        => expr("ts div 1000")
-    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
-    case TimestampType   => unix_micros(col("ts"))
-    case other => sys.error(
-      s"events.ts has unsupported type ${other.sql}; expected raw long " +
-        "nanos, timestamp_ntz or timestamp")
+  def eventsTsUs(df: DataFrame): Column = {
+    // The NTZ→TZ cast below is exact ONLY under a UTC session timezone; an
+    // entry point that forgot the builder's pin would silently shift every
+    // derived micro. Fail loudly instead (ADVICE r12). Columns are anchored
+    // to `df` so applying the helper after a join with another ts column
+    // resolves against the intended relation.
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"eventsTsUs requires spark.sql.session.timeZone=UTC (got '$tz'); " +
+        "the NTZ cast and the DuckDB oracle's epoch_us agree only under UTC")
+    df.schema("ts").dataType match {
+      case LongType        => call_function("div", df("ts"), lit(1000L))
+      case TimestampNTZType => unix_micros(df("ts").cast(TimestampType))
+      case TimestampType   => unix_micros(df("ts"))
+      case other => sys.error(
+        s"events.ts has unsupported type ${other.sql}; expected raw long " +
+          "nanos, timestamp_ntz or timestamp")
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")

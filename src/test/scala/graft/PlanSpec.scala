@@ -231,12 +231,15 @@ class PlanSpec extends SparkSpec {
   test("e12: one user_id lag shuffle; the n_prev window and both rollups " +
        "run over the aggregated pair matrix without a new corpus exchange") {
     val p = plan(EventQueries.e12JourneyEntropy(spark, sfDir))
-    // exchanges: the lag window's user_id partition, the pair agg's
-    // (user, prev, next), the per-user rollup, and the presentation
-    // range sort — all post-lag ones carry only aggregated pair rows
+    // Exactly ONE hash exchange: the lag window's hashpartitioning(user_id)
+    // satisfies the clustering required by the (user, prev, next) pair agg
+    // AND the per-user rollup (both key sets contain user_id), so
+    // EnsureRequirements inserts no further shuffle; the only other
+    // exchange is the presentation range sort.
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.count(_.contains("hashpartitioning")) <= 3,
-      s"unexpected extra shuffle in:\n$p")
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1,
+      s"expected exactly 1 hash exchange (the user_id lag window, reused " +
+        s"by both rollups), got ${exchanges.count(_.contains("hashpartitioning"))} in:\n$p")
     assert(!exchanges.exists(_.contains("props#")),
       s"unused event columns crossed an exchange in:\n$p")
   }
