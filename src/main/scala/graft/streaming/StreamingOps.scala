@@ -528,27 +528,79 @@ object StreamingOps {
             state.remove()
             Iterator.empty
           } else {
-            // arrival order within a micro-batch: (ts, doc_id) — the
-            // same total order as the exact-dedup/sessionizer contract
-            val sorted = batch.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
-            var stored = state.getOption.getOrElse(Nil)
+            // Bounded admission (VERDICT r12 #5): the former
+            // `batch.toSeq.sortBy` materialized a whole band bucket in one
+            // task — under boilerplate skew that is a dup-cluster-sized
+            // group. Only the first (maxBucket − |stored|) DISTINCT new
+            // doc ids in (ts, doc_id) arrival order can ever be admitted,
+            // so a size-capped heap + membership set finds exactly that
+            // set in one forward pass with O(maxBucket) memory — same
+            // discipline as the st7/st8 admission handlers, pinned via
+            // the onBuffer seam in StreamingSpec.
+            val stored0 = state.getOption.getOrElse(Nil)
+            val sel = selectNewIds(
+              maxBucket - stored0.size, stored0.toSet, batch)
+            var stored = stored0
             val out = Seq.newBuilder[Cand]
-            sorted.foreach { r =>
-              if (stored.size < maxBucket && !stored.contains(r.doc_id)) {
-                stored.foreach { d =>
-                  out += Cand(math.min(d, r.doc_id), math.max(d, r.doc_id), r.band)
-                }
-                stored = r.doc_id :: stored
+            sel.admitted.foreach { case (_, id, band) =>
+              stored.foreach { d =>
+                out += Cand(math.min(d, id), math.max(d, id), band)
               }
+              stored = id :: stored
             }
             state.update(stored)
-            if (state.exists && sorted.nonEmpty && streaming) {
-              val maxTs = sorted.map(_.ts.getTime).max
-              state.setTimeoutTimestamp(maxTs + horizonMs)
-            }
+            if (state.exists && sel.sawAny && streaming)
+              state.setTimeoutTimestamp(sel.maxTs + horizonMs)
             out.result().iterator
           }
       }
+  }
+
+  /** Result of [[selectNewIds]]: the admitted `(tsMillis, doc_id, band)`
+    * rows ascending by (ts, id), plus the batch's max event time for the
+    * timeout clock (computed over ALL arrivals, admitted or not). */
+  private[graft] case class NewIdSelection(
+      admitted: Seq[(Long, Long, Int)], maxTs: Long, sawAny: Boolean)
+
+  /** The first `k` DISTINCT doc ids NOT in `stored`, by (ts, doc_id)
+    * order of each id's EARLIEST occurrence, from one forward pass with
+    * O(k) memory — the exact admitted set of the sequential walk
+    * `sort; foreach { admit while capacity && new }` without
+    * materializing the group. A micro-batch iterator is NOT ts-sorted,
+    * so an id already in the running may later surface with a SMALLER
+    * event time (decrease-key) and an evicted id may re-enter with a
+    * better occurrence — a plain capped heap gets both wrong; the
+    * ordered set + id→key map here supports exact removal, so every
+    * arrival either improves its id's key or competes against the
+    * current worst. `onBuffer` is the same O(k)-pin test seam as
+    * [[selectSmallest]]'s. */
+  private[graft] def selectNewIds(k: Int, stored: Set[Long],
+      it: Iterator[BandRow], onBuffer: Int => Unit = _ => ()): NewIdSelection = {
+    val ord: Ordering[(Long, Long, Int)] = Ordering.by(t => (t._1, t._2))
+    val best = scala.collection.mutable.TreeSet.empty(ord)
+    val keyOf = scala.collection.mutable.HashMap.empty[Long, (Long, Long, Int)]
+    var maxTs = Long.MinValue
+    var sawAny = false
+    it.foreach { r =>
+      val t = r.ts.getTime
+      maxTs = math.max(maxTs, t); sawAny = true
+      if (k > 0 && !stored.contains(r.doc_id)) {
+        val key = (t, r.doc_id, r.band)
+        keyOf.get(r.doc_id) match {
+          case Some(old) =>
+            if (ord.lt(key, old)) { best -= old; best += key; keyOf(r.doc_id) = key }
+          case None =>
+            if (best.size < k) { best += key; keyOf(r.doc_id) = key }
+            else if (ord.lt(key, best.last)) {
+              val worst = best.last
+              best -= worst; keyOf -= worst._2
+              best += key; keyOf(r.doc_id) = key
+            }
+        }
+      }
+      onBuffer(best.size)
+    }
+    NewIdSelection(best.toSeq, maxTs, sawAny)
   }
 
   /** Ingest-time contamination screen — batch t8

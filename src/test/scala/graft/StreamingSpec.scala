@@ -503,6 +503,46 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingOps.prefixCandidates(0L, docs.iterator).isEmpty)
   }
 
+  test("selectNewIds: equals the sequential admission walk on adversarial " +
+       "orders (duplicates, stored ids, over-capacity) and buffers O(k)") {
+    import graft.streaming.StreamingOps.BandRow
+    val rnd = new scala.util.Random(78)
+    val n = 200000
+    val cap = 32
+    val stored = (1L to 12L).toSet // bucket already partly full
+    val k = cap - stored.size
+    // ids drawn from a SMALL range so duplicate arrivals and stored-id
+    // re-arrivals are dense — the cases a naive k-smallest pick gets wrong
+    def row(i: Int, id: Long) =
+      BandRow(id, 3, 99L, new java.sql.Timestamp(i.toLong))
+    val rows = (1 to n).map(i => row(i, 1L + rnd.nextInt(200)))
+    // reference: the r12 whole-group walk (O(n) memory, spec-only)
+    def walk(sorted: Seq[BandRow]): Seq[Long] = {
+      var st = stored.toList.sorted
+      val admitted = Seq.newBuilder[Long]
+      sorted.foreach { r =>
+        if (st.size < cap && !st.contains(r.doc_id)) {
+          admitted += r.doc_id; st = r.doc_id :: st
+        }
+      }
+      admitted.result()
+    }
+    val ord: Ordering[BandRow] = Ordering.by(r => (r.ts.getTime, r.doc_id))
+    val reference = walk(rows.sorted(ord))
+    for (input <- Seq(rows.reverse, rnd.shuffle(rows.toVector))) {
+      var maxBuf = 0
+      val sel = StreamingOps.selectNewIds(k, stored, input.iterator,
+        sz => maxBuf = math.max(maxBuf, sz))
+      assert(sel.admitted.map(_._2) == reference)
+      assert(sel.admitted.forall(_._3 == 3))
+      assert(sel.maxTs == n.toLong && sel.sawAny)
+      assert(maxBuf <= k, s"buffer grew to $maxBuf > k=$k")
+    }
+    // full bucket: nothing admitted, nothing buffered, clock still ticks
+    val full = StreamingOps.selectNewIds(0, stored, rows.iterator)
+    assert(full.admitted.isEmpty && full.maxTs == n.toLong && full.sawAny)
+  }
+
   test("tokenBudgetAdmit batch branch (running-sum window) equals the " +
        "streaming handler fed the same rows as micro-batches") {
     import spark.implicits._
