@@ -121,16 +121,27 @@ object Similarity {
       .limit(NumCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
 
+  /** [[centroids]] for composing families (d13b seeds its cells from the
+    * ORGANIC corpus while assigning an augmented one — the stored-index
+    * position, where new near-dup mass joins existing cells). */
+  private[queries] def centroidsOf(e: DataFrame): DataFrame = centroids(e)
+
   /** Every vector assigned to its max-cosine centroid cell in one
     * broadcast pass (row_number argmax on the per-vector × per-centroid
     * product; cosines rounded to 4 decimals BEFORE ranking with c_id
     * tie-break, so the DuckDB oracle reproduces every assignment
     * bit-for-bit). Shared by s2/s7's IVF probe path and
     * [[Dedup.d13SemanticDedup]]'s cluster blocking. */
-  private[queries] def cellAssigned(e: DataFrame): DataFrame = {
+  private[queries] def cellAssigned(e: DataFrame): DataFrame =
+    cellAssignedAgainst(centroids(e), e)
+
+  /** [[cellAssigned]] against an explicit centroid table (d13b assigns an
+    * augmented corpus to cells seeded from the organic one). */
+  private[queries] def cellAssignedAgainst(cent: DataFrame,
+      e: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id").asc)
-    e.join(broadcast(centroids(e)), lit(true))
+    e.join(broadcast(cent), lit(true))
       .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
@@ -566,13 +577,16 @@ object Similarity {
   /** The centroid-seed + cell-assignment CTE pair (the engine's
     * [[cellAssigned]] as oracle SQL), appended after [[commonCtes]].
     * Shared by the s2 oracle and Dedup's d13 oracle. */
-  private[queries] def cellsOracleCtes: String =
+  private[queries] def centOracleCte: String =
     s"""cent AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
        |  FROM en
        |  ORDER BY (vec_id * $MixA + $MixB) % $MixM, vec_id
        |  LIMIT $NumCentroids
-       |),
+       |)""".stripMargin
+
+  private[queries] def cellsOracleCtes: String =
+    s"""$centOracleCte,
        |cells AS (
        |  SELECT vec_id, embedding, nrm, cell FROM (
        |    SELECT en.vec_id, en.embedding, en.nrm, c.c_id AS cell,

@@ -588,4 +588,37 @@ class DedupSpec extends SparkSpec {
     // reported keeper must be the smallest (0), pinning the argmin rule
     assert(got.toSeq == Seq((5L, 0L, 0L, 1.0), (8L, 0L, 0L, 1.0)))
   }
+
+  test("d13b skew companion: one cell holds >=50% of the augmented corpus, " +
+       "every plant drops at trained-like cosine with a keeper below the " +
+       "shift, and the organic drop set is row-identical to d13") {
+    val sfDir = "/root/testdata/sf0.01"
+    val organic = Dedup.d13bOrganic(spark, sfDir)
+    val aug = Dedup.d13bAugmented(organic)
+    val cells = Dedup.d13bCells(spark, sfDir)
+    // fixture honesty: the dominant cell really dominates
+    val total = aug.count()
+    val biggest = cells.groupBy("cell").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc)
+      .limit(1).collect()(0).getAs[Long]("count")
+    assert(biggest * 2 >= total,
+      s"dominant cell holds $biggest of $total — fixture lost its skew")
+    val rows = Dedup.d13bSemanticDedupSkew(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("kept_by"),
+        r.getAs[Double]("cosine")))
+    val (plants, organicDrops) = rows.partition(_._1 >= Dedup.D13bIdShift)
+    // every plant drops, keeper is an organic (below-shift) vector, and
+    // the pair sits in the tight trained-embedding-like cosine band
+    assert(plants.length == organic.count(),
+      s"${plants.length} plants dropped, expected one per organic vector")
+    assert(plants.forall(_._2 < Dedup.D13bIdShift))
+    assert(plants.forall(_._3 >= 0.9),
+      s"planted cosines dip below 0.9: ${plants.map(_._3).min}")
+    // stability under the dominant cell: the organic slice is exactly d13
+    val d13 = Dedup.d13SemanticDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("kept_by"),
+        r.getAs[Double]("cosine")))
+    assert(organicDrops.toSeq == d13.toSeq,
+      "augmentation perturbed the organic drop set")
+  }
 }
