@@ -291,11 +291,66 @@ object Pipeline {
       .orderBy(col("policy"))
   }
 
+  /** p5 — the funnel with SEMANTIC dedup as its final stage: quality →
+    * langid → exact dedup → SemDeDup among survivors, the deployment
+    * position of Abbas et al. 2023 (semantic dedup runs LAST, on the
+    * corpus the cheap stages already cleaned — every earlier drop is a
+    * vector the quadratic stage never compares). A survivor drops if ANY
+    * lower-id surviving vector in its s2 cell sits at cosine ≥
+    * [[Dedup.D13Threshold]] — d13's greedy keep-first rule restricted to
+    * survivors (restriction is sound for the DROP-SET: pair membership is
+    * a per-pair property, the p2 argument).
+    *
+    * Scale shape: the staged flags and the cell assignment are BOTH
+    * pipeline-stage artifacts ([[sharedStagedFlags]], the p1 scan;
+    * [[Similarity.sharedCells]], the s2 IVF index) — p5's own work is
+    * the survivor-restricted within-cell pair filter, Σ|cell∩surv|²
+    * with the cell id as the blocking/partition key, plus one funnel
+    * aggregate. First use computes both artifacts, so the entry stays
+    * self-contained under Verify; its benched steady state is the
+    * marginal semantic stage, the d7/p2 convention. */
+  def p5SemanticCuration(s: SparkSession, dir: String): DataFrame = {
+    val staged = sharedStagedFlags(s, dir)
+    val surv = staged.filter(col("d_pass")).select(col("doc_id").as("vec_id"))
+    val scells = Similarity.sharedCells(s, dir).join(surv, "vec_id")
+    val a = scells.select(col("cell"), col("vec_id").as("kept_by"),
+      col("embedding").as("emb_a"))
+    val b = scells.select(col("cell").as("b_cell"), col("vec_id"),
+      col("embedding").as("emb_b"))
+    val drops = a.join(b,
+        col("cell") === col("b_cell") && col("kept_by") < col("vec_id"))
+      .filter(round(graft.functions.VectorFunctions.cosine_sim(
+        col("emb_a"), col("emb_b")), 4) >= Dedup.D13Threshold)
+      .select(col("vec_id").as("doc_id")).distinct()
+      .withColumn("sd", lit(1))
+    staged.join(drops, Seq("doc_id"), "left")
+      .withColumn("f_pass", col("d_pass") && col("sd").isNull)
+      .agg(
+        count(lit(1)).as("n0"), sum(col("tok")).as("t0"),
+        sum(when(col("q_pass"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("q_pass"), col("tok")).otherwise(0L)).as("t1"),
+        sum(when(col("l_pass"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("l_pass"), col("tok")).otherwise(0L)).as("t2"),
+        sum(when(col("d_pass"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("d_pass"), col("tok")).otherwise(0L)).as("t3"),
+        sum(when(col("f_pass"), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("f_pass"), col("tok")).otherwise(0L)).as("t4"))
+      .selectExpr(
+        """stack(5,
+          |  'a_ingest',   n0, t0,
+          |  'b_quality',  n1, t1,
+          |  'c_langid',   n2, t2,
+          |  'd_dedup',    n3, t3,
+          |  'e_semantic', n4, t4) AS (stage, n_docs, n_tokens)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_curation_funnel" -> p1CurationFunnel _,
     "p2_funnel_neardup"  -> p2CurationFunnelNearDup _,
     "p3_curation_v2"     -> p3CurationV2 _,
     "p4_policy_savings"  -> p4PolicySavings _,
+    "p5_semantic_curation" -> p5SemanticCuration _,
   )
 
   /** The per-doc staged-flag CTE chain (d → f → g → h) shared by the p1
@@ -396,6 +451,43 @@ object Pipeline {
          |SELECT policy, docs_affected, tok_removed,
          |       (SELECT t_all FROM tot) - tok_removed AS tok_kept
          |FROM pol ORDER BY policy""".stripMargin,
+    // p5: the staged-flag chain + the s2 cell CTEs (organic corpus),
+    // survivor-restricted within-cell threshold pairs as the drop set,
+    // then the 5-stage funnel — the whole pipeline replayed
+    "p5_semantic_curation" ->
+      s"""WITH $funnelCtes,
+        |${Similarity.sharedOracleCtes},
+        |${Similarity.cellsOracleCtes},
+        |sc AS (  -- cells restricted to stage-d survivors
+        |  SELECT c.vec_id, c.embedding, c.nrm, c.cell
+        |  FROM cells c JOIN h ON h.doc_id = c.vec_id AND h.d_pass
+        |),
+        |sdrop AS (  -- any qualifying lower-id surviving neighbor => drop
+        |  SELECT DISTINCT b.vec_id AS doc_id
+        |  FROM sc a JOIN sc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${Similarity.cosineSql("a.embedding", "a.nrm",
+                     "b.embedding", "b.nrm")} >= ${Dedup.D13Threshold}
+        |),
+        |h3 AS (
+        |  SELECT h.*, h.d_pass AND sdrop.doc_id IS NULL AS f_pass
+        |  FROM h LEFT JOIN sdrop USING (doc_id)
+        |)
+        |SELECT * FROM (
+        |  SELECT 'a_ingest' AS stage, count(*) AS n_docs,
+        |         CAST(sum(tok) AS BIGINT) AS n_tokens FROM h3
+        |  UNION ALL
+        |  SELECT 'b_quality', count(*) FILTER (q_pass),
+        |         CAST(coalesce(sum(tok) FILTER (q_pass), 0) AS BIGINT) FROM h3
+        |  UNION ALL
+        |  SELECT 'c_langid', count(*) FILTER (l_pass),
+        |         CAST(coalesce(sum(tok) FILTER (l_pass), 0) AS BIGINT) FROM h3
+        |  UNION ALL
+        |  SELECT 'd_dedup', count(*) FILTER (d_pass),
+        |         CAST(coalesce(sum(tok) FILTER (d_pass), 0) AS BIGINT) FROM h3
+        |  UNION ALL
+        |  SELECT 'e_semantic', count(*) FILTER (f_pass),
+        |         CAST(coalesce(sum(tok) FILTER (f_pass), 0) AS BIGINT) FROM h3
+        |) ORDER BY stage""".stripMargin,
     "p1_curation_funnel" ->
       s"""WITH $funnelCtes
         |SELECT * FROM (
