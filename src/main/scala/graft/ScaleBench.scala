@@ -61,7 +61,13 @@ object ScaleBench {
     // this session's additions: e12's per-user entropy rollup and
     // t22's intra-doc gram aggregation (its gram explode is the
     // volume to watch)
-    "e12_journey_entropy", "t22_dup_ngrams")
+    "e12_journey_entropy", "t22_dup_ngrams",
+    // r13: the semantic-dedup pair (the Σ|cell∩surv|² growth is the
+    // thing to verify now that the codebook follows the fixed-target-
+    // cell-size rule) — d13b is EXCLUDED by design: its 50%-dominant
+    // cell is a correctness fixture with deliberately adversarial
+    // blocking; the skew-corpus d13 run is the perf stress instead
+    "d13_semantic_dedup", "p5_semantic_curation")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)

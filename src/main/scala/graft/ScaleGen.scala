@@ -29,7 +29,23 @@ import org.apache.spark.sql.functions._
   * harness vocabulary cannot exhibit. SCALING.md records the measured
   * crossover between the two t12 plans on both corpora.
   *
-  * Usage: runMain graft.ScaleGen <outDir> <sf> [zipf]
+  * A `skew` variant regenerates `embeddings` with HALF the vectors in
+  * one tight cluster (a shared base point plus ±0.2/dim jitter —
+  * within-cluster cosines ≈0.95, far above the d13 threshold; the
+  * jitter is deliberately NOT tighter, because at ±0.02 every
+  * cluster-member-to-cluster-seed cosine rounds to the same handful of
+  * 4-dp values and the c_id tie-break re-concentrates the cluster into
+  * one cell — a real finding about rounded-cosine assignment, recorded
+  * in SCALING.md) — the dominant-semantic-cluster
+  * shape d13's cell blocking must survive. The claim under test: the
+  * id-mix centroid seeds are drawn uniformly from the CORPUS, so a
+  * region holding 50 % of the vectors also holds ~50 % of the seeds and
+  * splits itself across ~C/2 cells (density-proportional seeding); cell
+  * populations stay near the balanced-sqrt-rule mean (N / C, see
+  * graft.queries.Similarity's codebook note) and the within-cell pair
+  * stage keeps its N^1.5 growth even under skew.
+  *
+  * Usage: runMain graft.ScaleGen <outDir> <sf> [zipf] [skew]
   */
 object ScaleGen {
 
@@ -51,6 +67,7 @@ object ScaleGen {
     val outDir = args(0)
     val sf = args(1).toDouble
     val zipf = args.contains("zipf")
+    val skew = args.contains("skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = BenchSupport.session(cpus)
     import spark.implicits._
@@ -108,18 +125,30 @@ object ScaleGen {
       concat(lit("{\"k\": "), pmod(h(eId, lit("k")), lit(100)), lit("}")).as("props"))
     events.write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    // ---- embeddings: 20k rows/SF, 64-dim float in [-1, 1], 10 labels
+    // ---- embeddings: 20k rows/SF, 64-dim float in [-1, 1], 10 labels.
+    // skew mode: vectors with h(id,"c")%2==0 sit in ONE tight cluster
+    // (shared base + ±0.2/dim jitter, cosines ≈0.95 — wide enough that
+    // rounded-4dp assignment cosines do not tie; see scaladoc) — the
+    // dominant semantic cluster d13's blocking must survive.
     val nVecs = math.max(100L, (20000 * sf).toLong)
     val vId = col("id")
+    val uniformDim: Column => Column =
+      j => pmod(h(vId, lit("e"), j), lit(2001)) / 1000.0 - 1
+    val clusterDim: Column => Column =
+      j => pmod(h(lit(-1L), lit("base"), j), lit(2001)) / 1000.0 - 1 +
+        (pmod(h(vId, lit("jit"), j), lit(401)) / 1000.0 - 0.2)
+    val dim: Column => Column =
+      if (skew) j => when(pmod(h(vId, lit("c")), lit(2)) === 0,
+        clusterDim(j)).otherwise(uniformDim(j))
+      else uniformDim
     val embeddings = spark.range(nVecs).select(
       vId.as("vec_id"),
-      transform(sequence(lit(0), lit(63)),
-        j => (pmod(h(vId, lit("e"), j), lit(2001)) / 1000.0 - 1).cast("float"))
+      transform(sequence(lit(0), lit(63)), j => dim(j).cast("float"))
         .as("embedding"),
       pmod(h(vId, lit("l")), lit(10)).cast("int").as("label"))
     embeddings.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    println(s"""{"outDir":"$outDir","sf":$sf,"zipf":$zipf,"documents":$nDocs,"events":$nEvents,"embeddings":$nVecs}""")
+    println(s"""{"outDir":"$outDir","sf":$sf,"zipf":$zipf,"skew":$skew,"documents":$nDocs,"events":$nEvents,"embeddings":$nVecs}""")
     spark.stop()
   }
 }

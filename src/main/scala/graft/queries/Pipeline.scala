@@ -312,13 +312,15 @@ object Pipeline {
   def p5SemanticCuration(s: SparkSession, dir: String): DataFrame = {
     val staged = sharedStagedFlags(s, dir)
     val surv = staged.filter(col("d_pass")).select(col("doc_id").as("vec_id"))
-    val scells = Similarity.sharedCells(s, dir).join(surv, "vec_id")
-    val a = scells.select(col("cell"), col("vec_id").as("kept_by"),
+    val scells = Dedup.boundedSubCells(
+      Similarity.sharedCells(s, dir).join(surv, "vec_id"))
+    val a = scells.select(col("cell"), col("sub"), col("vec_id").as("kept_by"),
       col("embedding").as("emb_a"))
-    val b = scells.select(col("cell").as("b_cell"), col("vec_id"),
-      col("embedding").as("emb_b"))
+    val b = scells.select(col("cell").as("b_cell"), col("sub").as("b_sub"),
+      col("vec_id"), col("embedding").as("emb_b"))
     val drops = a.join(b,
-        col("cell") === col("b_cell") && col("kept_by") < col("vec_id"))
+        col("cell") === col("b_cell") && col("sub") === col("b_sub")
+          && col("kept_by") < col("vec_id"))
       .filter(round(graft.functions.VectorFunctions.cosine_sim(
         col("emb_a"), col("emb_b")), 4) >= Dedup.D13Threshold)
       .select(col("vec_id").as("doc_id")).distinct()
@@ -462,9 +464,11 @@ object Pipeline {
         |  SELECT c.vec_id, c.embedding, c.nrm, c.cell
         |  FROM cells c JOIN h ON h.doc_id = c.vec_id AND h.d_pass
         |),
+        |${Similarity.boundedSubCtes("sc", "bsc")},
         |sdrop AS (  -- any qualifying lower-id surviving neighbor => drop
         |  SELECT DISTINCT b.vec_id AS doc_id
-        |  FROM sc a JOIN sc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  FROM bsc a JOIN bsc b
+        |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
         |  WHERE ${Similarity.cosineSql("a.embedding", "a.nrm",
                      "b.embedding", "b.nrm")} >= ${Dedup.D13Threshold}
         |),

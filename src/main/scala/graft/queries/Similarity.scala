@@ -37,9 +37,21 @@ object Similarity {
 
   private val K = 10          // top-k neighbors
   private val NumQueries = 5  // vec_id < 5 are the query vectors
-  // s2: fixed-size coarse codebook + probe count. At a real 100 TB run
-  // K grows like sqrt(N) (capped by broadcast budget), never like N.
+  // s2: coarse codebook sized by the BALANCED sqrt RULE (r13): the
+  // centroid count is max(NumCentroids, ceil(sqrt(N / 8))). A fixed
+  // codebook makes cell size ∝ N and d13/p5's within-cell pair stage
+  // Σ|cell|² ∝ N² — the scale-killer the r13 slope run measured (tail
+  // 1.3+ and climbing). A fixed target CELL SIZE makes the pair stage
+  // linear but the brute-force assignment (every vector × every
+  // centroid) ∝ N² instead. C ∝ sqrt(N) balances the two at N^1.5 each
+  // — the best this layer can do without ANN-assisted assignment
+  // (hierarchical IVF: assign vectors to centroids through an index
+  // over the centroids themselves — the named future linearization).
+  // sqrt(2000/8) = 15.8 → 16, so the rule coincides with the historic
+  // 16-centroid codebook at every driver-gated SF and every
+  // oracle-checked output is bit-identical to the fixed-size era.
   private val NumCentroids = 16
+  private[queries] val CentroidDivisor = 8
   private val ProbeCells = 4
   // s3: multi-table sign-LSH. Collision prob per bit for neighbors at
   // cosine ~0.45 is ~0.65, so one table of many bits has hopeless recall;
@@ -66,6 +78,51 @@ object Similarity {
   private val MixM = 2147483648L
   private def idMix(id: Column): Column =
     pmod(id * lit(MixA) + lit(MixB), lit(MixM))
+
+  /** [[idMix]] for composing families (d13's bounded sub-cell split keys
+    * on it), plus its SQL text for their oracles. */
+  private[queries] def idMixOf(id: Column): Column = idMix(id)
+  private[queries] def mixSql(c: String): String =
+    s"(($c * $MixA + $MixB) % $MixM)"
+
+  /** The bounded sub-cell split as oracle CTE text (mirrors
+    * [[Dedup.boundedSubCells]] integer for integer): `src` must expose
+    * (vec_id, embedding, nrm, cell); emits `<out>` with an added `sub`
+    * column. */
+  private[queries] def boundedSubCtes(src: String, out: String): String =
+    s"""${out}_counts AS (
+       |  SELECT cell, count(*) AS c_n FROM $src GROUP BY cell
+       |),
+       |${out}_bnd AS (
+       |  SELECT greatest($CellBoundFloor,
+       |         (4 * CAST(sum(c_n) AS BIGINT)) // count(*)) AS bnd
+       |  FROM ${out}_counts
+       |),
+       |$out AS (
+       |  SELECT s.vec_id, s.embedding, s.nrm, s.cell,
+       |         ${mixSql("s.vec_id")} % ((cc.c_n + b.bnd - 1) // b.bnd) AS sub
+       |  FROM $src s
+       |  JOIN ${out}_counts cc USING (cell)
+       |  CROSS JOIN ${out}_bnd b
+       |)""".stripMargin
+
+  /** Worst-case cell bound for the within-cell PAIR stages (d13/d13b/p5):
+    * a cell above max([[CellBoundFloor]], 4 × mean cell size) is split
+    * into hash sub-cells of at most that bound, capping Σ|cell|² at
+    * N × bound — LINEAR worst case even under an adversarial dominant
+    * cluster. The price is dedup completeness inside a mega-cluster
+    * (each sub-cell keeps one member), the same recall-for-boundedness
+    * trade as d3's MaxBandBucket. Why it exists: the r13 skew-corpus
+    * slope run measured tail ≈2.0 — a tight cluster does NOT split
+    * across random centroid seeds (argmax-cosine concentrates on the
+    * most central seed; k-means would reposition centroids into the
+    * dense region, a deterministic id-mix seed rule cannot). The floor
+    * sits ~20× above every driver-SF cell (max organic 152, max d13b
+    * augmented 2115), so all oracle-gated outputs are unchanged; only
+    * genuinely degenerate cells split. Applied in the PAIR stages only —
+    * s2/s7 probe pruning keeps geometric cells (a hash sub-split of a
+    * probed cell would scatter true neighbors). */
+  private[queries] val CellBoundFloor = 2500L
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -116,10 +173,15 @@ object Similarity {
   /** The s2 centroid seed table: the [[NumCentroids]] vectors with the
     * smallest deterministic id-mix — an O(N) TakeOrdered scan, fixed-size
     * broadcast. */
-  private def centroids(e: DataFrame): DataFrame =
+  private def centroids(e: DataFrame): DataFrame = {
+    // one metadata-cheap count action sizes the codebook (see the
+    // balanced sqrt rule above); the seed scan stays a lazy TakeOrdered
+    val k = math.max(NumCentroids,
+      math.ceil(math.sqrt(e.count() / CentroidDivisor.toDouble)).toInt)
     e.orderBy(idMix(col("vec_id")), col("vec_id"))
-      .limit(NumCentroids)
+      .limit(k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+  }
 
   /** [[centroids]] for composing families (d13b seeds its cells from the
     * ORGANIC corpus while assigning an augmented one — the stored-index
@@ -590,11 +652,15 @@ object Similarity {
     * [[cellAssigned]] as oracle SQL), appended after [[commonCtes]].
     * Shared by the s2 oracle and Dedup's d13 oracle. */
   private[queries] def centOracleCte: String =
-    s"""cent AS (
-       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-       |  FROM en
-       |  ORDER BY (vec_id * $MixA + $MixB) % $MixM, vec_id
-       |  LIMIT $NumCentroids
+    s"""cent AS (  -- codebook sized by the fixed-target-cell-size rule
+       |  SELECT c_id, c_emb, c_nrm FROM (
+       |    SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm,
+       |           row_number() OVER (
+       |             ORDER BY (vec_id * $MixA + $MixB) % $MixM, vec_id) AS crn
+       |    FROM en
+       |  ) WHERE crn <= greatest($NumCentroids,
+       |      CAST(ceil(sqrt(CAST((SELECT count(*) FROM en) AS DOUBLE)
+       |                     / $CentroidDivisor)) AS BIGINT))
        |)""".stripMargin
 
   private[queries] def cellsOracleCtes: String =
