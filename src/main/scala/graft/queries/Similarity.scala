@@ -110,19 +110,24 @@ object Similarity {
     * a cell above max([[CellBoundFloor]], 4 × mean cell size) is split
     * into hash sub-cells of at most that bound, capping Σ|cell|² at
     * N × bound — LINEAR worst case even under an adversarial dominant
-    * cluster. The price is dedup completeness inside a mega-cluster
-    * (each sub-cell keeps one member), the same recall-for-boundedness
-    * trade as d3's MaxBandBucket. Why it exists: the r13 skew-corpus
-    * slope run measured tail ≈2.0 — a tight cluster does NOT split
-    * across random centroid seeds (argmax-cosine concentrates on the
-    * most central seed; k-means would reposition centroids into the
-    * dense region, a deterministic id-mix seed rule cannot). The floor
-    * sits ~20× above every driver-SF cell (max organic 152, max d13b
-    * augmented 2115), so all oracle-gated outputs are unchanged; only
-    * genuinely degenerate cells split. Applied in the PAIR stages only —
-    * s2/s7 probe pruning keeps geometric cells (a hash sub-split of a
-    * probed cell would scatter true neighbors). */
-  private[queries] val CellBoundFloor = 2500L
+    * cluster, and bounding the per-(cell, sub) pair-join task at bound²
+    * cosines (the pair stage shuffles on that key, so the bound IS the
+    * task granularity — the straggler cap). The price is dedup
+    * completeness inside a mega-cluster (each sub-cell keeps one
+    * member), the same recall-for-boundedness trade as d3's
+    * MaxBandBucket. Why it exists: the r13 skew-corpus slope run
+    * measured tail ≈2.0 — a tight cluster does NOT split across random
+    * centroid seeds (argmax-cosine concentrates on the most central
+    * seed; k-means would reposition centroids into the dense region, a
+    * deterministic id-mix seed rule cannot). The floor sits 4× above
+    * the largest driver-SF ORGANIC cell (152) and above d13b's sf0.01
+    * augmented dominant cell (536), so every oracle-gated output is
+    * unchanged; d13b's sf0.1 fixture cell (2115) deliberately splits —
+    * the bench entry exercises the bounded path, not the straggler.
+    * Applied in the PAIR stages only — s2/s7 probe pruning keeps
+    * geometric cells (a hash sub-split of a probed cell would scatter
+    * true neighbors). */
+  private[queries] val CellBoundFloor = 600L
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
