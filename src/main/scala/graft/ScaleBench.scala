@@ -67,7 +67,8 @@ object ScaleBench {
     // cell-size rule) — d13b is EXCLUDED by design: its 50%-dominant
     // cell is a correctness fixture with deliberately adversarial
     // blocking; the skew-corpus d13 run is the perf stress instead
-    "d13_semantic_dedup", "p5_semantic_curation")
+    "d13_semantic_dedup", "p5_semantic_curation",
+    "st10_semantic_admitted")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)

@@ -270,6 +270,31 @@ object StreamingCatalog {
       .orderBy(col("source"), col("admit_idx"))
   }
 
+  /** st10 — the streaming SEMANTIC-dedup admission's batch half: d13's
+    * earlier-arrival rule restricted to each cell's first
+    * [[St10MaxCell]] arrivals (the handler's frozen stored prefix).
+    * Arrival time is `timestamp_micros(vec_id)` (the st1/st2
+    * convention), so arrival order ≡ vec_id order and the oracle's
+    * per-cell row_number rank replays the prefix exactly; cells come
+    * from the same codebook rule as batch d13 (the stored-index
+    * position an ingest stream probes). At the gate SFs every cell is
+    * far under the cap, so the drop set is d13's rule in arrival order
+    * — non-vacuous by the same geometry as d13's 56 sf0.01 rows. */
+  private[graft] val St10MaxCell = 256
+  def st10SemanticAdmitted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assigned = Similarity.cellAssigned(Similarity.embeddingsFor(s, dir))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("embedding").as("emb"),
+        timestamp_micros(col("vec_id")).as("ts"))
+      .as[StreamingOps.VecArrival]
+    StreamingOps.semanticAdmit(assigned, Dedup.D13Threshold,
+        horizonMs = 3600000L, maxCell = St10MaxCell)
+      .toDF()
+      .select(col("vec_id"), col("cell"), col("kept_by"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_dedup_first_seen"    -> st1DedupFirstSeen _,
     "st2_neardup_verified"    -> st2NearDupVerified _,
@@ -280,9 +305,37 @@ object StreamingCatalog {
     "st7_quota_admitted"      -> st7QuotaAdmitted _,
     "st8_token_budget"        -> st8TokenBudget _,
     "st9_ingest_admission"    -> st9IngestAdmission _,
+    "st10_semantic_admitted"  -> st10SemanticAdmitted _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st10: the s2 cell CTEs (same codebook rule), per-cell arrival rank
+    // (arrival ≡ vec_id), d13's earlier-arrival threshold rule among the
+    // first-256 prefix, keeper = earliest qualifying
+    "st10_semantic_admitted" ->
+      s"""WITH ${Similarity.sharedOracleCtes},
+         |${Similarity.cellsOracleCtes},
+         |ranked AS (
+         |  SELECT vec_id, embedding, nrm, cell,
+         |         row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+         |           AS rnk
+         |  FROM cells
+         |),
+         |qual AS (
+         |  SELECT b.vec_id, b.cell, a.vec_id AS kept_by,
+         |         ${Similarity.cosineSql("a.embedding", "a.nrm",
+                      "b.embedding", "b.nrm")} AS cosine
+         |  FROM ranked a JOIN ranked b
+         |    ON a.cell = b.cell AND a.rnk < b.rnk
+         |  WHERE a.rnk <= $St10MaxCell AND b.rnk <= $St10MaxCell
+         |    AND ${Similarity.cosineSql("a.embedding", "a.nrm",
+                      "b.embedding", "b.nrm")} >= ${Dedup.D13Threshold}
+         |)
+         |SELECT vec_id, cell, kept_by, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY kept_by ASC) AS rn
+         |  FROM qual
+         |) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // keep-earliest-arrival per md5(text); arrival order == doc_id order
     // (timestamp_micros is strictly increasing in doc_id)
     "st1_dedup_first_seen" ->

@@ -665,4 +665,116 @@ object StreamingOps {
         round(col("n_hit").cast("double") / col("n_sh").cast("double"), 4))
       .drop("shs")
   }
+
+  /** An embedding arrival for [[semanticAdmit]]: the cell is pre-assigned
+    * by the caller against the STORED codebook (the d12 stored-index
+    * position — an ingest stream probes the index the batch corpus
+    * built; it does not re-cluster itself). */
+  case class VecArrival(vec_id: Long, cell: Long, emb: Seq[Float],
+      ts: java.sql.Timestamp)
+
+  /** A semantic-duplicate drop emitted by [[semanticAdmit]]: `kept_by`
+    * is the EARLIEST-ARRIVED stored cell-mate that clears the cosine
+    * threshold against this vector. */
+  case class SemDrop(vec_id: Long, cell: Long, kept_by: Long, cosine: Double)
+
+  /** CosineSim's exact arithmetic (left-to-right double accumulation,
+    * sqrt-product denominator) + Spark `round(_, 4)` HALF_UP — the state
+    * handler must score bit-identically to the batch expression or the
+    * stream/batch symmetry pin would chase float dust. */
+  private[graft] def roundedCos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    val c = if (d == 0.0) 0.0 else dot / d
+    BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Streaming SEMANTIC-dedup admission — the d13 rule at ingest time,
+    * completing the ladder st1 (exact) and st2 (MinHash near-dup) start:
+    * an arriving embedding is checked against the vectors already
+    * RESIDENT in its cell's state and emitted as a [[SemDrop]] when an
+    * earlier-arrived cell-mate sits at cosine ≥ `threshold`.
+    *
+    * Scale/state contract (the st2 discipline, vector-valued state):
+    *   - state is keyed by cell — the same blocking key as batch d13, so
+    *     a 1000-executor run partitions the stream identically;
+    *   - per-cell state is the FIRST `maxCell` arrivals by (ts, vec_id)
+    *     — one bounded TreeMap selection per micro-batch (O(maxCell)
+    *     memory, onBuffer-pinned; never a whole-group sort), frozen once
+    *     full. Arrivals beyond the cap are admitted UNCHECKED and not
+    *     stored — the bounded-memory recall trade, over-admission being
+    *     the conservative direction for dedup;
+    *   - comparisons run against stored members only (≤ maxCell × one
+    *     64-float vector per cell), so per-arrival work is bounded on a
+    *     degenerate dominant cell;
+    *   - a cell idle past `horizonMs` is evicted wholesale (same honest
+    *     trade as [[dedupExact]]: a semantic dup of an evicted vector
+    *     passes; whole-corpus semantic dedup remains batch d13's job).
+    *
+    * On a batch input the group sees every arrival at once, the selected
+    * prefix IS the first-maxCell, and the emitted drop set equals d13's
+    * earlier-arrival rule restricted to each cell's first maxCell rows —
+    * which is what the st10 catalog entry gates against the oracle. */
+  def semanticAdmit(vecs: Dataset[VecArrival], threshold: Double,
+      horizonMs: Long, maxCell: Int = 256,
+      onBuffer: Int => Unit = _ => ()): Dataset[SemDrop] = {
+    import vecs.sparkSession.implicits._
+    val streaming = vecs.isStreaming
+    val rows =
+      if (streaming) vecs.withWatermark("ts", s"$horizonMs milliseconds")
+      else vecs
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_.cell)
+      .flatMapGroupsWithState[List[(Long, Long, Array[Float])], SemDrop](
+        OutputMode.Append, timeoutConf) {
+        (cell: Long, batch: Iterator[VecArrival],
+         state: GroupState[List[(Long, Long, Array[Float])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // stored: ascending by arrival (ts, id) — find() below hits
+            // the EARLIEST qualifying keeper first
+            var stored = state.getOption.getOrElse(Nil)
+            val k = maxCell - stored.size
+            val ord = implicitly[Ordering[(Long, Long)]]
+            val best = scala.collection.mutable.TreeMap
+              .empty[(Long, Long), Array[Float]](ord)
+            var maxTs = Long.MinValue
+            var any = false
+            batch.foreach { v =>
+              val t = v.ts.getTime
+              maxTs = math.max(maxTs, t); any = true
+              if (k > 0) {
+                val key = (t, v.vec_id)
+                if (best.size < k) best(key) = v.emb.toArray
+                else if (ord.lt(key, best.lastKey)) {
+                  // TreeMap is ascending — lastKey is the current worst
+                  best -= best.lastKey
+                  best(key) = v.emb.toArray
+                }
+              }
+              onBuffer(best.size)
+            }
+            val out = Seq.newBuilder[SemDrop]
+            best.foreach { case ((t, id), emb) =>
+              stored.collectFirst {
+                case (_, kid, e) if roundedCos(e, emb) >= threshold =>
+                  out += SemDrop(id, cell, kid, roundedCos(e, emb))
+              }
+              stored = stored :+ ((t, id, emb))
+            }
+            state.update(stored)
+            if (state.exists && any && streaming)
+              state.setTimeoutTimestamp(maxTs + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -576,4 +576,56 @@ class StreamingSpec extends SparkSpec {
       .sorted
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("semanticAdmit: stream equals batch across shuffled micro-batches; " +
+       "cap freezes the stored prefix; buffer stays O(maxCell)") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{SemDrop, VecArrival}
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def axis(i: Int): Seq[Float] = {
+      val a = Array.fill(8)(0f); a(i) = 1f; a.toSeq
+    }
+    // cell 1: v1 (e0), v2 = e0 dup (cos 1.0 -> drops, kept_by 1),
+    //         v3 orthogonal (survives); cell 2: v4 (e2), v5 dup (drops)
+    val rows = Seq(
+      VecArrival(1L, 1L, axis(0), ts(1000)),
+      VecArrival(2L, 1L, axis(0), ts(2000)),
+      VecArrival(3L, 1L, axis(1), ts(3000)),
+      VecArrival(4L, 2L, axis(2), ts(4000)),
+      VecArrival(5L, 2L, axis(2), ts(5000)))
+    val expected = Set(SemDrop(2L, 1L, 1L, 1.0), SemDrop(5L, 2L, 4L, 1.0))
+    // batch half
+    val batchOut = StreamingOps
+      .semanticAdmit(rows.toDS(), 0.35, 3600000L).collect().toSet
+    assert(batchOut == expected)
+    // streaming: two micro-batches, arrival-shuffled WITHIN each batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-semadmit").toString
+    Seq(rows(2), rows(0), rows(1)).toDS().write.parquet(s"$dir/b1")
+    Seq(rows(4), rows(3)).toDS().write.parquet(s"$dir/b2")
+    val in = spark.readStream.schema(rows.toDS().schema).parquet(s"$dir/b*")
+      .as[VecArrival]
+    val q = StreamingOps.semanticAdmit(in, 0.35, 3600000L)
+      .writeStream.format("memory").queryName("semadmit_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("semadmit_stream").collect()
+      .map(r => SemDrop(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == expected)
+    // cap: maxCell = 2 freezes the prefix at {v1, v2}; a later dup of v1
+    // is admitted UNCHECKED (bounded-state recall trade, over-admission)
+    val capped = StreamingOps.semanticAdmit(
+      (rows.take(3) :+ VecArrival(6L, 1L, axis(0), ts(6000))).toDS(),
+      0.35, 3600000L, maxCell = 2).collect().toSet
+    assert(capped == Set(SemDrop(2L, 1L, 1L, 1.0)),
+      s"beyond-cap arrivals must not be checked or stored, got $capped")
+    // buffer bound on an adversarial descending-arrival stream
+    val n = 50000
+    val big = (n to 1 by -1).map(i =>
+      VecArrival(i.toLong, 9L, axis(i % 8), ts(i.toLong)))
+    var maxBuf = 0
+    StreamingOps.semanticAdmit(big.toDS(), 0.35, 3600000L, maxCell = 16,
+      sz => maxBuf = math.max(maxBuf, sz)).collect()
+    assert(maxBuf <= 16, s"buffer grew to $maxBuf > maxCell=16")
+  }
 }
