@@ -429,6 +429,79 @@ object Multimodal {
       .orderBy(col("doc_id"), col("win"))
   }
 
+  // ---- m8: cross-video duplicated frame-run detection ---------------
+
+  /** m8's frame geometry and plant rule. Frames are [[M8FrameBytes]]-char
+    * consecutive windows (finer than m3's sampling grid — run detection
+    * needs EVERY frame, and the harness texts are 48–553 chars); a run
+    * must span ≥ [[M8MinRun]] consecutive duplicated frames. Every
+    * [[M8Every]]-th doc re-enters under a shifted id with the SAME first
+    * half and an UPPERCASED tail — the shared-intro/different-content
+    * shape (trailers, syndicated openings) that makes the gate
+    * non-vacuous on a corpus without organic cross-video frame overlap;
+    * both halves are exact string arithmetic DuckDB replays verbatim. */
+  private[graft] val M8FrameBytes = 32
+  private[graft] val M8MinRun = 2
+  private[graft] val M8IdShift = 30000000L
+  private[graft] val M8Every = 25
+  private[graft] def m8Augmented(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val half = (len / 2).cast("int")
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % M8Every === 0)
+        .select((col("doc_id") + M8IdShift).as("doc_id"),
+          concat(col("text").substr(lit(1), half),
+            upper(col("text").substr(half + 1, len))).as("text")))
+  }
+
+  /** m8 — duplicated FRAME-RUN detection across videos (d10's
+    * exact-substring shape lifted to the frame axis): find maximal runs
+    * of consecutive frames whose content recurs in another video — the
+    * shared-intro/outro/credits detection a video-dedup pipeline runs
+    * before paying per-frame decode or embedding cost for redundant
+    * segments. A frame is "duplicated" when its content hash appears in
+    * more than one distinct video (min≠max over ONE frame-key window —
+    * no pair materialization), and runs are gaps-and-islands over each
+    * video's duplicated frame indices.
+    *
+    * Scale shape: frames are hashed SCAN-side (md5 of the frame slice —
+    * the payload itself never shuffles; what crosses the wire is
+    * (doc_id, frame_idx, 16-byte key)); one frame-key window + one
+    * doc_id islands window = two bounded shuffles, every group bounded
+    * by either a frame key's occurrence count or one video's frame
+    * count. Output is runs, ∝ shared segments, not frames. */
+  def m8FrameRuns(s: SparkSession, dir: String): DataFrame = {
+    val docs = m8Augmented(Tables.documents(s, dir))
+    val len = length(col("text"))
+    val frames = docs
+      .select(col("doc_id"), col("text"),
+        ceil(len / lit(M8FrameBytes.toDouble)).cast("int").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+        col("text"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        md5(col("text")
+          .substr(col("frame_idx") * M8FrameBytes + 1, lit(M8FrameBytes))
+          .cast("binary")).as("fk"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wk = W.partitionBy(col("fk"))
+    val wDoc = W.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("dup",
+        min(col("doc_id")).over(wk) =!= max(col("doc_id")).over(wk))
+      .filter(col("dup"))
+      .withColumn("grp", col("frame_idx") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("run_start"),
+        max(col("frame_idx")).as("run_end"),
+        count(lit(1)).as("run_len"),
+        min(col("n_frames")).as("n_frames"))
+      .filter(col("run_len") >= M8MinRun)
+      .select(col("doc_id"), col("run_start"), col("run_end"),
+        col("run_len"), col("n_frames"))
+      .orderBy(col("doc_id"), col("run_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_audio_energy"     -> m7AudioEnergy _,
     "m1_multimodal_meta"  -> m1MultimodalMeta _,
@@ -438,6 +511,7 @@ object Multimodal {
     "m4_modality_join"    -> m4ModalityJoin _,
     "m5_resize_thumb"     -> m5ResizeThumb _,
     "m6_phash_neardup"    -> m6PhashNearDup _,
+    "m8_frame_runs"       -> m8FrameRuns _,
   )
 
   /** m2's byte-histogram output is impractical to express in SQL → rows-
@@ -445,6 +519,55 @@ object Multimodal {
     * oracle-checked (byte length, modality tag and md5 all have exact
     * DuckDB equivalents). */
   val oracleSql: Map[String, String] = Map(
+    // m8: the planted augmentation (exact halves arithmetic), per-frame
+    // md5 keys, min<>max dup flag over the frame-key partition,
+    // gaps-and-islands runs — replayed end to end
+    "m8_frame_runs" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $M8IdShift,
+         |         substr(text, 1, CAST(floor(length(text) / 2) AS INT))
+         |           || upper(substr(text,
+         |                CAST(floor(length(text) / 2) AS INT) + 1))
+         |  FROM documents WHERE doc_id % $M8Every = 0
+         |),
+         |p AS (
+         |  SELECT doc_id, text,
+         |         CAST(ceil(length(text) / $M8FrameBytes.0) AS INT)
+         |           AS n_frames
+         |  FROM aug
+         |),
+         |frames AS (
+         |  SELECT doc_id, n_frames,
+         |         unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+         |         text
+         |  FROM p
+         |),
+         |keyed AS (
+         |  SELECT doc_id, n_frames, frame_idx,
+         |         md5(substr(text, frame_idx * $M8FrameBytes + 1,
+         |                    $M8FrameBytes)) AS fk
+         |  FROM frames
+         |),
+         |flagged AS (
+         |  SELECT *,
+         |         min(doc_id) OVER (PARTITION BY fk)
+         |           <> max(doc_id) OVER (PARTITION BY fk) AS dup
+         |  FROM keyed
+         |),
+         |runs AS (
+         |  SELECT doc_id, n_frames, frame_idx,
+         |         frame_idx - row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY frame_idx) AS grp
+         |  FROM flagged WHERE dup
+         |)
+         |SELECT doc_id, min(frame_idx) AS run_start,
+         |       max(frame_idx) AS run_end,
+         |       count(*) AS run_len, min(n_frames) AS n_frames
+         |FROM runs GROUP BY doc_id, grp
+         |HAVING count(*) >= $M8MinRun
+         |ORDER BY doc_id, run_start""".stripMargin,
     // m7: the identical substr/ascii sample arithmetic over the same
     // lowercase-hex common ground, exact integer energy, one rounded
     // sqrt — a sample-decode bug, a sign error on values >= 0x8000, a
