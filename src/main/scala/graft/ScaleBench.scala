@@ -68,7 +68,7 @@ object ScaleBench {
     // cell is a correctness fixture with deliberately adversarial
     // blocking; the skew-corpus d13 run is the perf stress instead
     "d13_semantic_dedup", "p5_semantic_curation",
-    "st10_semantic_admitted", "m8_frame_runs")
+    "st10_semantic_admitted", "m8_frame_runs", "s9_lsh_assign")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)

@@ -270,21 +270,24 @@ object Similarity {
     * across tables (deduped), then exact-ranked. At scale the bucket id
     * is the shuffle/partition key, so each probe touches ~1/32 of each
     * table's partitions. */
+  /** Array of [[NumTables]] sign-LSH bucket ids; table t's id is
+    * prefixed into the key space so tables never collide: bucket =
+    * t * 2^bits + signBits. Sign tests use the raw DOT, not cosine:
+    * positive norms can't flip the sign, and cosine_sim would recompute
+    * |emb| (and the constant plane's norm) for every one of the 30
+    * planes — 3× the flops on the full-corpus bucketing scan for the
+    * identical bucket ids. This is also literally the oracle's formula
+    * (dot(emb, plane) > 0). Shared by s3 (neighbor search) and s9
+    * (assignment pre-filter). */
+  private def tableBuckets(emb: Column): Column = array((0 until NumTables).map { t =>
+    (0 until BitsPerTable).map { b =>
+      val plane = typedlit(planes(t * BitsPerTable + b))
+      when(dot_product(emb, plane) > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _) + lit(t * (1 << BitsPerTable))
+  }: _*)
+
   def s3AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    // array of NumTables bucket ids; table t's id is prefixed into the
-    // key space so tables never collide: bucket = t * 2^bits + signBits.
-    // Sign tests use the raw DOT, not cosine: positive norms can't flip
-    // the sign, and cosine_sim would recompute |emb| (and the constant
-    // plane's norm) for every one of the 30 planes — 3× the flops on the
-    // full-corpus bucketing scan for the identical bucket ids. This is
-    // also literally the oracle's formula (dot(emb, plane) > 0).
-    def tableBuckets(emb: Column): Column = array((0 until NumTables).map { t =>
-      (0 until BitsPerTable).map { b =>
-        val plane = typedlit(planes(t * BitsPerTable + b))
-        when(dot_product(emb, plane) > 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _) + lit(t * (1 << BitsPerTable))
-    }: _*)
     val bucketed = e
       .select(col("vec_id"), col("embedding"),
         explode(tableBuckets(col("embedding"))).as("bucket"))
@@ -303,6 +306,57 @@ object Similarity {
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= K)
     recallVsBrute(e, approx, Seq(lit(NumTables).as("probed_tables")))
+  }
+
+  /** s9 — LSH-assisted cell ASSIGNMENT: the hierarchical-IVF build path,
+    * i.e. the "ANN-assisted assignment" named as d13/s2's future
+    * linearization when the balanced sqrt codebook was landed. Instead
+    * of scoring every vector against every centroid (the N^1.5 term),
+    * the CODEBOOK is bucketed by the s3 sign-LSH tables and each vector
+    * scores only centroids sharing at least one bucket — assignment cost
+    * drops from N·C cosines to N·(expected bucket co-occupancy)
+    * ≈ N·C·L/2^bits, with the probe side never leaving its scan
+    * partition (the bucketed codebook is an O(C·L) broadcast). Reports
+    * per vector: the LSH-assigned cell, the exact cell, the candidate
+    * count, and the agreement flag — assignment recall is the honest
+    * quality metric, and a vector whose buckets hold no centroid
+    * reports cell −1 (the miss is visible, not papered over). The s2/
+    * d13 catalog entries deliberately stay on exact assignment (their
+    * oracles pin exact cells); s9 IS the measured migration path.
+    *
+    * Measured recall honesty (sign-LSH discriminates the argmax only
+    * when the argmax has margin): on the near-uniform synthetic corpus
+    * agreement is ~33–36% (sf0.01/sf1) at a 5.5× candidate cut —
+    * near-orthogonal vectors make every cell argmax fragile; on the
+    * CLUSTERED skew corpus (trained-embedding geometry) agreement
+    * doubles to ~64–67% at a ~3× cut, and misses drop 25→11 per 20k.
+    * For semantic dedup the failure mode is benign: a vector assigned
+    * to its runner-up cell still lands with its cluster-mates whenever
+    * the cluster dominates both cells' co-occupancy. */
+  def s9LshAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cent = centroids(e)
+    val cb = cent.select(col("c_id"), col("c_emb"),
+      explode(tableBuckets(col("c_emb"))).as("bucket"))
+    val vb = e.select(col("vec_id"), col("embedding"),
+      explode(tableBuckets(col("embedding"))).as("bucket"))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val approx = vb.join(broadcast(cb), Seq("bucket"))
+      .dropDuplicates("vec_id", "c_id") // co-bucket in several tables
+      .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy(col("vec_id"))))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell_lsh"), col("n_cand"))
+    cellAssigned(e).select(col("vec_id"), col("cell").as("cell_exact"))
+      .join(approx, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cell_lsh"), lit(-1L)).as("cell_lsh"),
+        col("cell_exact"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        (coalesce(col("cell_lsh"), lit(-1L)) === col("cell_exact")).as("agree"))
+      .orderBy(col("vec_id"))
   }
 
   // s4: product quantization — 4 subspaces × 16 dims, 16 sub-centroids
@@ -590,6 +644,7 @@ object Similarity {
     "s1_knn_brute" -> s1KnnBrute _,
     "s2_ann_ivf"   -> s2AnnIvf _,
     "s3_ann_lsh"   -> s3AnnLsh _,
+    "s9_lsh_assign" -> s9LshAssign _,
     "s4_ann_pq"    -> s4AnnPq _,
     "s5_ann_truncated" -> s5AnnTruncated _,
     "s6_filtered_knn" -> s6FilteredKnn _,
@@ -754,6 +809,60 @@ object Similarity {
        |  ) WHERE rank <= $K
        |)
        |${recallSql(s"CAST($NumTables AS INTEGER) AS probed_tables")}""".stripMargin
+  }
+
+  private def s9OracleSql: String = {
+    val cb = (0 until NumTables).map { t =>
+      s"SELECT c_id, ${bucketsSql("c_emb", t)} AS bucket FROM cent"
+    }.mkString("\nUNION ALL\n")
+    val vb = (0 until NumTables).map { t =>
+      s"SELECT vec_id, ${bucketsSql("embedding", t)} AS bucket FROM en"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $commonCtes,
+       |$centOracleCte,
+       |cb AS (
+       |$cb
+       |),
+       |vb AS (
+       |$vb
+       |),
+       |cand AS (
+       |  SELECT DISTINCT vb.vec_id, cb.c_id
+       |  FROM vb JOIN cb USING (bucket)
+       |),
+       |scored AS (
+       |  SELECT c.vec_id, c.c_id,
+       |         ${cosSql("en.embedding", "en.nrm", "cent.c_emb", "cent.c_nrm")}
+       |           AS c_cos
+       |  FROM cand c
+       |  JOIN en ON en.vec_id = c.vec_id
+       |  JOIN cent ON cent.c_id = c.c_id
+       |),
+       |pick AS (
+       |  SELECT vec_id, c_id, n_cand FROM (
+       |    SELECT vec_id, c_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY c_cos DESC, c_id ASC) AS rn,
+       |           count(*) OVER (PARTITION BY vec_id) AS n_cand
+       |    FROM scored
+       |  ) WHERE rn = 1
+       |),
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT en.vec_id, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY en.vec_id
+       |             ORDER BY ${cosSql("en.embedding", "en.nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |                      c.c_id ASC) AS rn
+       |    FROM en CROSS JOIN cent c
+       |  ) WHERE rn = 1
+       |)
+       |SELECT c.vec_id,
+       |       coalesce(p.c_id, -1) AS cell_lsh,
+       |       c.cell AS cell_exact,
+       |       coalesce(p.n_cand, 0) AS n_cand,
+       |       coalesce(p.c_id, -1) = c.cell AS agree
+       |FROM cells c LEFT JOIN pick p USING (vec_id)
+       |ORDER BY c.vec_id""".stripMargin
   }
 
   /** DuckDB dot product over one PQ subspace's index range — same
@@ -954,6 +1063,7 @@ object Similarity {
          |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
     "s2_ann_ivf" -> s2OracleSql,
     "s3_ann_lsh" -> s3OracleSql,
+    "s9_lsh_assign" -> s9OracleSql,
     "s4_ann_pq"  -> s4OracleSql,
     "s5_ann_truncated" -> s5OracleSql,
     "s7_ann_ivfpq" -> s7OracleSql,
