@@ -228,6 +228,24 @@ class PlanSpec extends SparkSpec {
       s"text or token array crossed an exchange in:\n$p")
   }
 
+  test("m8: frame keys shuffle, the video payload never does; the argmin " +
+       "d13 runs map-side") {
+    val p = plan(graft.queries.Multimodal.m8FrameRuns(spark, sfDir))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"payload text crossed an exchange in:\n$p")
+  }
+
+  test("d13: the keeper argmin is a partial-aggregable HashAggregate, " +
+       "not a window over the qualifying pair mass") {
+    val p = plan(Dedup.d13SemanticDedup(spark, sfDir))
+    assert(p.contains("min_by"), s"expected min_by argmin in:\n$p")
+    // the only Window nodes belong to the cell ASSIGNMENT (argmax over
+    // C centroid candidates per vector); the pair stage must not add one
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"unexpected extra Window ($windows) in:\n$p")
+  }
+
   test("e12: one user_id lag shuffle; the n_prev window and both rollups " +
        "run over the aggregated pair matrix without a new corpus exchange") {
     val p = plan(EventQueries.e12JourneyEntropy(spark, sfDir))

@@ -11,7 +11,7 @@ import graft.queries.RelationalQueries
   * (text formats erase types, the reader contract restores them). */
 class SinkRoundTripSpec extends SparkSpec {
 
-  test("q1 result round-trips through parquet, csv and json sinks") {
+  test("q1 result round-trips through parquet, csv, json and orc sinks") {
     val dir = Files.createTempDirectory("graft-sinks")
     try {
       val q1 = RelationalQueries.q1ArgmaxPerYear(spark, sfDir)
@@ -23,6 +23,7 @@ class SinkRoundTripSpec extends SparkSpec {
       q1.coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(s"$dir/c")
       q1.coalesce(1).write.mode("overwrite").json(s"$dir/j")
+      q1.coalesce(1).write.mode("overwrite").orc(s"$dir/o")
 
       val fromParquet = spark.read.parquet(s"$dir/p")
         .orderBy(col("o_year")).collect().toSeq
@@ -31,10 +32,13 @@ class SinkRoundTripSpec extends SparkSpec {
         .orderBy(col("o_year")).collect().toSeq
       val fromJson = spark.read.schema(schema).json(s"$dir/j")
         .orderBy(col("o_year")).collect().toSeq
+      val fromOrc = spark.read.orc(s"$dir/o")
+        .orderBy(col("o_year")).collect().toSeq
 
       assert(fromParquet == expected)
       assert(fromCsv == expected)
       assert(fromJson == expected)
+      assert(fromOrc == expected)
     } finally {
       import scala.jdk.CollectionConverters._
       Files.walk(dir).iterator().asScala.toSeq.reverse
