@@ -68,7 +68,8 @@ object ScaleBench {
     // cell is a correctness fixture with deliberately adversarial
     // blocking; the skew-corpus d13 run is the perf stress instead
     "d13_semantic_dedup", "p5_semantic_curation",
-    "st10_semantic_admitted", "m8_frame_runs", "s9_lsh_assign")
+    "st10_semantic_admitted", "m8_frame_runs", "s9_lsh_assign",
+    "e13_hourly_anomaly")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)

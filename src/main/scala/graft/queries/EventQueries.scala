@@ -387,6 +387,39 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** e13 — hourly traffic-anomaly (spike) screen: per event type, flag
+    * hours whose event count exceeds 2× the trailing-24-bucket mean —
+    * the on-call dashboard rule that catches a bot burst or a
+    * double-firing client before either pollutes the engagement stream
+    * (the batch complement of e12's per-user entropy screen). The mean
+    * is never divided out: `n · 24 > 2 · Σ(trailing 24)` is the same
+    * predicate cross-multiplied, so every compared value is an exact
+    * integer in both engines — no float crosses a row. Buckets are the
+    * type's EXISTING hourly rows (sparse hours collapse, identically in
+    * the replay's row frame), and the flag only fires on a full
+    * 24-bucket trailing frame (`prev_n = 24`) so early hours cannot
+    * alias as spikes.
+    *
+    * Scale shape: one hour-floored (epoch-hour, type) aggregation with
+    * map-side combine collapses the corpus; the trailing window runs
+    * over the aggregated ≤ hours×types table — corpus-size-independent,
+    * the e11/e12 design grammar. */
+  def e13HourlyAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val wTrail = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rowsBetween(-24, -1)
+    events(s, dir)
+      .withColumn("hour_us", (col("ts_us") - pmod(col("ts_us"), lit(3600000000L))))
+      .groupBy(col("hour_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", count(lit(1)).over(wTrail))
+      .withColumn("prev_sum", coalesce(sum(col("n")).over(wTrail), lit(0L)))
+      .withColumn("spike",
+        col("prev_n") === 24 && col("n") * 24 > col("prev_sum") * 2)
+      .select(col("event_type"), col("hour_us"), col("n"),
+        col("prev_n"), col("prev_sum"), col("spike"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_user_journey" -> e1UserJourney _,
     "e2_rolling_value" -> e2RollingValue _,
@@ -400,6 +433,7 @@ object EventQueries {
     "e10_rolling_active" -> e10RollingActive _,
     "e11_transition_matrix" -> e11TransitionMatrix _,
     "e12_journey_entropy" -> e12JourneyEntropy _,
+    "e13_hourly_anomaly" -> e13HourlyAnomaly _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -583,6 +617,26 @@ object EventQueries {
     // e12: the same lag window, then per-user quantized conditional
     // entropy on exact integer counts — length(bin(x))-1 is the shared
     // floor-log2, so no float log exists in either engine
+    // e13: hour-floored epoch-micros buckets, trailing 24-row frame per
+    // type over the aggregated table, cross-multiplied integer predicate
+    "e13_hourly_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |trailed AS (
+        |  SELECT event_type, hour_us, n,
+        |         count(*) OVER w AS prev_n,
+        |         coalesce(CAST(sum(n) OVER w AS BIGINT), 0) AS prev_sum
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, hour_us, n, prev_n, prev_sum,
+        |       prev_n = 24 AND n * 24 > prev_sum * 2 AS spike
+        |FROM trailed ORDER BY event_type, hour_us""".stripMargin,
     "e12_journey_entropy" ->
       """WITH p AS (
         |  SELECT user_id,
