@@ -311,21 +311,7 @@ object Pipeline {
     * marginal semantic stage, the d7/p2 convention. */
   def p5SemanticCuration(s: SparkSession, dir: String): DataFrame = {
     val staged = sharedStagedFlags(s, dir)
-    val surv = staged.filter(col("d_pass")).select(col("doc_id").as("vec_id"))
-    val scells = Dedup.boundedSubCells(
-      Similarity.sharedCells(s, dir).join(surv, "vec_id"))
-    val a = scells.select(col("cell"), col("sub"), col("vec_id").as("kept_by"),
-      col("embedding").as("emb_a"))
-    val b = scells.select(col("cell").as("b_cell"), col("sub").as("b_sub"),
-      col("vec_id"), col("embedding").as("emb_b"))
-    val drops = a.join(b,
-        col("cell") === col("b_cell") && col("sub") === col("b_sub")
-          && col("kept_by") < col("vec_id"))
-      .filter(round(graft.functions.VectorFunctions.cosine_sim(
-        col("emb_a"), col("emb_b")), 4) >= Dedup.D13Threshold)
-      .select(col("vec_id").as("doc_id")).distinct()
-      .withColumn("sd", lit(1))
-    staged.join(drops, Seq("doc_id"), "left")
+    staged.join(semanticDrops(s, dir, staged), Seq("doc_id"), "left")
       .withColumn("f_pass", col("d_pass") && col("sd").isNull)
       .agg(
         count(lit(1)).as("n0"), sum(col("tok")).as("t0"),
@@ -347,12 +333,112 @@ object Pipeline {
       .orderBy(col("stage"))
   }
 
+  /** The semantic-drop set among stage-d survivors — d13's rule over the
+    * shared s2 cell artifact with the bounded sub-cell split, as a
+    * (doc_id, sd=1) marker frame. Shared by p5 and p6. */
+  private def semanticDrops(s: SparkSession, dir: String,
+      staged: DataFrame): DataFrame = {
+    val surv = staged.filter(col("d_pass")).select(col("doc_id").as("vec_id"))
+    val scells = Dedup.boundedSubCells(
+      Similarity.sharedCells(s, dir).join(surv, "vec_id"))
+    val a = scells.select(col("cell"), col("sub"), col("vec_id").as("kept_by"),
+      col("embedding").as("emb_a"))
+    val b = scells.select(col("cell").as("b_cell"), col("sub").as("b_sub"),
+      col("vec_id"), col("embedding").as("emb_b"))
+    a.join(b,
+        col("cell") === col("b_cell") && col("sub") === col("b_sub")
+          && col("kept_by") < col("vec_id"))
+      .filter(round(graft.functions.VectorFunctions.cosine_sim(
+        col("emb_a"), col("emb_b")), 4) >= Dedup.D13Threshold)
+      .select(col("vec_id").as("doc_id")).distinct()
+      .withColumn("sd", lit(1))
+  }
+
+  /** p6 — the FULL pretraining-data pipeline as one query, the capstone
+    * composition: every curation family this library ships, chained in
+    * production order with exact token accounting at each stage:
+    *
+    *   a_ingest    every document
+    *   b_quality   t2 quality ≥ 0.5
+    *   c_langid    t3 supported language
+    *   d_dedup     d1 exact dedup among survivors
+    *   e_semantic  d13's SemDeDup rule among survivors (p5's stage)
+    *   f_excise    d11's duplicated-span excision applied to survivors —
+    *               the one stage that removes TOKENS without dropping
+    *               docs (tokens = Σ(tok − words_removed))
+    *   g_mixture   t15's per-source token-budget mixture realized over
+    *               the EXCISED token masses (the budget buys cleaned
+    *               tokens, not raw ones) — integer threshold arithmetic,
+    *               same 16-bit id-hash draw
+    *
+    * Everything upstream of the funnel aggregate is a pipeline-stage
+    * artifact or a shared expression tree: p1's staged flags, the s2
+    * cell index, d10/d11's span ladder (SharedStage), t15's weight CASE
+    * — p6 adds two broadcast joins, one 2-column corpus scan (source
+    * lookup), and the mixture plan over per-source aggregates. The
+    * whole chain is replayed end-to-end by the DuckDB oracle. */
+  def p6PretrainPipeline(s: SparkSession, dir: String): DataFrame = {
+    val staged = sharedStagedFlags(s, dir)
+    val exc = Dedup.d11Excisions(s, dir)
+      .select(col("doc_id"), col("words_removed"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val base = staged
+      .join(semanticDrops(s, dir, staged), Seq("doc_id"), "left")
+      .withColumn("f_pass", col("d_pass") && col("sd").isNull)
+      .join(exc, Seq("doc_id"), "left")
+      .withColumn("tok2", col("tok") - coalesce(col("words_removed"), lit(0L)))
+      .join(src, "doc_id")
+      .withColumn("u4",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
+    val avail = base.filter(col("f_pass")).groupBy(col("source"))
+      .agg(sum(col("tok2")).as("avail_tok"))
+    val total = avail.agg(sum(col("avail_tok")).as("total_tok"))
+    val plan = avail.crossJoin(broadcast(total))
+      .withColumn("target_tok",
+        floor(TextAnalysis.t15WeightExpr *
+          expr(s"total_tok div ${TextAnalysis.t15BudgetDen}").cast("double"))
+          .cast("long"))
+      .withColumn("th",
+        when(col("avail_tok") <= col("target_tok"), lit(65536L))
+          .otherwise(expr("(target_tok * 65536) div avail_tok")))
+      .withColumn("th_hex",
+        lpad(lower(hex(least(col("th"), lit(65535L)))), 4, "0"))
+      .select(col("source"), col("th"), col("th_hex"))
+    base.join(broadcast(plan), Seq("source"), "left")
+      .withColumn("g_pass", col("f_pass") &&
+        (col("th") === 65536L || col("u4") < col("th_hex")))
+      .agg(
+        count(lit(1)).as("n0"), sum(col("tok")).as("t0"),
+        sum(when(col("q_pass"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("q_pass"), col("tok")).otherwise(0L)).as("t1"),
+        sum(when(col("l_pass"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("l_pass"), col("tok")).otherwise(0L)).as("t2"),
+        sum(when(col("d_pass"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("d_pass"), col("tok")).otherwise(0L)).as("t3"),
+        sum(when(col("f_pass"), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("f_pass"), col("tok")).otherwise(0L)).as("t4"),
+        sum(when(col("f_pass"), col("tok2")).otherwise(0L)).as("t5"),
+        sum(when(col("g_pass"), 1L).otherwise(0L)).as("n6"),
+        sum(when(col("g_pass"), col("tok2")).otherwise(0L)).as("t6"))
+      .selectExpr(
+        """stack(7,
+          |  'a_ingest',   n0, t0,
+          |  'b_quality',  n1, t1,
+          |  'c_langid',   n2, t2,
+          |  'd_dedup',    n3, t3,
+          |  'e_semantic', n4, t4,
+          |  'f_excise',   n4, t5,
+          |  'g_mixture',  n6, t6) AS (stage, n_docs, n_tokens)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_curation_funnel" -> p1CurationFunnel _,
     "p2_funnel_neardup"  -> p2CurationFunnelNearDup _,
     "p3_curation_v2"     -> p3CurationV2 _,
     "p4_policy_savings"  -> p4PolicySavings _,
     "p5_semantic_curation" -> p5SemanticCuration _,
+    "p6_pretrain_pipeline" -> p6PretrainPipeline _,
   )
 
   /** The per-doc staged-flag CTE chain (d → f → g → h) shared by the p1
@@ -453,6 +539,92 @@ object Pipeline {
          |SELECT policy, docs_affected, tok_removed,
          |       (SELECT t_all FROM tot) - tok_removed AS tok_kept
          |FROM pol ORDER BY policy""".stripMargin,
+    // p6: the whole pipeline replayed — staged chain, cells + sub-split
+    // + survivor-restricted semantic drops, the d10/d11 span ladder's
+    // perdoc excisions, and t15's integer mixture plan over the excised
+    // token masses
+    "p6_pretrain_pipeline" -> {
+      val wCase = TextAnalysis.t15WeightSql
+      s"""WITH $funnelCtes,
+        |${Similarity.sharedOracleCtes},
+        |${Similarity.cellsOracleCtes},
+        |sc AS (
+        |  SELECT c.vec_id, c.embedding, c.nrm, c.cell
+        |  FROM cells c JOIN h ON h.doc_id = c.vec_id AND h.d_pass
+        |),
+        |${Similarity.boundedSubCtes("sc", "bsc")},
+        |sdrop AS (
+        |  SELECT DISTINCT b.vec_id AS doc_id
+        |  FROM bsc a JOIN bsc b
+        |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+        |  WHERE ${Similarity.cosineSql("a.embedding", "a.nrm",
+                     "b.embedding", "b.nrm")} >= ${Dedup.D13Threshold}
+        |),
+        |${Dedup.d10SpansSqlCtes},
+        |${Dedup.d11MergeSqlCtes},
+        |base AS (
+        |  SELECT h.*, doc.source,
+        |         h.d_pass AND sdrop.doc_id IS NULL AS f_pass,
+        |         h.tok - coalesce(p.words_removed, 0) AS tok2,
+        |         substr(md5(CAST(h.doc_id AS VARCHAR)), 1, 4) AS u4
+        |  FROM h
+        |  JOIN documents doc USING (doc_id)
+        |  LEFT JOIN sdrop USING (doc_id)
+        |  LEFT JOIN perdoc p USING (doc_id)
+        |),
+        |mavail AS (
+        |  SELECT source, CAST(sum(tok2) AS BIGINT) AS avail_tok
+        |  FROM base WHERE f_pass GROUP BY 1
+        |),
+        |mtot AS (
+        |  SELECT CAST(sum(avail_tok) AS BIGINT) AS total_tok FROM mavail
+        |),
+        |mplan AS (
+        |  SELECT source, avail_tok,
+        |         CAST(floor(($wCase)
+        |           * CAST(total_tok // ${TextAnalysis.t15BudgetDen} AS DOUBLE))
+        |           AS BIGINT) AS target_tok
+        |  FROM mavail, mtot
+        |),
+        |mplan2 AS (
+        |  SELECT *,
+        |         CASE WHEN avail_tok <= target_tok THEN 65536
+        |              ELSE (target_tok * 65536) // avail_tok END AS th
+        |  FROM mplan
+        |),
+        |mplan3 AS (
+        |  SELECT source, th,
+        |         lpad(lower(hex(least(th, 65535))), 4, '0') AS th_hex
+        |  FROM mplan2
+        |),
+        |scored AS (
+        |  SELECT b.*,
+        |         b.f_pass AND (m.th = 65536 OR b.u4 < m.th_hex) AS g_pass
+        |  FROM base b LEFT JOIN mplan3 m USING (source)
+        |)
+        |SELECT * FROM (
+        |  SELECT 'a_ingest' AS stage, count(*) AS n_docs,
+        |         CAST(sum(tok) AS BIGINT) AS n_tokens FROM scored
+        |  UNION ALL
+        |  SELECT 'b_quality', count(*) FILTER (q_pass),
+        |         CAST(coalesce(sum(tok) FILTER (q_pass), 0) AS BIGINT) FROM scored
+        |  UNION ALL
+        |  SELECT 'c_langid', count(*) FILTER (l_pass),
+        |         CAST(coalesce(sum(tok) FILTER (l_pass), 0) AS BIGINT) FROM scored
+        |  UNION ALL
+        |  SELECT 'd_dedup', count(*) FILTER (d_pass),
+        |         CAST(coalesce(sum(tok) FILTER (d_pass), 0) AS BIGINT) FROM scored
+        |  UNION ALL
+        |  SELECT 'e_semantic', count(*) FILTER (f_pass),
+        |         CAST(coalesce(sum(tok) FILTER (f_pass), 0) AS BIGINT) FROM scored
+        |  UNION ALL
+        |  SELECT 'f_excise', count(*) FILTER (f_pass),
+        |         CAST(coalesce(sum(tok2) FILTER (f_pass), 0) AS BIGINT) FROM scored
+        |  UNION ALL
+        |  SELECT 'g_mixture', count(*) FILTER (g_pass),
+        |         CAST(coalesce(sum(tok2) FILTER (g_pass), 0) AS BIGINT) FROM scored
+        |) ORDER BY stage""".stripMargin
+    },
     // p5: the staged-flag chain + the s2 cell CTEs (organic corpus),
     // survivor-restricted within-cell threshold pairs as the drop set,
     // then the 5-stage funnel — the whole pipeline replayed
