@@ -69,7 +69,8 @@ object ScaleBench {
     // blocking; the skew-corpus d13 run is the perf stress instead
     "d13_semantic_dedup", "p5_semantic_curation",
     "st10_semantic_admitted", "m8_frame_runs", "s9_lsh_assign",
-    "e13_hourly_anomaly", "p6_pretrain_pipeline")
+    "e13_hourly_anomaly", "p6_pretrain_pipeline",
+    "d14_soft_dedup_weights")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)
