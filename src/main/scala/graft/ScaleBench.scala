@@ -70,7 +70,7 @@ object ScaleBench {
     "d13_semantic_dedup", "p5_semantic_curation",
     "st10_semantic_admitted", "m8_frame_runs", "s9_lsh_assign",
     "e13_hourly_anomaly", "p6_pretrain_pipeline",
-    "d14_soft_dedup_weights")
+    "d14_soft_dedup_weights", "s10_probe_sweep")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)

@@ -264,6 +264,52 @@ object Similarity {
     recallVsBrute(e, approx, Seq(lit(ProbeCells).as("probed_cells")))
   }
 
+  /** s10 — the IVF probe-budget TUNING CURVE: recall@10 at EVERY probe
+    * count 1..[[ProbeCells]] in one query — the measurement that picks
+    * s2's operating point (each extra probed cell buys recall with a
+    * proportional scan cost; the answer is a curve, not a number).
+    * Candidates are materialized ONCE: each candidate explodes to every
+    * probe budget ≥ its cell's probe rank, so the sweep costs one
+    * explode over the single-probe candidate set, not ProbeCells
+    * re-searches. Output: (q_id, probed_cells, n_returned, recall@10)
+    * per query per budget. */
+  def s10ProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cent = centroids(e)
+    val cells = cellAssigned(e)
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val probes = querySet(e).join(broadcast(cent), lit(true))
+      .withColumn("c_cos", round(cosine_sim(col("q_emb"), col("c_emb")), 4))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= ProbeCells)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"), col("crank"))
+    val wTop = Window.partitionBy(col("q_id"), col("p"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val approx = broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosine_sim(col("q_emb"), col("embedding")), 4))
+      .withColumn("p", explode(sequence(col("crank"), lit(ProbeCells))))
+      .select(col("q_id"), col("p"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+    val brute = bruteTopK(e).select(col("q_id"), col("neighbor_id"))
+    val grid = querySet(e).select(col("q_id"))
+      .withColumn("p", explode(sequence(lit(1), lit(ProbeCells))))
+    val hits = approx.join(brute, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id"), col("p")).agg(count(lit(1)).as("hits"))
+    val returned = approx.groupBy(col("q_id"), col("p"))
+      .agg(count(lit(1)).as("n_returned"))
+    grid.join(returned, Seq("q_id", "p"), "left")
+      .join(hits, Seq("q_id", "p"), "left")
+      .select(col("q_id"), col("p").as("probed_cells"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4)
+          .as("recall_at_10"))
+      .orderBy(col("q_id"), col("probed_cells"))
+  }
+
   /** s3 — multi-table sign-random-projection LSH: each of the 6 tables
     * hashes a vector to a 5-bit bucket of hyperplane signs; a query
     * probes its exact bucket in every table and candidates are the union
@@ -645,6 +691,7 @@ object Similarity {
     "s2_ann_ivf"   -> s2AnnIvf _,
     "s3_ann_lsh"   -> s3AnnLsh _,
     "s9_lsh_assign" -> s9LshAssign _,
+    "s10_probe_sweep" -> s10ProbeSweep _,
     "s4_ann_pq"    -> s4AnnPq _,
     "s5_ann_truncated" -> s5AnnTruncated _,
     "s6_filtered_knn" -> s6FilteredKnn _,
@@ -810,6 +857,56 @@ object Similarity {
        |)
        |${recallSql(s"CAST($NumTables AS INTEGER) AS probed_tables")}""".stripMargin
   }
+
+  private def s10OracleSql: String =
+    s"""WITH $commonCtes,
+       |$cellsOracleCtes,
+       |pr AS (
+       |  SELECT q_id, q_emb, q_nrm, cell, crank FROM (
+       |    SELECT qn.q_id, qn.q_emb, qn.q_nrm, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY qn.q_id
+       |             ORDER BY ${cosSql("qn.q_emb", "qn.q_nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |                      c.c_id ASC) AS crank
+       |    FROM qn CROSS JOIN cent c
+       |  ) WHERE crank <= $ProbeCells
+       |),
+       |cand AS (
+       |  SELECT p.q_id, p.crank, a.vec_id,
+       |         ${cosSql("p.q_emb", "p.q_nrm", "a.embedding", "a.nrm")} AS cosine
+       |  FROM pr p JOIN cells a ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |),
+       |expanded AS (
+       |  SELECT q_id, vec_id, cosine,
+       |         unnest(generate_series(crank, $ProbeCells)) AS p
+       |  FROM cand
+       |),
+       |approx AS (
+       |  SELECT q_id, p, vec_id AS neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id, p
+       |             ORDER BY cosine DESC, vec_id ASC) AS rnk
+       |    FROM expanded
+       |  ) WHERE rnk <= $K
+       |),
+       |grid AS (
+       |  SELECT q_id, unnest(generate_series(1, $ProbeCells)) AS p FROM qn
+       |),
+       |ret AS (
+       |  SELECT q_id, p, count(*) AS n_returned FROM approx GROUP BY 1, 2
+       |),
+       |hit AS (
+       |  SELECT a.q_id, a.p, count(*) AS hits
+       |  FROM approx a JOIN brute b
+       |    ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT g.q_id, g.p AS probed_cells,
+       |       coalesce(r.n_returned, 0) AS n_returned,
+       |       round(CAST(coalesce(h.hits, 0) AS DOUBLE) / $K, 4)
+       |         AS recall_at_10
+       |FROM grid g
+       |LEFT JOIN ret r ON r.q_id = g.q_id AND r.p = g.p
+       |LEFT JOIN hit h ON h.q_id = g.q_id AND h.p = g.p
+       |ORDER BY g.q_id, g.p""".stripMargin
 
   private def s9OracleSql: String = {
     val cb = (0 until NumTables).map { t =>
@@ -1064,6 +1161,7 @@ object Similarity {
     "s2_ann_ivf" -> s2OracleSql,
     "s3_ann_lsh" -> s3OracleSql,
     "s9_lsh_assign" -> s9OracleSql,
+    "s10_probe_sweep" -> s10OracleSql,
     "s4_ann_pq"  -> s4OracleSql,
     "s5_ann_truncated" -> s5OracleSql,
     "s7_ann_ivfpq" -> s7OracleSql,
