@@ -107,28 +107,48 @@ object RelationalQueries {
     * extension at RDataFramesSQL.Rmd:411 — rewritten as a post-join filter,
     * SURVEY.md §2.2), sort on the derived column. */
   def q4DerivedDiffFilter(s: SparkSession, dir: String): DataFrame = {
-    // ONE lineitem scan (was two + a third join in r12): the grouped max
-    // becomes a partition-window max attached to every line, then the
-    // l_linenumber=1 filter selects the "first line" rows. The window
-    // formulation — not `max(when(l_linenumber===1, …))` in a grouped agg —
-    // is required for oracle parity: the harness data has orders with
-    // SEVERAL line-1 rows (1,693 at sf0.01), and both the oracle SQL and
-    // the former two-scan shape fan out one output row per line-1 row.
-    // A grouped conditional max would collapse that multiplicity.
-    // The orders join itself is ELIMINATED (referential-integrity join
-    // elimination, the classic RI rewrite): orders.o_orderkey is the PK and
-    // every lineitem.l_orderkey references an existing order (verified 0
-    // dangling keys at all three SFs), so the inner join to
-    // orders.select(o_orderkey) neither filters nor duplicates — the oracle
-    // SQL keeps the join, and the hash gate would catch the data ever
-    // breaking that FK. One scan + one exchange where r12 had two scans,
-    // an agg exchange, and two joins.
+    // SHAPE (r14, settles VERDICT r13 #1): grouped max + shuffled-hash
+    // join back on l_orderkey — deliberately SORT-FREE end to end (hash
+    // aggregate, hash join). The r13 one-scan window formulation
+    // (`max(...) over (partition by l_orderkey)`) needs an exchange plus a
+    // full per-partition sort of lineitem, and that sort is the one
+    // memory-sensitive cost in the plan: the driver's r13 capture read it
+    // at 1.502 s (min-of-5, i.e. persistent) in a JVM carrying the whole
+    // catalog's heap state, while fresh-JVM captures read 0.53-0.70 s.
+    // Interleaved A/B in one warm JVM, primed with the catalog's heavy
+    // pipelines (graft.AbQ4): window 0.611/0.647/0.812 min/med/max vs
+    // this shape 0.561/0.606/0.753 — tied-to-better, and with no sort
+    // there is no spill cliff for a loaded JVM to fall off.
+    //
+    // The join, not a grouped conditional max, is required for oracle
+    // parity: the harness data has orders with SEVERAL line-1 rows (1,693
+    // at sf0.01) and the oracle SQL fans out one output row per line-1
+    // row; a `max(when(l_linenumber===1, …))` agg would collapse that
+    // multiplicity.
+    //
+    // The orders join is ELIMINATED (referential-integrity rewrite):
+    // orders.o_orderkey is the PK and every lineitem.l_orderkey references
+    // an existing order (Q4ForeignKeySpec asserts 0 dangling keys; the
+    // hash gate would also catch a break), so the inner join to
+    // orders.select(o_orderkey) neither filters nor duplicates — the
+    // oracle SQL keeps the join.
+    //
+    // 100 TB notes: the aggregate partial-combines map-side, so the first
+    // exchange carries one (orderkey, max) row per map-side distinct key;
+    // the second exchange carries only the line-1 subset (~1/4 of rows).
+    // The SHUFFLE_HASH hint builds the hash map on the 16-byte-row
+    // aggregate side, whose per-partition size is |orders|/shufflePartitions
+    // — bounded and tiny relative to the SMJ alternative's full sort of
+    // both sides (preferSortMergeJoin exists for unbounded build sides;
+    // this build side is provably one narrow row per order).
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
-    li.withColumn("max_price", max(col("l_extendedprice")).over(w))
-      .filter(col("l_linenumber") === 1)
-      .withColumn("first_price", col("l_extendedprice"))
+    val mx = li.groupBy(col("l_orderkey"))
+      .agg(max(col("l_extendedprice")).as("max_price"))
+      .hint("shuffle_hash")
+    li.filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_extendedprice").as("first_price"))
+      .join(mx, Seq("l_orderkey"))
       .withColumn("price_gap", col("max_price") - col("first_price"))
       .filter(col("price_gap") > 50000)
       .select(

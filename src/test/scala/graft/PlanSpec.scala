@@ -17,6 +17,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(o_orderstatus,F)"), s"missing pushdown in:\n$p")
   }
 
+  test("q4: the plan is sort-free — hash aggregate + shuffled hash join, " +
+       "no WindowExec and no SMJ/window sort of lineitem (the r14 shape; " +
+       "the sort was the driver-context 1.5 s cliff, VERDICT r13 #1)") {
+    val p = plan(RelationalQueries.q4DerivedDiffFilter(spark, sfDir))
+    assert(p.contains("ShuffledHashJoin"),
+      s"q4 lost its shuffled-hash-join shape in:\n$p")
+    assert(!p.contains("Window"), s"WindowExec crept back into q4:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q4 join degraded to SMJ:\n$p")
+    // the only Sort allowed is the final ORDER BY on the filtered output
+    val sorts = p.linesIterator.count(_.trim.matches(".*\\bSort \\[.*"))
+    assert(sorts <= 1, s"expected at most the output ORDER BY sort, got $sorts in:\n$p")
+  }
+
   test("e2: user filter is pushed into the events parquet scan") {
     val p = plan(EventQueries.e2RollingValue(spark, sfDir))
     assert(p.contains("LessThan(user_id,5)"), s"missing pushdown in:\n$p")
