@@ -125,7 +125,11 @@ object ScaleGen {
       concat(lit("{\"k\": "), pmod(h(eId, lit("k")), lit(100)), lit("}")).as("props"))
     events.write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    // ---- embeddings: 20k rows/SF, 64-dim float in [-1, 1], 10 labels.
+    // ---- embeddings: 20k rows/SF, 64-dim float, 10 labels. Uniform dims
+    // land in [-1, 1]; skew-mode CLUSTER dims can reach ±1.2 (base in
+    // [-1,1] plus ±0.2 jitter — ADVICE r13) which no consumer assumes
+    // away: every downstream operator normalizes by magnitude (cosine) or
+    // compares raw dots, never clamps to a fixed range.
     // skew mode: vectors with h(id,"c")%2==0 sit in ONE tight cluster
     // (shared base + ±0.2/dim jitter, cosines ≈0.95 — wide enough that
     // rounded-4dp assignment cosines do not tie; see scaladoc) — the

@@ -28,10 +28,8 @@ import graft.sources.Tables
   */
 object EventQueries {
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.events(s, dir)
-    raw.withColumn("ts_us", Tables.eventsTsUs(raw))
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsWithTsUs(s, dir)
 
   private val byUserTime = Window.partitionBy(col("user_id"))
     .orderBy(col("ts_us").asc, col("event_id").asc)

@@ -109,10 +109,8 @@ object StreamingCatalog {
   /** The events table in the module's (ts_us, …) shape — the same
     * nanos→micros contract as [[EventQueries]] (integral `div 1000`;
     * DuckDB's `epoch_us` truncates identically). */
-  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.events(s, dir)
-    raw.withColumn("ts_us", Tables.eventsTsUs(raw))
-  }
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsWithTsUs(s, dir)
 
   /** st4 — the watermarked tumbling aggregation's batch half: hour
     * windows over event time, counts + exact-cents value totals. The

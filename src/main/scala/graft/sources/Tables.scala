@@ -53,23 +53,37 @@ object Tables {
     * Deriving per-schema HERE keeps every downstream operator on the one
     * repo-wide integer-micros contract (see graft.queries.EventQueries). */
   def eventsTsUs(df: DataFrame): Column = {
-    // The NTZ→TZ cast below is exact ONLY under a UTC session timezone; an
-    // entry point that forgot the builder's pin would silently shift every
-    // derived micro. Fail loudly instead (ADVICE r12). Columns are anchored
-    // to `df` so applying the helper after a join with another ts column
-    // resolves against the intended relation.
-    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-    require(tz == "UTC",
-      s"eventsTsUs requires spark.sql.session.timeZone=UTC (got '$tz'); " +
-        "the NTZ cast and the DuckDB oracle's epoch_us agree only under UTC")
+    // Columns are anchored to `df` so applying the helper after a join
+    // with another ts column resolves against the intended relation.
     df.schema("ts").dataType match {
       case LongType        => call_function("div", df("ts"), lit(1000L))
-      case TimestampNTZType => unix_micros(df("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // The NTZ→TZ cast is exact ONLY under a UTC session timezone; an
+        // entry point that forgot the builder's pin would silently shift
+        // every derived micro. Fail loudly instead (ADVICE r12) — but only
+        // on THIS branch: the Long and TimestampType paths are
+        // timezone-independent and must keep working in non-UTC sessions
+        // (ADVICE r13).
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"eventsTsUs requires spark.sql.session.timeZone=UTC (got '$tz') " +
+            "for TIMESTAMP_NTZ events; the NTZ cast and the DuckDB " +
+            "oracle's epoch_us agree only under UTC")
+        unix_micros(df("ts").cast(TimestampType))
       case TimestampType   => unix_micros(df("ts"))
       case other => sys.error(
         s"events.ts has unsupported type ${other.sql}; expected raw long " +
           "nanos, timestamp_ntz or timestamp")
     }
+  }
+
+  /** The one seam every batch events consumer reads through: the raw
+    * table plus the repo-wide `ts_us` integer-micros column, so a harness
+    * schema flip (nanos→micros was r12's surprise) breaks this function,
+    * not every events query (VERDICT r13 #8). */
+  def eventsWithTsUs(s: SparkSession, dir: String): DataFrame = {
+    val raw = events(s, dir)
+    raw.withColumn("ts_us", eventsTsUs(raw))
   }
   def documents(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")

@@ -764,10 +764,13 @@ object StreamingOps {
             }
             val out = Seq.newBuilder[SemDrop]
             best.foreach { case ((t, id), emb) =>
-              stored.collectFirst {
-                case (_, kid, e) if roundedCos(e, emb) >= threshold =>
-                  out += SemDrop(id, cell, kid, roundedCos(e, emb))
-              }
+              // one cosine per stored candidate (ADVICE r13: a guard +
+              // body collectFirst evaluated it twice per match, doubling
+              // the dominant per-arrival cost in dup-dense cells)
+              stored.iterator
+                .map { case (_, kid, e) => (kid, roundedCos(e, emb)) }
+                .find(_._2 >= threshold)
+                .foreach { case (kid, cos) => out += SemDrop(id, cell, kid, cos) }
               stored = stored :+ ((t, id, emb))
             }
             state.update(stored)
