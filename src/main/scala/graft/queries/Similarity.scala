@@ -199,7 +199,7 @@ object Similarity {
     * tie-break, so the DuckDB oracle reproduces every assignment
     * bit-for-bit). Shared by s2/s7's IVF probe path and
     * [[Dedup.d13SemanticDedup]]'s cluster blocking. */
-  private[queries] def cellAssigned(e: DataFrame): DataFrame =
+  private[graft] def cellAssigned(e: DataFrame): DataFrame =
     cellAssignedAgainst(centroids(e), e)
 
   /** [[cellAssigned]] against an explicit centroid table (d13b assigns an
@@ -379,6 +379,47 @@ object Similarity {
     * For semantic dedup the failure mode is benign: a vector assigned
     * to its runner-up cell still lands with its cluster-mates whenever
     * the cluster dominates both cells' co-occupancy. */
+  /** s9's LSH-assisted assignment as a PRODUCTION path (r14, VERDICT r13
+    * #3): every vector scores only the centroids sharing at least one
+    * sign-LSH bucket — the engine's one superlinear term (N·C = N^1.5
+    * brute-force assignment under the balanced sqrt codebook) drops to
+    * N · (bucket co-occupancy) ≈ N·C·L/2^bits. Differences from s9 (the
+    * measurement query): no dropDuplicates — same-(vector, centroid)
+    * collisions across tables carry IDENTICAL (c_cos, c_id) sort keys,
+    * so the argmax is unchanged and the dedup exchange is pure cost; the
+    * argmax itself is a map-side-combinable max_by (struct lexicographic:
+    * max rounded cosine, then LOWEST c_id via the negated id — exactly
+    * [[cellAssignedAgainst]]'s row_number order), not a window, so the
+    * candidate mass partial-aggregates to one row per vector before the
+    * one exchange. A vector whose buckets hold no centroid falls back to
+    * a SENTINEL singleton cell (-vec_id - 1, disjoint from real c_ids):
+    * it simply isn't deduped — visible in the output as a never-dropped
+    * vector, never silently misclustered. Consumed by
+    * [[Dedup.d13SemanticDedup]] under the `graft.d13.assignVia=lsh`
+    * seam; recall cost is s9's measured agreement (~67% clustered /
+    * ~36% unclustered) and the honest delta is documented in SCALING.md. */
+  private[graft] def lshCellAssignedAgainst(cent: DataFrame,
+      e: DataFrame): DataFrame = {
+    val cb = cent.select(col("c_id"), col("c_emb"),
+      explode(tableBuckets(col("c_emb"))).as("bucket"))
+    val assigned = e
+      .select(col("vec_id"), col("embedding"),
+        explode(tableBuckets(col("embedding"))).as("bucket"))
+      .join(broadcast(cb), Seq("bucket"))
+      .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("nid")))
+        .as("cell"))
+    e.join(assigned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("cell"), -col("vec_id") - 1).as("cell"))
+  }
+
+  /** [[lshCellAssignedAgainst]] with self-seeded centroids — the drop-in
+    * alternative to [[cellAssigned]]. */
+  private[graft] def lshCellAssigned(e: DataFrame): DataFrame =
+    lshCellAssignedAgainst(centroids(e), e)
+
   def s9LshAssign(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
     val cent = centroids(e)

@@ -140,8 +140,14 @@ object TextAnalysis {
     * hashed in one O(n) pass, then winnowing keeps the minimum hash of
     * each 4-hash window — the classic local fingerprinting scheme whose
     * guarantee is that any sufficiently long shared substring yields at
-    * least one shared fingerprint. Engine-specific hash values → no
-    * DuckDB oracle (rows-only gate); semantics pinned by TextAnalysisSpec.
+    * least one shared fingerprint. Full DuckDB oracle since r14: the
+    * rolling recurrence mod P is exactly the direct polynomial hash
+    * Σ byte·B^j mod P (modular arithmetic is exact), and with B=131,
+    * k=8 every window's un-reduced polynomial sum < 1.8e17 fits BIGINT —
+    * so the oracle hex-decodes the UTF-8 bytes and replays each window
+    * directly, no rolling state needed. The O(n·w) slice-min replay of
+    * [[graft.functions.SlidingMin]] is fine at oracle scale. Semantics
+    * additionally pinned by TextAnalysisSpec.
     */
   def t5WinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextHashFunctions.{rolling_hash, sliding_min}
@@ -1028,6 +1034,43 @@ object TextAnalysis {
         |       count(DISTINCT md5(text)) AS distinct_fp,
         |       min(md5(text)) AS min_fp
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t5_winnow_fingerprint" -> {
+      // Direct polynomial replay of RollingHash (B=131, P=2^31-1, k=8):
+      // window hash = (Σ_{j=0..7} byte_{i+j} · 131^(7-j)) mod P, identical
+      // to the kernel's rolling recurrence; max un-reduced sum ≈ 1.8e17
+      // fits BIGINT. Bytes come from hex(encode(text)) so the replay is
+      // byte-exact for any UTF-8 input, not just ASCII.
+      val poly = (0 to 7)
+        .map(j => s"bs[i+$j]*${BigInt(131).pow(7 - j)}")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents
+         |), byt AS (
+         |  SELECT doc_id, n,
+         |    list_transform(generate_series(1, n),
+         |      i -> (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1))-1)*16
+         |         + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1))-1)) AS bs
+         |  FROM b
+         |), hs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n >= 8 THEN
+         |      list_transform(generate_series(1, n-7), i -> ($poly) % 2147483647)
+         |    ELSE CAST([] AS BIGINT[]) END AS hs
+         |  FROM byt
+         |), fp AS (
+         |  SELECT doc_id, len(hs) AS n_windows,
+         |    CASE WHEN len(hs) >= 4 THEN
+         |      list_distinct(list_transform(generate_series(1, len(hs)-3),
+         |        i -> list_min(hs[i:i+3])))
+         |    ELSE list_distinct(hs) END AS fps
+         |  FROM hs
+         |)
+         |SELECT doc_id, n_windows, len(fps) AS n_fingerprints,
+         |       list_min(fps) AS min_fp
+         |FROM fp ORDER BY doc_id""".stripMargin
+    },
     "t5_winnow_invariants" ->
       """SELECT doc_id,
         |       greatest(strlen(text) - 7, 0) AS n_windows,

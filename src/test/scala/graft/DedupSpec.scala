@@ -621,4 +621,37 @@ class DedupSpec extends SparkSpec {
     assert(organicDrops.toSeq == d13.toSeq,
       "augmentation perturbed the organic drop set")
   }
+
+  test("r14 d13 assignVia seam: default is exact (property unset), the " +
+       "lsh path keeps the drop-rule invariants, and no sentinel cell " +
+       "ever produces a pair") {
+    val sfDir = "/root/testdata/sf0.01"
+    assert(sys.props.get("graft.d13.assignVia").isEmpty)
+    assert(Dedup.D13AssignVia == "exact")
+    val exact = Dedup.d13SemanticDedup(spark, sfDir)
+    val exactRows = exact.collect()
+    System.setProperty("graft.d13.assignVia", "lsh")
+    try {
+      val lsh = Dedup.d13SemanticDedup(spark, sfDir)
+      assert(lsh.schema == exact.schema, "seam changed the output schema")
+      val rows = lsh.collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cell"), r.getAs[Long]("kept_by"),
+        r.getAs[Double]("cosine")))
+      // the drop rule survives the assignment swap: keeper strictly
+      // lower-id, cosine over threshold, and only REAL cells pair up
+      // (a sentinel cell -vec_id-1 is a singleton by construction)
+      assert(rows.forall { case (vid, _, kb, _) => kb < vid })
+      assert(rows.forall(_._4 >= Dedup.D13Threshold))
+      assert(rows.forall(_._2 >= 0L), "a sentinel cell produced a pair")
+      // honest-recall bookkeeping, not a tight pin: on the NEAR-UNIFORM
+      // synthetic corpus s9 agreement is ~33-36%, so the lsh drop set
+      // may legitimately diverge from exact; the overlap is reported,
+      // and the clustered-corpus delta is measured in SCALING.md
+      val exactBy = exactRows.map(r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Long]("kept_by")).toMap
+      val common = rows.filter(r => exactBy.contains(r._1))
+      info(s"lsh drops: ${rows.length}, exact drops: ${exactRows.length}, " +
+        s"common vec_ids: ${common.length}")
+    } finally System.clearProperty("graft.d13.assignVia")
+  }
 }

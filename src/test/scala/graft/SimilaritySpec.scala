@@ -137,4 +137,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (0L, 5L, 1.0), (0L, 7L, 0.7071), (1L, 7L, 0.7071)))
   }
+
+  test("r14 production lsh assignment: the max_by formulation agrees " +
+       "with s9's window formulation vector-for-vector, and misses " +
+       "become disjoint negative sentinel singletons") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val prod = Similarity.lshCellAssigned(e).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val s9 = Similarity.s9LshAssign(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell_lsh")).toMap
+    assert(prod.keySet == s9.keySet, "vector coverage differs")
+    prod.foreach { case (vid, cell) =>
+      val ref = s9(vid)
+      if (ref == -1L)
+        assert(cell == -vid - 1,
+          s"vec $vid: s9 miss should map to sentinel ${-vid - 1}, got $cell")
+      else assert(cell == ref, s"vec $vid: prod cell $cell != s9 cell $ref")
+    }
+    // sentinel cells are singletons by construction: each equals
+    // -vec_id-1, so two vectors can never share one
+    val sentinels = prod.collect { case (vid, c) if c < 0 => (vid, c) }
+    assert(sentinels.forall { case (vid, c) => c == -vid - 1 })
+  }
 }
