@@ -226,11 +226,25 @@ object Similarity {
     * marginal cost. s2 itself deliberately reads the cold path — upstream
     * index construction stays measured at full cost, the d6/d7
     * convention; first use computes, so consumers stay self-contained
-    * under Verify. */
-  private[queries] def sharedCells(s: SparkSession, dir: String): DataFrame =
-    graft.SharedStage.getOrCompute(s, dir, "s2_cells") {
-      cellAssigned(embeddings(s, dir))
+    * under Verify.
+    *
+    * Honors the `graft.d13.assignVia` seam (r14): the artifact feeds the
+    * SEMANTIC-DEDUP consumers (p5/p6 run d13's drop rule over it), so
+    * under `lsh` the index itself is built through
+    * [[lshCellAssignedAgainst]] — the assignment N·C term linearizes for
+    * the whole pipeline, not just the standalone d13 entry. The memo key
+    * carries the mode so a mid-session toggle can never serve a stale
+    * path's artifact. s2/s7's PROBE path stays on [[cellAssigned]]
+    * unconditionally: probe pruning needs geometric cells, and its
+    * oracles pin them. */
+  private[queries] def sharedCells(s: SparkSession, dir: String): DataFrame = {
+    val via = Dedup.D13AssignVia
+    graft.SharedStage.getOrCompute(s, dir,
+        if (via == "lsh") "s2_cells_lsh" else "s2_cells") {
+      val e = embeddings(s, dir)
+      if (via == "lsh") lshCellAssigned(e) else cellAssigned(e)
     }
+  }
 
   /** s2 — IVF: [[NumCentroids]] deterministic sampled centroid seeds
     * (smallest id-mix values — an O(N) TakeOrdered scan, fixed-size
