@@ -275,6 +275,26 @@ class PlanSpec extends SparkSpec {
       s"unused event columns crossed an exchange in:\n$p")
   }
 
+  test("r14 lsh cell assignment: the bucketed codebook is BROADCAST, the " +
+       "argmax is a partial-aggregable HashAggregate (max_by), and no " +
+       "WindowExec ships the candidate mass through a sort") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val p = plan(Similarity.lshCellAssigned(e))
+    assert(p.contains("BroadcastExchange"),
+      s"codebook bucket table not broadcast in:\n$p")
+    assert(!p.contains("Window"),
+      s"a window crept into the lsh assignment (the s9 measurement shape, " +
+        s"not the production shape):\n$p")
+    assert(p.contains("max_by") || p.contains("HashAggregate"),
+      s"argmax is not a hash aggregate in:\n$p")
+    // the candidate mass must partial-aggregate BEFORE its exchange:
+    // a partial_max_by marker below the shuffle is the map-side combine
+    assert(p.contains("partial_max_by"),
+      s"no map-side partial max_by combine in:\n$p")
+  }
+
   test("whole-stage codegen covers the scan->project hot path of t2") {
     // AQE's plan string hides codegen annotation until execution; disable
     // it for this one plan so the `*(n)` codegen markers are visible
