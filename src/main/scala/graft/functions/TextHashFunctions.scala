@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Rabin–Karp rolling hash over every `k`-char window of a string, as a
@@ -250,6 +250,104 @@ object WordShingleHashes {
   }
 }
 
+/** Per-bigram polynomial feature buckets in one pass over the UTF-8
+  * bytes — the scan-side kernel of DSIR-style hashed-n-gram importance
+  * scoring (t23). For each adjacent word pair the bucket is the byte-wise
+  * fold  acc = (acc·131 + byte) mod `p`  over the pair's span, taken
+  * mod `b` buckets. Word boundaries are single 0x20 bytes, so the span
+  * from word j's first byte to word j+1's last byte IS the joined string
+  * `w_j || ' ' || w_{j+1}` (the WordShingleHashes trick) — nothing is
+  * ever concatenated or allocated per bigram.
+  *
+  * Bit-compatibility contract (TextAnalysisSpec): on ASCII text this
+  * equals the built-in composition
+  * `transform(bigrams, s -> aggregate(chars, 0, (acc, c) -> (acc*131 +
+  * ascii(c)) % p) % b)` — which is what the DuckDB oracle replays with
+  * `list_reduce`/`unicode` — because each ASCII char's code point is its
+  * byte. The composition itself is a CodegenFallback higher-order chain
+  * (interpreted per element, a string allocation per bigram: measured
+  * ~6 s for t23's scan at sf0.1 where this kernel is ~0.1 s); this is
+  * O(bytes) per document with no allocation beyond the output array. */
+case class BigramPolyBuckets(child: Expression, p: Long, b: Int)
+    extends UnaryExpression {
+
+  require(p > 131, s"modulus must exceed the base, got $p")
+  require(b >= 1, s"bucket count must be >= 1, got $b")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bigram_poly_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bigram_poly_buckets requires a string input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    new GenericArrayData(BigramPolyBuckets.buckets(s, p, b))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val helper = BigramPolyBuckets.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $helper.buckets($c, ${p}L, $b));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramPolyBuckets {
+  /** One bucket per adjacent word pair, in order (m-1 for m words; empty
+    * if fewer than 2 words). `split(" ")` word semantics — empty segments
+    * between consecutive spaces count as words, exactly as in
+    * [[WordShingleHashes.hashes]]. Shared by interpreted eval and
+    * generated code. */
+  def buckets(s: UTF8String, p: Long, nb: Int): Array[Int] = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val m = spaces + 1
+    if (m < 2) return Array.emptyIntArray
+    val starts = new Array[Int](m)
+    val ends = new Array[Int](m)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        ends(w) = i; w += 1; starts(w) = i + 1
+      }
+      i += 1
+    }
+    ends(w) = len
+    val out = new Array[Int](m - 1)
+    var j = 0
+    while (j < m - 1) {
+      var acc = 0L
+      var k = starts(j)
+      val e = ends(j + 1) // span covers "w_j<space>w_{j+1}" byte-exactly
+      while (k < e) {
+        acc = (acc * 131L +
+          (org.apache.spark.unsafe.Platform.getByte(base, off + k) & 0xFF)) % p
+        k += 1
+      }
+      out(j) = (acc % nb).toInt
+      j += 1
+    }
+    out
+  }
+}
+
 object TextHashFunctions {
   /** Column-API entry point: `rolling_hash($"text", 8)`. */
   def rolling_hash(c: Column, k: Int): Column =
@@ -262,4 +360,8 @@ object TextHashFunctions {
   /** Column-API entry point: `word_shingle_hashes($"text", 3)`. */
   def word_shingle_hashes(c: Column, n: Int): Column =
     ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(c), n))
+
+  /** Column-API entry point: `bigram_poly_buckets($"text", 1000003L, 512)`. */
+  def bigram_poly_buckets(c: Column, p: Long, b: Int): Column =
+    ColumnBridge.column(BigramPolyBuckets(ColumnBridge.expression(c), p, b))
 }

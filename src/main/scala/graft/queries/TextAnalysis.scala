@@ -950,6 +950,88 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t23's hashed-feature space: DSIR's memory bound. 512 buckets keeps
+    * the feature table broadcastable at ANY corpus size — the whole point
+    * of hashing the n-grams instead of keeping the open vocabulary. */
+  private[graft] val T23Buckets = 512
+
+  /** t23's resample size (top-K by importance). */
+  private[graft] val T23SelectK = 50
+
+  /** t23's bucket hash: a byte-wise polynomial fold mod a prime, chosen
+    * over xxhash64 because BOTH engines can replay it with a plain
+    * integer fold (the DuckDB oracle uses `list_reduce` over `unicode`
+    * char codes — no unrolled-CTE machinery; d4's XXH64 replay works but
+    * is capped at 32-byte inputs, and bigrams are not). acc < P keeps
+    * acc*131+c < 2^31, far inside BIGINT. Spark-side the fold runs in
+    * the [[graft.functions.BigramPolyBuckets]] codegen kernel — the
+    * equivalent built-in `transform`+`aggregate` chain is interpreted
+    * (CodegenFallback) and measured ~6 s for the scan at sf0.1 vs ~0.3 s
+    * total with the kernel. */
+  private[graft] val T23HashP = 1000003L
+
+  /** t23 — DSIR importance scoring (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): score every document
+    * by how much more likely its hashed bigram features are under a
+    * TARGET distribution (here the `lang = 'en'` slice, the
+    * "high-quality domain" stand-in) than under the RAW corpus
+    * distribution, then keep the top-[[T23SelectK]]. The importance
+    * weight is  log p_target(x) − p_raw(x)  summed over the doc's hashed
+    * bigrams; like t12's surprisal it is quantized to whole BITS via
+    * `length(bin(n)) − 1` = floor(log2 n) on INTEGER counts — no
+    * floating-point log, no cross-row float accumulation, so both
+    * engines agree bit-for-bit. Per occurrence of bucket b the
+    * contribution is floor(log2(n_t(b)+1)) − floor(log2(n_r(b)+1))
+    * (Laplace +1 — a bucket can be empty in the target), and the
+    * normalizing  log2(T_raw/T_target)  constant is added once per
+    * bigram from a 1-row broadcast — never as a count product, which
+    * would overflow at corpus scale.
+    *
+    * Scale shape: the feature bucket is hashed scan-side (codegen'd
+    * integer fold — the bigram STRING never shuffles), the feature
+    * table is ONE shuffle collapsing to ≤ [[T23Buckets]] rows — bounded
+    * by construction at any corpus size, hence broadcast back — and the
+    * per-doc score is one doc_id-keyed aggregation with map-side
+    * combine. The scored table (1 row per doc) is [[graft.Materialize]]d
+    * because two consumers need it: the K-th-score threshold (a
+    * TakeOrdered + 1-row broadcast — never a global window) and the
+    * final selection flag. That is 1 corpus scan + 2 bounded shuffles
+    * total; DSIR's hashing is exactly what makes the feature table
+    * O(buckets) instead of O(vocab). */
+  def t23DsirImportance(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.bigram_poly_buckets
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(bigram_poly_buckets(col("text"), T23HashP, T23Buckets))
+          .as("bucket"))
+    val feat = occ.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_r"), expr("count_if(lang = 'en')").as("n_t"))
+    // whole-corpus totals: one row off the ≤512-row feature table
+    val tot = feat.agg(sum(col("n_r")).cast("long").as("t_r"),
+      sum(col("n_t")).cast("long").as("t_t"))
+    def bits(c: Column): Column = length(bin(c)) - lit(1)
+    val scored = graft.Materialize(occ
+      .join(broadcast(feat), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(bits(col("n_t") + lit(1L)) - bits(col("n_r") + lit(1L)))
+          .cast("long").as("s_raw"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        (col("s_raw") + col("n_bigrams") *
+          (bits(col("t_r") + lit(T23Buckets.toLong)) -
+            bits(col("t_t") + lit(T23Buckets.toLong))).cast("long"))
+          .as("score_bits")))
+    val kth = scored.orderBy(col("score_bits").desc, col("doc_id"))
+      .limit(T23SelectK).agg(min(col("score_bits")).as("kth"))
+    scored.crossJoin(broadcast(kth))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("score_bits"),
+        round(col("score_bits").cast("double") / col("n_bigrams"), 4)
+          .as("bits_per_bigram"),
+        (col("score_bits") >= col("kth")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -975,6 +1057,7 @@ object TextAnalysis {
     "t20_bigram_lm"         -> t20BigramLm _,
     "t21_vocab_growth"      -> t21VocabGrowth _,
     "t22_dup_ngrams"        -> t22DupNgrams _,
+    "t23_dsir_importance"   -> t23DsirImportance _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1463,5 +1546,55 @@ object TextAnalysis {
          |       round(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
          |             / sum(n), 4) AS dup_ratio
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t23: the bucket hash is the same integer fold in both engines
+    // (DuckDB list_reduce seeds from the FIRST element, so a 0 is
+    // prepended to match Spark aggregate's explicit zero); bits =
+    // length(bin(n)) - 1 = floor(log2 n), t12's integer-log trick.
+    // DuckDB range(1, n+1) is [1..n]; b[i] is 1-based char indexing.
+    "t23_dsir_importance" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_transform(range(1, len(w)),
+         |                i -> w[i] || ' ' || w[i+1])) AS b
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+         |        FROM documents WHERE len(string_split(text, ' ')) >= 2)
+         |), occ AS (
+         |  SELECT doc_id, lang,
+         |         CAST(list_reduce(
+         |                list_prepend(CAST(0 AS BIGINT),
+         |                  list_transform(range(1, length(b) + 1),
+         |                    i -> CAST(unicode(b[CAST(i AS INT)]) AS BIGINT))),
+         |                (acc, c) -> (acc * 131 + c) % $T23HashP)
+         |              % $T23Buckets AS INT) AS bucket
+         |  FROM bg
+         |), feat AS (
+         |  SELECT bucket, count(*) AS n_r,
+         |         count(*) FILTER (WHERE lang = 'en') AS n_t
+         |  FROM occ GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(n_r) AS BIGINT) AS t_r,
+         |         CAST(sum(n_t) AS BIGINT) AS t_t FROM feat
+         |), per_doc AS (
+         |  SELECT o.doc_id, o.lang, count(*) AS n_bigrams,
+         |         CAST(sum((length(bin(f.n_t + 1)) - 1)
+         |                - (length(bin(f.n_r + 1)) - 1)) AS BIGINT) AS s_raw
+         |  FROM occ o JOIN feat f USING (bucket) GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT doc_id, lang, n_bigrams,
+         |         s_raw + n_bigrams *
+         |           ((length(bin(t_r + $T23Buckets)) - 1)
+         |          - (length(bin(t_t + $T23Buckets)) - 1)) AS score_bits
+         |  FROM per_doc, tot
+         |), kth AS (
+         |  SELECT min(score_bits) AS k FROM (
+         |    SELECT score_bits FROM scored
+         |    ORDER BY score_bits DESC, doc_id LIMIT $T23SelectK)
+         |)
+         |SELECT doc_id, lang, n_bigrams,
+         |       CAST(score_bits AS BIGINT) AS score_bits,
+         |       round(CAST(score_bits AS DOUBLE) / n_bigrams, 4)
+         |         AS bits_per_bigram,
+         |       score_bits >= k AS selected
+         |FROM scored, kth ORDER BY doc_id""".stripMargin,
   )
 }

@@ -473,4 +473,64 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 3L, 2L, 2L, 0.6667),
       (2L, 3L, 3L, 0L, 0.0)))
   }
+
+  test("t23 DSIR importance: planted two-bucket corpus gives hand-computed " +
+       "quantized log-ratios and an exact top-50 threshold cut") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t23").toString
+    // Two feature buckets by construction ("x x" -> 138, "y y" -> 404
+    // under the acc*131+code mod 1000003 mod 512 fold — no collision).
+    // 5 en docs "x x x" (2 bigrams each): bucket_x n_r = n_t = 10.
+    // 55 de docs, doc m = m+1 "y" tokens = m bigrams, m = 1..55:
+    // bucket_y n_r = 1540, n_t = 0.
+    // Per-occurrence contributions: x: bits(11)-bits(11) = 0;
+    // y: bits(1)-bits(1541) = 0 - 10 = -10.
+    // Normalizer: bits(1550+512) - bits(10+512) = 11 - 9 = +2 per bigram.
+    // => en score 2*0+2*2 = 4; de doc m score -10m+2m = -8m.
+    // Top-50 = 5 en + de m=1..45 -> kth = -360 -> de m>45 unselected.
+    val en = (1 to 5).map(i =>
+      (i.toLong, "x x x", "en", "s0", 5L))
+    val de = (1 to 55).map(m =>
+      (100L + m, Seq.fill(m + 1)("y").mkString(" "), "de", "s0", 9L))
+    (en ++ de).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t23DsirImportance(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_bits"),
+        r.getAs[Double]("bits_per_bigram"), r.getAs[Boolean]("selected")))
+    val exp =
+      (1 to 5).map(i => (i.toLong, 4L, 2.0, true)) ++
+      (1 to 55).map(m => (100L + m, -8L * m, -8.0, m <= 45))
+    assert(got.toSeq == exp)
+  }
+
+  test("bigram_poly_buckets == the transform+aggregate built-in fold, " +
+       "element for element (edge cases + real harness docs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextHashFunctions.bigram_poly_buckets
+    val edge = Seq(
+      "a b c d e",  // plain: 4 bigrams
+      "a  b c",     // consecutive spaces → empty word in the pair
+      " a b c ",    // leading/trailing spaces
+      "a",          // too short → empty
+      "",           // empty string → single empty word → empty
+      "x y x y"     // repeats keep EVERY occurrence (no dedup)
+    ).toDF("text")
+    val harness = graft.sources.Tables.documents(spark, sfDir).select("text")
+    val ref = expr(
+      "transform(transform(sequence(0, size(split(text, ' ')) - 2)," +
+        "           i -> split(text, ' ')[i] || ' ' || split(text, ' ')[i+1])," +
+        " b -> CAST(aggregate(sequence(1, length(b)), CAST(0 AS BIGINT)," +
+        "        (acc, i) -> (acc * 131 + ascii(substring(b, i, 1))) % 1000003)" +
+        "      % 512 AS INT))")
+    for (df <- Seq(edge, harness)) {
+      val mismatches = df.select(
+          bigram_poly_buckets(col("text"), 1000003L, 512).as("fast"),
+          when(size(split(col("text"), " ")) >= 2, ref)
+            .otherwise(array().cast("array<int>")).as("ref"))
+        .filter(not(col("fast") === col("ref")))
+        .count()
+      assert(mismatches == 0)
+    }
+  }
 }
