@@ -70,7 +70,13 @@ object ScaleBench {
     "d13_semantic_dedup", "p5_semantic_curation",
     "st10_semantic_admitted", "m8_frame_runs", "s9_lsh_assign",
     "e13_hourly_anomaly", "p6_pretrain_pipeline",
-    "d14_soft_dedup_weights", "s10_probe_sweep")
+    "d14_soft_dedup_weights", "s10_probe_sweep",
+    // r14: t23's explode volume is bigrams-per-corpus (linear); the
+    // bounded 512-bucket feature table is the thing the slope verifies.
+    // s11 is the mining ladder's exact tier — its |src|×|tgt| pair
+    // matrix is the measured quadratic (the honest brute baseline, s1's
+    // role; the production path blocks candidates via s3/s9 first)
+    "t23_dsir_importance", "s11_bitext_margin")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)

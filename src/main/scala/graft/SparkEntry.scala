@@ -40,7 +40,12 @@ object SparkEntry {
     * screen's own cost is st-series' probe over one scan. */
   val benchExclude: Set[String] =
     Set("x3_approx_distinct_bounded", "m2_decode_dims", "d4_simhash_exactdup",
-      "st3_contamination_bounds")
+      "st3_contamination_bounds",
+      // s11b runs BOTH mining tiers (its point is the agreement
+      // differential), so timing it would re-charge s11's exact matrix;
+      // the blocked tier's own cost is measured via the
+      // SPARK_GRAFT_S11_VIA=ivf ScaleBench row instead
+      "s11b_bitext_blocked")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */

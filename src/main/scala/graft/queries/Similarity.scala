@@ -324,6 +324,168 @@ object Similarity {
       .orderBy(col("q_id"), col("probed_cells"))
   }
 
+  /** s11's margin neighborhood size (the k in "avg of the top-k cosines"
+    * that normalizes the match score) and acceptance threshold —
+    * CCMatrix-era mining uses margins around 1.05–1.06. */
+  private[graft] val S11MarginK = 4
+  private[graft] val S11Threshold = 1.05
+  private[graft] val S11SrcLang = "de"
+  private[graft] val S11TgtLang = "en"
+  /** Probed target cells per source vector in the blocked tier (s2's
+    * recall-vs-scan knob, re-used for mining candidates). */
+  private[graft] val S11bProbe = 2
+
+  /** s11 — margin-based bitext mining (Artetxe & Schwenk 2019,
+    * arXiv:1811.01136 §3; the CCMatrix/LASER parallel-corpus shape): for
+    * every source-language document, the best target-language match by
+    * embedding cosine, scored by the RATIO margin
+    * cos(x,y) / ((avgₖ-cos of x's neighborhood + avgₖ-cos of y's
+    * neighborhood)/2) — absolute cosine is a poor mining signal because
+    * hub vectors are near everything; the margin asks "is y close to x
+    * relative to how close ANYTHING is to either". Accepted = margin ≥
+    * [[S11Threshold]]. Languages come from the documents table over the
+    * m4 linkage (vec_id = doc_id).
+    *
+    * Determinism: cosines are quantized to integer ten-thousandths
+    * (c4 = round(cos·10⁴)) at the pair level, so BOTH margin-sum
+    * aggregations are exact BIGINT sums — no cross-row float
+    * accumulation — and the margin is ONE final double division
+    * 2·c4·nₐ·n_b / (saₐ·n_b + sb_b·nₐ) (counts, not the constant k, so
+    * slices smaller than k stay exact averages).
+    *
+    * Scale shape: this is the mining ladder's EXACT tier (s1's role):
+    * the src×tgt score matrix is a broadcast-nested-loop of the smaller
+    * language slice — quadratic in slice size, ground truth at harness
+    * scale. The production tier at 100 TB is the same margin arithmetic
+    * over s3/s9's bucket-blocked candidate pairs (candidate generation
+    * is ALREADY measured there; the margin stage adds two bounded
+    * integer aggregations on whatever pair set feeds it — both
+    * neighborhood windows key on one side's id, so they shuffle once
+    * each and no window ever spans more than one vector's candidates). */
+  /** The source/target language slices over the m4 linkage, shared by
+    * s11's tiers. */
+  private def s11Side(s: SparkSession, dir: String, lang: String,
+      idc: String, embc: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val e = embeddings(s, dir)
+    e.join(docs, e("vec_id") === docs("doc_id"))
+      .filter(col("lang") === lang)
+      .select(col("vec_id").as(idc), col("embedding").as(embc))
+  }
+
+  /** The exact src×tgt pair matrix (broadcast-nested-loop of the smaller
+    * language slice) with integer ten-thousandth cosines. */
+  private def s11ExactPairs(src: DataFrame, tgt: DataFrame): DataFrame =
+    broadcast(src).join(tgt, col("s_id") =!= col("t_id"))
+      .select(col("s_id"), col("t_id"),
+        round(cosine_sim(col("s_emb"), col("t_emb")) * 10000, 0)
+          .cast("long").as("c4"))
+
+  /** IVF-blocked candidate pairs (the production tier's pair source):
+    * the TARGET slice is quantized into cells by the s2 machinery
+    * (balanced sqrt codebook, argmax-cosine assignment), each source
+    * vector probes its [[S11bProbe]] nearest cells, and candidates are
+    * the probed cells' members — N_src·C assignment cosines plus
+    * N_src·P·(N_tgt/C) candidate cosines instead of N_src·N_tgt,
+    * the s2 posture (N^1.5 under the sqrt rule; s9's LSH-assisted
+    * assignment is the further linearization, unchanged here). Cells
+    * partition tgt, so the candidate set needs no dedup. */
+  private def s11IvfPairs(src: DataFrame, tgt: DataFrame): DataFrame = {
+    val tgtE = tgt.select(col("t_id").as("vec_id"), col("t_emb").as("embedding"))
+    val cent = centroidsOf(tgtE)
+    val cells = cellAssignedAgainst(cent, tgtE)
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+        col("cell"))
+    val wP = Window.partitionBy(col("s_id"))
+      .orderBy(col("p_cos").desc, col("c_id").asc)
+    val probes = src.join(broadcast(cent), lit(true))
+      .withColumn("p_cos", round(cosine_sim(col("s_emb"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= S11bProbe)
+      .select(col("s_id"), col("s_emb"), col("c_id").as("cell"))
+    probes.join(cells, Seq("cell"))
+      .select(col("s_id"), col("t_id"),
+        round(cosine_sim(col("s_emb"), col("t_emb")) * 10000, 0)
+          .cast("long").as("c4"))
+  }
+
+  /** The margin arithmetic over ANY (s_id, t_id, c4) pair source:
+    * neighborhood ranks both directions, exact BIGINT margin sums,
+    * best-match pick, one final double division. Returns one row per
+    * s_id present in `pairs` with (s_id, match_id, cosine, margin,
+    * accepted, n_cand). */
+  private def s11MarginCore(pairs0: DataFrame): DataFrame = {
+    val pairs = graft.Materialize(pairs0)
+    val wS = Window.partitionBy(col("s_id"))
+      .orderBy(col("c4").desc, col("t_id").asc)
+    val wT = Window.partitionBy(col("t_id"))
+      .orderBy(col("c4").desc, col("s_id").asc)
+    val rk = pairs.withColumn("rs", row_number().over(wS))
+      .withColumn("rt", row_number().over(wT))
+    val aSrc = rk.filter(col("rs") <= S11MarginK)
+      .groupBy(col("s_id"))
+      .agg(sum(col("c4")).as("sa4"), count(lit(1)).as("na"))
+    val bTgt = rk.filter(col("rt") <= S11MarginK)
+      .groupBy(col("t_id"))
+      .agg(sum(col("c4")).as("sb4"), count(lit(1)).as("nb"))
+    val nCand = pairs.groupBy(col("s_id")).agg(count(lit(1)).as("n_cand"))
+    val den = col("sa4") * col("nb") + col("sb4") * col("na")
+    rk.filter(col("rs") === 1).select(col("s_id"), col("t_id"), col("c4"))
+      .join(aSrc, "s_id").join(bTgt, "t_id").join(nCand, "s_id")
+      .withColumn("margin", when(den > 0,
+        round((lit(2L) * col("c4") * col("na") * col("nb")).cast("double")
+          / den, 4)))
+      .select(col("s_id"), col("t_id").as("match_id"),
+        round(col("c4") / 10000.0, 4).as("cosine"),
+        col("margin"),
+        coalesce(col("margin") >= S11Threshold, lit(false)).as("accepted"),
+        col("n_cand"))
+  }
+
+  /** s11's pair-source seam (the d13 `assignVia` convention): `exact`
+    * (default — the oracle-gated brute matrix) or `ivf` (the blocked
+    * production path [[s11IvfPairs]]). System property `graft.s11.via`
+    * or env SPARK_GRAFT_S11_VIA; ScaleBench runs with `ivf` measure the
+    * linearized slope on the same catalog entry. */
+  private def s11Via: String =
+    sys.props.get("graft.s11.via").orElse(sys.env.get("SPARK_GRAFT_S11_VIA"))
+      .getOrElse("exact")
+
+  def s11BitextMargin(s: SparkSession, dir: String): DataFrame = {
+    val src = s11Side(s, dir, S11SrcLang, "s_id", "s_emb")
+    val tgt = s11Side(s, dir, S11TgtLang, "t_id", "t_emb")
+    val pairs =
+      if (s11Via == "ivf") s11IvfPairs(src, tgt) else s11ExactPairs(src, tgt)
+    s11MarginCore(pairs).drop("n_cand").orderBy(col("s_id"))
+  }
+
+  /** s11b — the blocked production tier as its own DIFFERENTIAL entry
+    * (the d4b/st3 convention: it runs BOTH tiers, so it is excluded from
+    * the bench to avoid double-charging s11's pipeline): margins over
+    * the [[s11IvfPairs]] candidate set, anchored on every source doc the
+    * exact tier matched, with the candidate count and an `agree` flag
+    * (blocked best match == exact best match). A source whose probes
+    * miss every candidate keeps a −1 sentinel match and `accepted =
+    * false` — a LOUD miss, never a silently absent row. The honest
+    * numbers at sf0.01: agreement where the probe finds the true match,
+    * misses reported as such. */
+  def s11bBitextBlocked(s: SparkSession, dir: String): DataFrame = {
+    val src = s11Side(s, dir, S11SrcLang, "s_id", "s_emb")
+    val tgt = s11Side(s, dir, S11TgtLang, "t_id", "t_emb")
+    val exactBest = s11MarginCore(s11ExactPairs(src, tgt))
+      .select(col("s_id"), col("match_id").as("exact_match"))
+    val blocked = s11MarginCore(s11IvfPairs(src, tgt))
+    exactBest.join(blocked, Seq("s_id"), "left")
+      .select(col("s_id"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        col("cosine"), col("margin"),
+        coalesce(col("accepted"), lit(false)).as("accepted"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("match_id") === col("exact_match"), lit(false))
+          .as("agree"))
+      .orderBy(col("s_id"))
+  }
+
   /** s3 — multi-table sign-random-projection LSH: each of the 6 tables
     * hashes a vector to a 5-bit bucket of hyperplane signs; a query
     * probes its exact bucket in every table and candidates are the union
@@ -752,6 +914,8 @@ object Similarity {
     "s6_filtered_knn" -> s6FilteredKnn _,
     "s7_ann_ivfpq" -> s7AnnIvfPq _,
     "s8_radius_search" -> s8RadiusSearch _,
+    "s11_bitext_margin" -> s11BitextMargin _,
+    "s11b_bitext_blocked" -> s11bBitextBlocked _,
   )
 
   // ---- DuckDB oracle construction -----------------------------------
@@ -1252,5 +1416,162 @@ object Similarity {
          |FROM qn JOIN en ON en.vec_id <> qn.q_id
          |WHERE ${cosSql("qn.q_emb", "qn.q_nrm", "en.embedding", "en.nrm")} >= $S8Radius
          |ORDER BY qn.q_id, cosine DESC, neighbor_id""".stripMargin,
+    // s11: c4 mirrors the engine exactly — the RAW cosine ×10⁴ rounded
+    // to an integer (not round(cos,4)·10⁴, which re-rounds); both margin
+    // sums are BIGINT; the margin is the one final double division.
+    "s11_bitext_margin" ->
+      s"""WITH $commonCtes,
+         |src AS (
+         |  SELECT e.vec_id AS s_id, e.embedding AS s_emb, e.nrm AS s_nrm
+         |  FROM en e JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang = '$S11SrcLang'
+         |),
+         |tgt AS (
+         |  SELECT e.vec_id AS t_id, e.embedding AS t_emb, e.nrm AS t_nrm
+         |  FROM en e JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang = '$S11TgtLang'
+         |),
+         |pairs AS (
+         |  SELECT s_id, t_id,
+         |         CAST(round(${dotSql("s_emb", "t_emb")}
+         |                    / (s_nrm * t_nrm) * 10000, 0) AS BIGINT) AS c4
+         |  FROM src JOIN tgt ON s_id <> t_id
+         |),
+         |rk AS (
+         |  SELECT s_id, t_id, c4,
+         |         row_number() OVER (PARTITION BY s_id
+         |           ORDER BY c4 DESC, t_id ASC) AS rs,
+         |         row_number() OVER (PARTITION BY t_id
+         |           ORDER BY c4 DESC, s_id ASC) AS rt
+         |  FROM pairs
+         |),
+         |a AS (
+         |  SELECT s_id, CAST(sum(c4) AS BIGINT) AS sa4, count(*) AS na
+         |  FROM rk WHERE rs <= $S11MarginK GROUP BY 1
+         |),
+         |b AS (
+         |  SELECT t_id, CAST(sum(c4) AS BIGINT) AS sb4, count(*) AS nb
+         |  FROM rk WHERE rt <= $S11MarginK GROUP BY 1
+         |),
+         |best AS (
+         |  SELECT s_id, t_id, c4 FROM rk WHERE rs = 1
+         |),
+         |scored AS (
+         |  SELECT best.s_id, best.t_id AS match_id,
+         |         round(CAST(c4 AS DOUBLE) / 10000, 4) AS cosine,
+         |         CASE WHEN sa4 * nb + sb4 * na > 0 THEN
+         |           round(CAST(2 * c4 * na * nb AS DOUBLE)
+         |                 / (sa4 * nb + sb4 * na), 4) END AS margin
+         |  FROM best
+         |  JOIN a USING (s_id)
+         |  JOIN b ON b.t_id = best.t_id
+         |)
+         |SELECT s_id, match_id, cosine, margin,
+         |       coalesce(margin >= $S11Threshold, false) AS accepted
+         |FROM scored ORDER BY s_id""".stripMargin,
+    // s11b: the blocked tier replayed whole — tgt-slice codebook by the
+    // balanced sqrt rule, argmax cell assignment, top-P probes per src,
+    // margins over the candidate pairs, agreement vs the exact best.
+    "s11b_bitext_blocked" ->
+      s"""WITH $commonCtes,
+         |src AS (
+         |  SELECT e.vec_id AS s_id, e.embedding AS s_emb, e.nrm AS s_nrm
+         |  FROM en e JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang = '$S11SrcLang'
+         |),
+         |tgt AS (
+         |  SELECT e.vec_id AS t_id, e.embedding AS t_emb, e.nrm AS t_nrm
+         |  FROM en e JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang = '$S11TgtLang'
+         |),
+         |epairs AS (
+         |  SELECT s_id, t_id,
+         |         CAST(round(${dotSql("s_emb", "t_emb")}
+         |                    / (s_nrm * t_nrm) * 10000, 0) AS BIGINT) AS c4
+         |  FROM src JOIN tgt ON s_id <> t_id
+         |),
+         |ebest AS (
+         |  SELECT s_id, t_id AS exact_match FROM (
+         |    SELECT s_id, t_id, row_number() OVER (PARTITION BY s_id
+         |             ORDER BY c4 DESC, t_id ASC) AS rs
+         |    FROM epairs
+         |  ) WHERE rs = 1
+         |),
+         |cent AS (
+         |  SELECT c_id, c_emb, c_nrm FROM (
+         |    SELECT t_id AS c_id, t_emb AS c_emb, t_nrm AS c_nrm,
+         |           row_number() OVER (
+         |             ORDER BY (t_id * $MixA + $MixB) % $MixM, t_id) AS crn
+         |    FROM tgt
+         |  ) WHERE crn <= greatest($NumCentroids,
+         |      CAST(ceil(sqrt(CAST((SELECT count(*) FROM tgt) AS DOUBLE)
+         |                     / $CentroidDivisor)) AS BIGINT))
+         |),
+         |cells AS (
+         |  SELECT t_id, t_emb, t_nrm, cell FROM (
+         |    SELECT t.t_id, t.t_emb, t.t_nrm, c.c_id AS cell,
+         |           row_number() OVER (PARTITION BY t.t_id
+         |             ORDER BY ${cosSql("t.t_emb", "t.t_nrm", "c.c_emb", "c.c_nrm")} DESC,
+         |                      c.c_id ASC) AS rn
+         |    FROM tgt t CROSS JOIN cent c
+         |  ) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT s_id, s_emb, s_nrm, cell FROM (
+         |    SELECT s.s_id, s.s_emb, s.s_nrm, c.c_id AS cell,
+         |           row_number() OVER (PARTITION BY s.s_id
+         |             ORDER BY ${cosSql("s.s_emb", "s.s_nrm", "c.c_emb", "c.c_nrm")} DESC,
+         |                      c.c_id ASC) AS rn
+         |    FROM src s CROSS JOIN cent c
+         |  ) WHERE rn <= $S11bProbe
+         |),
+         |cand AS (
+         |  SELECT p.s_id, a.t_id,
+         |         CAST(round(${dotSql("p.s_emb", "a.t_emb")}
+         |                    / (p.s_nrm * a.t_nrm) * 10000, 0) AS BIGINT) AS c4
+         |  FROM probes p JOIN cells a USING (cell)
+         |),
+         |rk AS (
+         |  SELECT s_id, t_id, c4,
+         |         row_number() OVER (PARTITION BY s_id
+         |           ORDER BY c4 DESC, t_id ASC) AS rs,
+         |         row_number() OVER (PARTITION BY t_id
+         |           ORDER BY c4 DESC, s_id ASC) AS rt
+         |  FROM cand
+         |),
+         |a AS (
+         |  SELECT s_id, CAST(sum(c4) AS BIGINT) AS sa4, count(*) AS na
+         |  FROM rk WHERE rs <= $S11MarginK GROUP BY 1
+         |),
+         |b AS (
+         |  SELECT t_id, CAST(sum(c4) AS BIGINT) AS sb4, count(*) AS nb
+         |  FROM rk WHERE rt <= $S11MarginK GROUP BY 1
+         |),
+         |nc AS (
+         |  SELECT s_id, count(*) AS n_cand FROM cand GROUP BY 1
+         |),
+         |best AS (
+         |  SELECT s_id, t_id, c4 FROM rk WHERE rs = 1
+         |),
+         |blocked AS (
+         |  SELECT best.s_id, best.t_id AS match_id,
+         |         round(CAST(c4 AS DOUBLE) / 10000, 4) AS cosine,
+         |         CASE WHEN sa4 * nb + sb4 * na > 0 THEN
+         |           round(CAST(2 * c4 * na * nb AS DOUBLE)
+         |                 / (sa4 * nb + sb4 * na), 4) END AS margin,
+         |         nc.n_cand
+         |  FROM best
+         |  JOIN a USING (s_id)
+         |  JOIN b ON b.t_id = best.t_id
+         |  JOIN nc ON nc.s_id = best.s_id
+         |)
+         |SELECT e.s_id,
+         |       coalesce(bl.match_id, -1) AS match_id,
+         |       bl.cosine, bl.margin,
+         |       coalesce(bl.margin >= $S11Threshold, false) AS accepted,
+         |       coalesce(bl.n_cand, 0) AS n_cand,
+         |       coalesce(bl.match_id = e.exact_match, false) AS agree
+         |FROM ebest e LEFT JOIN blocked bl USING (s_id)
+         |ORDER BY e.s_id""".stripMargin,
   )
 }

@@ -161,4 +161,59 @@ class SimilaritySpec extends SparkSpec {
     val sentinels = prod.collect { case (vid, c) if c < 0 => (vid, c) }
     assert(sentinels.forall { case (vid, c) => c == -vid - 1 })
   }
+
+  test("s11 bitext margins: planted orthogonal-basis corpus gives " +
+       "hand-computed ratio margins, ties broken by id, zero-match rejected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-s11").toString
+    def basis(i: Int, j: Int = -1): Seq[Float] =
+      (0 until 64).map(d => if (d == i || d == j) 1f else 0f)
+    // src (de): s1=e0, s2=e1, s3=e3 (orthogonal to every target).
+    // tgt (en): t10=e0 (exact match for s1), t11=(e0+e1)/|.| (cos 1/√2
+    // to s1 AND s2 → c4=7071), t12=e2 (orthogonal to everything).
+    // c4 matrix: s1:(10000,7071,0) s2:(0,7071,0) s3:(0,0,0); na=3 each;
+    // per-tgt sums: t10=10000, t11=14142, t12=0; nb=3 each.
+    // margins: s1→t10 2·10000·9/(17071·3+10000·3)=2.2164 accepted;
+    // s2→t11 2·7071·9/(7071·3+14142·3)=2.0 accepted;
+    // s3→t10 (all-zero tie → lowest t_id) num 0 → margin 0, rejected.
+    Seq((1L, basis(0), 0), (2L, basis(1), 0), (3L, basis(3), 0),
+        (10L, basis(0), 1), (11L, basis(0, 1), 1), (12L, basis(2), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (Seq(1L, 2L, 3L).map((_, "de")) ++ Seq(10L, 11L, 12L).map((_, "en")))
+      .map { case (id, lang) => (id, "w x", lang, "s0", 3L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Similarity.s11BitextMargin(spark, dir).collect()
+      .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("match_id"),
+        r.getAs[Double]("cosine"), r.getAs[Double]("margin"),
+        r.getAs[Boolean]("accepted")))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 1.0, 2.2164, true),
+      (2L, 11L, 0.7071, 2.0, true),
+      (3L, 10L, 0.0, 0.0, false)))
+  }
+
+  test("s11 via seam: default is exact (property unset); via=ivf routes " +
+       "the same entry through the blocked pair source and matches s11b's " +
+       "blocked columns row for row") {
+    val dir = "/root/testdata/sf0.01"
+    assert(sys.props.get("graft.s11.via").isEmpty)
+    val s11b = Similarity.s11bBitextBlocked(spark, dir).collect()
+      .filter(_.getAs[Long]("match_id") != -1L)
+      .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("match_id"),
+        r.getAs[Double]("cosine"), r.getAs[Double]("margin"),
+        r.getAs[Boolean]("accepted")))
+    System.setProperty("graft.s11.via", "ivf")
+    try {
+      val viaIvf = Similarity.s11BitextMargin(spark, dir).collect()
+        .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("match_id"),
+          r.getAs[Double]("cosine"), r.getAs[Double]("margin"),
+          r.getAs[Boolean]("accepted")))
+      assert(viaIvf.toSeq == s11b.toSeq,
+        "the seam's ivf path diverged from s11b's blocked tier")
+    } finally System.clearProperty("graft.s11.via")
+    // sanity: exact default produces the committed-oracle row count
+    assert(Similarity.s11BitextMargin(spark, dir).count() == 70L)
+  }
 }
