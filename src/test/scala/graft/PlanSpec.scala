@@ -295,6 +295,33 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial max_by combine in:\n$p")
   }
 
+  test("r14 t23: the K-th score threshold is a TakeOrdered 1-row " +
+       "broadcast (never a global window), and the corpus text never " +
+       "crosses an exchange — only int buckets shuffle") {
+    val p = plan(TextAnalysis.t23DsirImportance(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"kth threshold lost its TakeOrdered shape in:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Window")),
+      s"a global window crept into t23:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"corpus text crossed an exchange in:\n$p")
+  }
+
+  test("r14 s11: the smaller language slice is broadcast into the pair " +
+       "matrix; after pair formation only (ids, c4) cross exchanges — " +
+       "the 256-float embeddings never shuffle") {
+    val p = plan(Similarity.s11BitextMargin(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"src slice not broadcast into the pair matrix:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(e => e.contains("s_emb#") || e.contains("t_emb#")
+        || e.contains("embedding#")),
+      s"an embedding column crossed an exchange in:\n$p")
+  }
+
   test("whole-stage codegen covers the scan->project hot path of t2") {
     // AQE's plan string hides codegen annotation until execution; disable
     // it for this one plan so the `*(n)` codegen markers are visible
