@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Concat, DateFormatC
 import org.apache.spark.sql.types.{StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{AHashChunks, CosineSim, MinHashSig, RollingHash, SimHash64, SlidingMin, ThumbHex, WordShingleHashes}
+import graft.functions.{AHashChunks, BigramPolyBuckets, CosineSim, MinHashSig, RollingHash, SimHash64, SlidingMin, ThumbHex, WordShingleHashes}
 
 /** Session-extension wiring (SURVEY.md §7 custom-op ladder, step (c)):
   * registers graft's native expressions with the SQL function registry so
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.rollingHashDescriptor)
     e.injectFunction(GraftExtensions.slidingMinDescriptor)
     e.injectFunction(GraftExtensions.wordShingleHashesDescriptor)
+    e.injectFunction(GraftExtensions.bigramPolyBucketsDescriptor)
     e.injectFunction(GraftExtensions.minhashSigDescriptor)
     e.injectFunction(GraftExtensions.simhash64Descriptor)
     e.injectFunction(GraftExtensions.ahashChunksDescriptor)
@@ -64,6 +65,24 @@ object GraftExtensions {
   private def buildWordShingleHashes(children: Seq[Expression]): Expression = {
     require(children.length == 2, "word_shingle_hashes expects exactly 2 arguments")
     WordShingleHashes(children.head, literalWindow("word_shingle_hashes", children(1)))
+  }
+
+  private def literalLong(fn: String, e: Expression): Long = e match {
+    case x if x.foldable => x.eval() match {
+      case i: Int  => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$fn argument must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn argument must be a literal")
+  }
+
+  private def buildBigramPolyBuckets(children: Seq[Expression]): Expression = {
+    require(children.length == 3,
+      "bigram_poly_buckets expects exactly (text, modulus, buckets)")
+    BigramPolyBuckets(children.head,
+      literalLong("bigram_poly_buckets", children(1)),
+      literalWindow("bigram_poly_buckets", children(2)))
   }
 
   private def buildMinhashSig(children: Seq[Expression]): Expression = {
@@ -233,6 +252,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordShingleHashes].getCanonicalName, "word_shingle_hashes"),
     buildWordShingleHashes _)
 
+  private val bigramPolyBucketsDescriptor = (
+    FunctionIdentifier("bigram_poly_buckets"),
+    new ExpressionInfo(classOf[BigramPolyBuckets].getCanonicalName, "bigram_poly_buckets"),
+    buildBigramPolyBuckets _)
+
   private val minhashSigDescriptor = (
     FunctionIdentifier("minhash_sig"),
     new ExpressionInfo(classOf[MinHashSig].getCanonicalName, "minhash_sig"),
@@ -265,6 +289,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("rolling_hash", buildRollingHash, "scala_udf")
     reg.createOrReplaceTempFunction("sliding_min", buildSlidingMin, "scala_udf")
     reg.createOrReplaceTempFunction("word_shingle_hashes", buildWordShingleHashes, "scala_udf")
+    reg.createOrReplaceTempFunction("bigram_poly_buckets", buildBigramPolyBuckets, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", buildMinhashSig, "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", buildSimhash64, "scala_udf")
     reg.createOrReplaceTempFunction("ahash_chunks", buildAhashChunks, "scala_udf")

@@ -69,6 +69,25 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getSeq[Int](0).isEmpty && e.getString(1).isEmpty)
   }
 
+  test("bigram_poly_buckets registered as a SQL function (literal mod/" +
+       "bucket args); SQL result == Column-API result") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT bigram_poly_buckets('x x y', 1000003, 512) AS b," +
+        " bigram_poly_buckets('solo', 1000003, 512) AS e")
+      .collect().head
+    val viaCol = spark.range(1).select(
+      graft.functions.TextHashFunctions
+        .bigram_poly_buckets(lit("x x y"), 1000003L, 512).as("b"))
+      .collect().head
+    assert(r.getSeq[Int](0) == viaCol.getSeq[Int](0))
+    assert(r.getSeq[Int](0).length == 2) // 3 words -> 2 bigram buckets
+    assert(r.getSeq[Int](1).isEmpty)     // 1 word -> no bigram
+    // "x x" under acc*131+code mod 1000003 mod 512 = 138 (the
+    // TextAnalysisSpec fixture's hand-derived bucket)
+    assert(r.getSeq[Int](0).head == 138)
+  }
+
   test("property: ahash_chunks + thumb_hex match an independent pure-Scala " +
        "reference on random ASCII payloads") {
     import org.apache.spark.unsafe.types.UTF8String
