@@ -203,17 +203,30 @@ object Similarity {
     cellAssignedAgainst(centroids(e), e)
 
   /** [[cellAssigned]] against an explicit centroid table (d13b assigns an
-    * augmented corpus to cells seeded from the organic one). */
+    * augmented corpus to cells seeded from the organic one).
+    *
+    * r14 shape change (same outputs, bit-for-bit): the argmax is a
+    * map-side-combinable `max_by` over (rounded cosine, −c_id) — the
+    * ordering the row_number window used — instead of a window. The
+    * window shape shuffled ALL N·C scored rows (each carrying the
+    * 64-float embedding) into a vec_id sort just to keep row 1; the
+    * aggregate collapses to one row per vector BEFORE its exchange
+    * (each vector's C candidates are co-partitioned by construction —
+    * the codebook is broadcast onto e's partitioning), so only N
+    * (vec_id, embedding, cell) rows ever cross. `first(embedding)` is
+    * deterministic here: every candidate row of a group carries the
+    * same embedding. This is the exact-assignment twin of
+    * [[lshCellAssignedAgainst]]'s agg, pinned by PlanSpec. */
   private[queries] def cellAssignedAgainst(cent: DataFrame,
-      e: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
+      e: DataFrame): DataFrame =
     e.join(broadcast(cent), lit(true))
       .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("nid")))
+          .as("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
 
   /** The embeddings table for other catalog families composing on the
     * cell machinery (e.g. d13). */

@@ -295,6 +295,21 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial max_by combine in:\n$p")
   }
 
+  test("r14 exact cell assignment: the argmax is a map-side partial " +
+       "max_by — no window ships the N*C scored rows (with embeddings) " +
+       "through an exchange+sort; only N collapsed rows cross") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val p = plan(Similarity.cellAssigned(e))
+    assert(!p.contains("Window"),
+      s"the exact assignment regressed to the window shape:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"no map-side partial max_by combine in:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the codebook is not broadcast in:\n$p")
+  }
+
   test("r14 t23: the K-th score threshold is a TakeOrdered 1-row " +
        "broadcast (never a global window), and the corpus text never " +
        "crosses an exchange — only int buckets shuffle") {
