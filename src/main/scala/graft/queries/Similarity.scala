@@ -822,14 +822,15 @@ object Similarity {
     val cent = e.orderBy(idMix(col("vec_id")), col("vec_id"))
       .limit(NumCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    // IVF half: cell assignment + per-query probe list (s2's machinery)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
+    // IVF half: cell assignment + per-query probe list (s2's machinery;
+    // the argmax is the map-side max_by shape of cellAssignedAgainst —
+    // same (rounded cosine, -c_id) ordering, N rows across the exchange
+    // instead of N·C)
     val cells = e.join(broadcast(cent), lit(true))
       .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("nid")))
+        .as("cell"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("c_id").asc)
     val probes = querySet(e).join(broadcast(cent), lit(true))
