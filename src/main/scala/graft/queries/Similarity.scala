@@ -137,7 +137,19 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
   /** Exact top-k per query: broadcast the query set against the corpus,
-    * rank by (rounded cosine, vec_id) for cross-engine determinism. */
+    * rank by (rounded cosine, vec_id) for cross-engine determinism.
+    *
+    * Scale note (audited r14, pinned in PlanSpec): the
+    * `row_number() <= K` formulation lets Spark insert a PARTIAL
+    * `WindowGroupLimit` BELOW the per-query exchange — every map
+    * partition keeps only its local top-K before anything shuffles, so
+    * the q_id reducer receives ≤ K rows per map partition (with the
+    * embeddings already pruned), never the corpus. A salted two-phase
+    * rewrite was measured and REVERTED: it duplicates what
+    * WindowGroupLimit already provides and pays a second exchange+sort
+    * for it. The pin exists because the guarantee is formulation-
+    * sensitive — `rank()`/`filter` shapes that the rule cannot match
+    * would silently ship N rows to 5 reducers. */
   private def bruteTopK(e: DataFrame): DataFrame = {
     val q = querySet(e)
     val w = Window.partitionBy(col("q_id"))

@@ -310,6 +310,20 @@ class PlanSpec extends SparkSpec {
       s"the codebook is not broadcast in:\n$p")
   }
 
+  test("r14 s1 brute top-k: a PARTIAL WindowGroupLimit sits below the " +
+       "per-query exchange (map-side top-K — no reducer ever holds the " +
+       "corpus) and the embeddings are pruned before the exchange") {
+    val p = plan(Similarity.s1KnnBrute(spark, sfDir))
+    assert(p.contains("WindowGroupLimit") &&
+      p.linesIterator.exists(l => l.contains("WindowGroupLimit") &&
+        l.contains("Partial")),
+      s"no map-side partial top-K (the formulation-sensitive " +
+        s"WindowGroupLimit guarantee) in:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(!exchanges.exists(e => e.contains("embedding#") || e.contains("q_emb#")),
+      s"embeddings crossed a ranking exchange in:\n$p")
+  }
+
   test("r14 t23: the K-th score threshold is a TakeOrdered 1-row " +
        "broadcast (never a global window), and the corpus text never " +
        "crosses an exchange — only int buckets shuffle") {
