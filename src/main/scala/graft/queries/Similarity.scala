@@ -467,11 +467,47 @@ object Similarity {
         col("n_cand"))
   }
 
+  /** The fully-linearized candidate source (`via=lsh`): both N·C terms
+    * of [[s11IvfPairs]] go through the LSH-bucketed codebook — the
+    * target CELL assignment via [[lshCellAssignedAgainst]] (sentinel
+    * singleton cells are never probed, so their members are honestly
+    * unreachable) and the source PROBES via the same co-bucketed-
+    * centroids-only scoring (s9's rule: a source scores ~C·L/2^bits
+    * centroids instead of C). Work per side is N·(candidates), both
+    * bounded corpus-size-independently per row — the d13 `assignVia=lsh`
+    * move applied to the mining ladder. */
+  private def s11LshIvfPairs(src: DataFrame, tgt: DataFrame): DataFrame = {
+    val tgtE = tgt.select(col("t_id").as("vec_id"), col("t_emb").as("embedding"))
+    val cent = centroidsOf(tgtE)
+    val cells = lshCellAssignedAgainst(cent, tgtE)
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+        col("cell"))
+      .filter(col("cell") >= 0)  // sentinel singletons are unreachable
+    val cb = cent.select(col("c_id"), col("c_emb"),
+      explode(tableBuckets(col("c_emb"))).as("bucket"))
+    val wP = Window.partitionBy(col("s_id"))
+      .orderBy(col("p_cos").desc, col("c_id").asc)
+    val probes = src
+      .select(col("s_id"), col("s_emb"),
+        explode(tableBuckets(col("s_emb"))).as("bucket"))
+      .join(broadcast(cb), Seq("bucket"))
+      .dropDuplicates("s_id", "c_id")
+      .withColumn("p_cos", round(cosine_sim(col("s_emb"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= S11bProbe)
+      .select(col("s_id"), col("s_emb"), col("c_id").as("cell"))
+    probes.join(cells, Seq("cell"))
+      .select(col("s_id"), col("t_id"),
+        round(cosine_sim(col("s_emb"), col("t_emb")) * 10000, 0)
+          .cast("long").as("c4"))
+  }
+
   /** s11's pair-source seam (the d13 `assignVia` convention): `exact`
-    * (default — the oracle-gated brute matrix) or `ivf` (the blocked
-    * production path [[s11IvfPairs]]). System property `graft.s11.via`
-    * or env SPARK_GRAFT_S11_VIA; ScaleBench runs with `ivf` measure the
-    * linearized slope on the same catalog entry. */
+    * (default — the oracle-gated brute matrix), `ivf` (the blocked
+    * production path [[s11IvfPairs]], N^1.5 under the sqrt rule), or
+    * `lsh` (the fully-linearized [[s11LshIvfPairs]]). System property
+    * `graft.s11.via` or env SPARK_GRAFT_S11_VIA; ScaleBench runs with
+    * `ivf`/`lsh` measure the tiered slopes on the same catalog entry. */
   private def s11Via: String =
     sys.props.get("graft.s11.via").orElse(sys.env.get("SPARK_GRAFT_S11_VIA"))
       .getOrElse("exact")
@@ -479,8 +515,11 @@ object Similarity {
   def s11BitextMargin(s: SparkSession, dir: String): DataFrame = {
     val src = s11Side(s, dir, S11SrcLang, "s_id", "s_emb")
     val tgt = s11Side(s, dir, S11TgtLang, "t_id", "t_emb")
-    val pairs =
-      if (s11Via == "ivf") s11IvfPairs(src, tgt) else s11ExactPairs(src, tgt)
+    val pairs = s11Via match {
+      case "ivf" => s11IvfPairs(src, tgt)
+      case "lsh" => s11LshIvfPairs(src, tgt)
+      case _     => s11ExactPairs(src, tgt)
+    }
     s11MarginCore(pairs).drop("n_cand").orderBy(col("s_id"))
   }
 

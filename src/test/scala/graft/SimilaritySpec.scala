@@ -216,4 +216,29 @@ class SimilaritySpec extends SparkSpec {
     // sanity: exact default produces the committed-oracle row count
     assert(Similarity.s11BitextMargin(spark, dir).count() == 70L)
   }
+
+  test("s11 via=lsh (the fully-linearized tier): same schema, rows are a " +
+       "subset of the source docs, margins well-formed, matches only " +
+       "real (non-sentinel) target cells") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Similarity.s11BitextMargin(spark, dir)
+    val exactIds = exact.collect().map(_.getAs[Long]("s_id")).toSet
+    System.setProperty("graft.s11.via", "lsh")
+    try {
+      val lsh = Similarity.s11BitextMargin(spark, dir)
+      assert(lsh.schema == exact.schema, "lsh tier changed the schema")
+      val rows = lsh.collect()
+      assert(rows.nonEmpty, "lsh tier mined nothing on the harness corpus")
+      val ids = rows.map(_.getAs[Long]("s_id"))
+      assert(ids.distinct.length == ids.length, "duplicate source rows")
+      assert(ids.forall(exactIds.contains),
+        "lsh tier produced a source the exact tier does not know")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("match_id") >= 0, "sentinel match leaked")
+        val m = r.getAs[Any]("margin")
+        if (m != null) assert(!m.asInstanceOf[Double].isNaN)
+      }
+      info(s"lsh tier: ${rows.length}/${exactIds.size} sources matched")
+    } finally System.clearProperty("graft.s11.via")
+  }
 }
