@@ -259,12 +259,16 @@ object WordShingleHashes {
   * `w_j || ' ' || w_{j+1}` (the WordShingleHashes trick) — nothing is
   * ever concatenated or allocated per bigram.
   *
-  * Bit-compatibility contract (TextAnalysisSpec): on ASCII text this
-  * equals the built-in composition
+  * Bit-compatibility contract (TextAnalysisSpec): this equals the
+  * built-in composition
   * `transform(bigrams, s -> aggregate(chars, 0, (acc, c) -> (acc*131 +
   * ascii(c)) % p) % b)` — which is what the DuckDB oracle replays with
-  * `list_reduce`/`unicode` — because each ASCII char's code point is its
-  * byte. The composition itself is a CodegenFallback higher-order chain
+  * `list_reduce`/`unicode` — on ALL text, not just ASCII: the byte fold
+  * runs only when a same-scan check proves every byte is its own code
+  * point, and any non-ASCII input dispatches to a decoded code-point
+  * fold with identical arithmetic (ADVICE r14; see
+  * [[BigramPolyBuckets.buckets]]).
+  * The composition itself is a CodegenFallback higher-order chain
   * (interpreted per element, a string allocation per bigram: measured
   * ~6 s for t23's scan at sf0.1 where this kernel is ~0.1 s); this is
   * O(bytes) per document with no allocation beyond the output array. */
@@ -305,17 +309,30 @@ object BigramPolyBuckets {
     * if fewer than 2 words). `split(" ")` word semantics — empty segments
     * between consecutive spaces count as words, exactly as in
     * [[WordShingleHashes.hashes]]. Shared by interpreted eval and
-    * generated code. */
+    * generated code.
+    *
+    * The byte fold is the FAST PATH, taken only when every byte is ASCII
+    * (checked in the same scan that counts the spaces — on ASCII each
+    * byte IS its code point, so the fold equals the oracle's
+    * per-character `unicode` fold). Any high byte routes to
+    * [[bucketsCodePoints]], which folds decoded code points — the
+    * oracle's semantics — so a multibyte corpus changes nothing about
+    * cross-engine agreement instead of silently diverging (ADVICE r14:
+    * the ASCII contract is now enforced by dispatch, not assumed). */
   def buckets(s: UTF8String, p: Long, nb: Int): Array[Int] = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes
     var spaces = 0
+    var nonAscii = false
     var i = 0
     while (i < len) {
-      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) spaces += 1
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (b == 0x20) spaces += 1
+      if ((b & 0x80) != 0) nonAscii = true
       i += 1
     }
+    if (nonAscii) return bucketsCodePoints(s.toString, p, nb)
     val m = spaces + 1
     if (m < 2) return Array.emptyIntArray
     val starts = new Array[Int](m)
@@ -339,6 +356,46 @@ object BigramPolyBuckets {
       while (k < e) {
         acc = (acc * 131L +
           (org.apache.spark.unsafe.Platform.getByte(base, off + k) & 0xFF)) % p
+        k += 1
+      }
+      out(j) = (acc % nb).toInt
+      j += 1
+    }
+    out
+  }
+
+  /** The non-ASCII fallback: identical word split (on the space code
+    * point) and identical polynomial fold, but over decoded Unicode code
+    * points — exactly what the DuckDB oracle's `unicode` per-character
+    * fold and the Spark `transform`+`aggregate` reference composition
+    * compute. Max code point 0x10FFFF keeps acc·131 + cp < 2³¹ for the
+    * catalog modulus, well inside Long regardless. */
+  private def bucketsCodePoints(str: String, p: Long, nb: Int): Array[Int] = {
+    val cps = str.codePoints().toArray
+    val n = cps.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (cps(i) == 0x20) spaces += 1; i += 1 }
+    val m = spaces + 1
+    if (m < 2) return Array.emptyIntArray
+    val starts = new Array[Int](m)
+    val ends = new Array[Int](m)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < n) {
+      if (cps(i) == 0x20) { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = n
+    val out = new Array[Int](m - 1)
+    var j = 0
+    while (j < m - 1) {
+      var acc = 0L
+      var k = starts(j)
+      val e = ends(j + 1) // span covers "w_j<space>w_{j+1}" exactly
+      while (k < e) {
+        acc = (acc * 131L + cps(k)) % p
         k += 1
       }
       out(j) = (acc % nb).toInt

@@ -379,9 +379,10 @@ object Similarity {
     * slices smaller than k stay exact averages).
     *
     * Scale shape: this is the mining ladder's EXACT tier (s1's role):
-    * the src×tgt score matrix is a broadcast-nested-loop of the smaller
-    * language slice — quadratic in slice size, ground truth at harness
-    * scale. The production tier at 100 TB is the same margin arithmetic
+    * the src×tgt score matrix is a broadcast-nested-loop of the SOURCE
+    * slice (the structurally smaller side here — see
+    * [[s11ExactPairs]]) — quadratic in slice size, ground truth at
+    * harness scale. The production tier at 100 TB is the same margin arithmetic
     * over s3/s9's bucket-blocked candidate pairs (candidate generation
     * is ALREADY measured there; the margin stage adds two bounded
     * integer aggregations on whatever pair set feeds it — both
@@ -398,8 +399,15 @@ object Similarity {
       .select(col("vec_id").as(idc), col("embedding").as(embc))
   }
 
-  /** The exact src×tgt pair matrix (broadcast-nested-loop of the smaller
-    * language slice) with integer ten-thousandth cosines. */
+  /** The exact src×tgt pair matrix with integer ten-thousandth cosines.
+    * The SOURCE slice is always the broadcast side (ADVICE r14 — the code
+    * never measures which slice is smaller): with the catalog's
+    * [[S11SrcLang]] = "de" (~15% of the corpus by the harness lang mix)
+    * against [[S11TgtLang]] = "en" (~40%), that IS the smaller side at
+    * every SF. A deployment mining FROM the larger language should swap
+    * the mining direction (the margin is symmetric in x and y —
+    * arXiv:1811.01136 §3 — so mining en→de and transposing the pair is
+    * the memory-safe formulation), not broadcast the larger slice. */
   private def s11ExactPairs(src: DataFrame, tgt: DataFrame): DataFrame =
     broadcast(src).join(tgt, col("s_id") =!= col("t_id"))
       .select(col("s_id"), col("t_id"),

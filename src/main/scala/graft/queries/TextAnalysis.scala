@@ -970,10 +970,17 @@ object TextAnalysis {
     * total with the kernel. */
   private[graft] val T23HashP = 1000003L
 
+  /** t23's target-distribution language (the "high-quality domain"
+    * stand-in). ONE constant interpolated into both the engine's
+    * `count_if` and the DuckDB oracle's FILTER (the s11
+    * [[graft.queries.Similarity.S11SrcLang]] convention, ADVICE r14) so
+    * the two sides cannot silently desynchronize. */
+  private[graft] val T23TargetLang = "en"
+
   /** t23 — DSIR importance scoring (Data Selection via Importance
     * Resampling, Xie et al. 2023, arXiv:2302.03169): score every document
     * by how much more likely its hashed bigram features are under a
-    * TARGET distribution (here the `lang = 'en'` slice, the
+    * TARGET distribution (here the `lang = [[T23TargetLang]]` slice, the
     * "high-quality domain" stand-in) than under the RAW corpus
     * distribution, then keep the top-[[T23SelectK]]. The importance
     * weight is  log p_target(x) − p_raw(x)  summed over the doc's hashed
@@ -1005,7 +1012,8 @@ object TextAnalysis {
         explode(bigram_poly_buckets(col("text"), T23HashP, T23Buckets))
           .as("bucket"))
     val feat = occ.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_r"), expr("count_if(lang = 'en')").as("n_t"))
+      .agg(count(lit(1)).as("n_r"),
+        expr(s"count_if(lang = '$T23TargetLang')").as("n_t"))
     // whole-corpus totals: one row off the ≤512-row feature table
     val tot = feat.agg(sum(col("n_r")).cast("long").as("t_r"),
       sum(col("n_t")).cast("long").as("t_t"))
@@ -1569,7 +1577,7 @@ object TextAnalysis {
          |  FROM bg
          |), feat AS (
          |  SELECT bucket, count(*) AS n_r,
-         |         count(*) FILTER (WHERE lang = 'en') AS n_t
+         |         count(*) FILTER (WHERE lang = '$T23TargetLang') AS n_t
          |  FROM occ GROUP BY 1
          |), tot AS (
          |  SELECT CAST(sum(n_r) AS BIGINT) AS t_r,

@@ -514,7 +514,15 @@ class TextAnalysisSpec extends SparkSpec {
       " a b c ",    // leading/trailing spaces
       "a",          // too short → empty
       "",           // empty string → single empty word → empty
-      "x y x y"     // repeats keep EVERY occurrence (no dedup)
+      "x y x y",    // repeats keep EVERY occurrence (no dedup)
+      // non-ASCII routes to the code-point fallback (ADVICE r14): the
+      // built-in composition is per-character, so these rows prove the
+      // kernel agrees beyond the ASCII fast path — 2-byte (é/ö), 3-byte
+      // (CJK) and 4-byte (supplementary 🎉) encodings, plus mixed words
+      "héllo wörld naïve",
+      "日本 語 テスト",
+      "a é 🎉 b",
+      "ascii mixé ascii"
     ).toDF("text")
     val harness = graft.sources.Tables.documents(spark, sfDir).select("text")
     val ref = expr(
