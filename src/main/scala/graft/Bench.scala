@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   *     >1.5x jump is emitted under `"regressions"` with its ratio, so a
   *     real regression — or a contaminated window — is visible in the
   *     artifact itself instead of waiting for a human diff.
+  *   - Steady-regime gate + A/B rows (r15, VERDICT r14 #1): passes are
+  *     calibration-gated against a pinned reference level (0.060 s, the
+  *     r13-era steady kernel), committed stats prefer steady passes,
+  *     and the bar queries additionally ship interleaved
+  *     (calibration, query) sample pairs under `"ab"` so raw numbers
+  *     can be separated from host regime inside the artifact. See the
+  *     inline docs in [[main]].
   */
 object Bench {
 
@@ -171,6 +178,41 @@ object Bench {
       if (driverProfile) "BENCH_DRIVERPROFILE.json" else "BENCH_SELF.json"
     val spark = BenchSupport.session(cpus)
 
+    // STEADY-REGIME GATE (r15, VERDICT r14 #1): the q4/q6 raw bar spent
+    // two rounds hostage to host steal — captures ran at calibration
+    // levels ~1.8x the r13-era 0.060 s reference and every per-query
+    // number carried machine, not code. The reference level is pinned
+    // here (env-overridable); a pass is STEADY when its pre-pass
+    // calibration is <= 1.15x that level. Before each pass the bench
+    // polls the kernel and, while drifting, sleeps and re-polls (bounded
+    // retries) — and if the planned passes all landed drifting it
+    // appends bounded EXTRA passes hunting a steady window. Committed
+    // per-query stats use STEADY passes only whenever at least one
+    // exists; the full per-pass calibration trace is emitted so the
+    // artifact itself shows which regime produced each number. The
+    // driver profile (4 cpus) has a different kernel level, so the gate
+    // arms only under the bench profile unless SPARK_GRAFT_CALIB_REF is
+    // set explicitly.
+    val calibRef = sys.env.get("SPARK_GRAFT_CALIB_REF").map(_.toDouble)
+      .getOrElse(if (driverProfile) Double.NaN else 0.060)
+    val gated = !calibRef.isNaN
+    val steadyLevel = calibRef * 1.15
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_CALIB_RETRIES", "2").toInt
+    val retrySleepMs =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_SLEEP_MS", "15000").toInt
+    val extraPasses = sys.env.getOrElse("SPARK_GRAFT_EXTRA_PASSES", "2").toInt
+
+    def gatedCalibrate(): Double = {
+      var c = calibrate(spark)
+      var r = 0
+      while (gated && c > steadyLevel && r < maxRetries) {
+        Thread.sleep(retrySleepMs.toLong)
+        c = calibrate(spark)
+        r += 1
+      }
+      c
+    }
+
     val names = emitOrder(SparkEntry.queries.keys.toSeq
       .filterNot(SparkEntry.benchExclude))
     val wDir = BenchSupport.warmupDir(sfDir)
@@ -178,25 +220,37 @@ object Bench {
     // drop warmup-SF shared-stage artifacts: timed runs re-prime at sfDir
     SharedStage.release(spark)
 
-    val calibPre = calibrate(spark)
-    // PASS-MAJOR capture protocol (VERDICT r13 #2): each of the `runs`
-    // passes runs the whole catalog once, so a query's samples are
-    // separated in time by a full catalog sweep instead of being
-    // back-to-back repeats — a transient host/JVM condition (the r13 q4
-    // 1.502 s min-of-5 read) can no longer poison every sample of one
-    // query while leaving its neighbors untouched. Per-query spread
-    // (min/median/max across passes) is emitted so bar verdicts can use
-    // the median of >=3 independent captures, decided by data the
-    // artifact itself contains.
+    // PASS-MAJOR capture protocol (VERDICT r13 #2): each pass runs the
+    // whole catalog once, so a query's samples are separated in time by
+    // a full catalog sweep instead of being back-to-back repeats — a
+    // transient host/JVM condition (the r13 q4 1.502 s min-of-5 read)
+    // can no longer poison every sample of one query while leaving its
+    // neighbors untouched. Per-query spread (min/median/max across the
+    // COMMITTED passes) is emitted so bar verdicts are decided by data
+    // the artifact itself contains.
     val samples = names.map(_ -> Vector.newBuilder[Double]).toMap
-    (1 to runs).foreach { _ =>
+    val passCalibB = Vector.newBuilder[Double]
+    var pass = 0
+    var steadySeen = false
+    def wantMore: Boolean =
+      pass < runs || (gated && !steadySeen && pass < runs + extraPasses)
+    while (wantMore) {
+      val c = gatedCalibrate()
+      passCalibB += c
+      if (!gated || c <= steadyLevel) steadySeen = true
       names.foreach(n => samples(n) += BenchSupport.once(spark, n, sfDir))
+      pass += 1
     }
+    val passCalib = passCalibB.result()
     val calibPost = calibrate(spark)
     SharedStage.release(spark)
 
+    val steadyIdx = passCalib.indices.filter(i => passCalib(i) <= steadyLevel)
+    val useIdx: Seq[Int] =
+      if (gated && steadyIdx.nonEmpty) steadyIdx else passCalib.indices
     def stats(n: String): (Double, Double, Double) = {
-      val v = samples(n).result()
+      val all = samples(n).result()
+      val v = useIdx.map(all)
       if (v.contains(-1.0)) (-1.0, -1.0, -1.0)
       else {
         val s = v.sorted
@@ -204,6 +258,7 @@ object Bench {
       }
     }
     val timed = names.map(n => n -> stats(n)._1)
+    val calibPre = passCalib.head
     // ratio 2.0: generous against residual JVM-state jitter on a 0.07 s
     // kernel (observed up to 1.5x on an idle box), far below the 5-12x
     // drift of a genuinely contaminated window (r9); the absolute
@@ -211,12 +266,14 @@ object Bench {
     val calibRatio = math.max(calibPre, calibPost) / math.min(calibPre, calibPost)
     val suspect = calibRatio > 2.0 ||
       math.max(calibPre, calibPost) > calibEnvelope
-    // the finer host-regime gate (SCALING.md r13 note): cross-round
-    // comparisons are only sound between captures whose calibration
-    // ratio is <=1.15 — above that the host was flipping between its
-    // fast/slow regimes mid-window and per-query numbers carry up to
-    // ~1.8x of machine, not code
-    val regime = if (calibRatio <= 1.15) "steady" else "drifting"
+    // regime now names the regime of the COMMITTED passes: under the
+    // gate, "steady" means every committed pass calibrated <= 1.15x the
+    // pinned reference (cross-round comparisons are sound); ungated
+    // falls back to the pre/post-ratio rule
+    val regime =
+      if (gated) { if (steadyIdx.nonEmpty) "steady" else "drifting" }
+      else if (calibRatio <= 1.15) "steady"
+      else "drifting"
     def f(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
     def f4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // cross-SF ratios are meaningless: baselines() already rejected any
@@ -230,6 +287,37 @@ object Bench {
       if (ratios.isEmpty) None else Some(n -> ratios.max)
     }
 
+    // INTERLEAVED A/B ROWS (VERDICT r14 #1's fallback half): for the bar
+    // queries, (calibration, query) sample pairs taken back-to-back in
+    // the same JVM — each raw number ships with the machine level that
+    // prevailed seconds before it, so the artifact separates code from
+    // regime even when no steady window appeared all round. `norm` is
+    // raw scaled to the reference level (raw * ref / calib) — the
+    // protocol the r14 verdict applied by hand. Methodology note: these
+    // samples follow calibrate()'s System.gc(), so they measure the
+    // query in a quiet JVM — the apples-to-apples twin of the
+    // reference's per-query isolated microbenchmark (times=5 on one
+    // query at a time), where the catalog-sweep numbers above carry
+    // whatever heap state ~100 preceding queries left behind (the r13
+    // "primed JVM" effect, measured at up to 2x on q4). The samples are
+    // steady-gated like the passes.
+    val abNames = sys.env.getOrElse("SPARK_GRAFT_AB",
+        "q3_join_groupcount,q4_derived_diff_filter,q6_semijoin_having_distinct")
+      .split(",").map(_.trim).filter(names.contains).toSeq
+    val abRounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "5").toInt
+    val abJson = abNames.map { n =>
+      val pairs = (1 to abRounds).map { _ =>
+        val c = gatedCalibrate()
+        (c, BenchSupport.once(spark, n, sfDir))
+      }.filter(_._2 >= 0)
+      if (pairs.isEmpty) "\"" + n + "\":null"
+      else {
+        val (c, t) = pairs.minBy(_._2)
+        val norm = if (gated) s""","norm":${f4(t * calibRef / c)}""" else ""
+        "\"" + n + s"""":{"raw":${f4(t)},"calib":${f(c)}$norm}"""
+      }
+    }.mkString("{", ",", "}")
+
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val spreadJson = names.map { n =>
@@ -239,17 +327,19 @@ object Bench {
     val total = timed.map(_._2).filter(_ >= 0).sum
     val regJson = regressions
       .map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
+    val passCalibJson = passCalib.map(f).mkString("[", ",", "]")
+    val refJson = if (gated) f(calibRef) else "null"
     val calibJson =
-      s"""{"pre":${f(calibPre)},"post":${f(calibPost)},"ratio":${f(calibRatio)},"envelope":${f(calibEnvelope)}}"""
+      s"""{"pre":${f(calibPre)},"post":${f(calibPost)},"ratio":${f(calibRatio)},"envelope":${f(calibEnvelope)},"ref":$refJson,"pass_calib":$passCalibJson,"steady_passes":${steadyIdx.size},"committed_passes":${useIdx.size}}"""
     val prevJson =
       if (prevs.isEmpty) "null"
       else "\"" + prevs.map(_._1).mkString(",") + "\""
     val profileJson = if (driverProfile) "driver" else "bench"
     // field order matters for the truncated-tail failure mode: the big
     // spread map goes FIRST and the bar-query tail of `queries` plus the
-    // small verdict-bearing fields (calibration, regime, suspect,
+    // small verdict-bearing fields (ab, calibration, regime, suspect,
     // regressions) go last, inside any plausible tail window
-    val json = s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"profile":"$profileJson","spread":$spreadJson,"queries":$qs,"calibration":$calibJson,"regime":"$regime","suspect":$suspect,"prev":$prevJson,"regressions":$regJson}"""
+    val json = s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","runs":${passCalib.size},"profile":"$profileJson","spread":$spreadJson,"queries":$qs,"ab":$abJson,"calibration":$calibJson,"regime":"$regime","suspect":$suspect,"prev":$prevJson,"regressions":$regJson}"""
     println(json)
     writeSelf(json, selfFile)
     spark.stop()

@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   * frequency of type i is ∝ 1/i) — the open-web token-frequency shape
   * that t12's head-broadcast split ([[graft.queries.TextAnalysis
   * .t12SurprisalZipf]]) is designed for, and which the near-uniform
-  * harness vocabulary cannot exhibit. SCALING.md records the measured
+  * harness vocabulary cannot exhibit. Since r15 the head ranks ARE the
+  * English function words ([[ZipfHead]]) so the langid-gated pipelines
+  * stay non-degenerate on this corpus. SCALING.md records the measured
   * crossover between the two t12 plans on both corpora.
   *
   * A `skew` variant regenerates `embeddings` with HALF the vectors in
@@ -61,6 +63,20 @@ object ScaleGen {
     * 1e4 keeps the head/tail split non-degenerate at every test SF). */
   private val ZipfV = 10000
 
+  /** Zipf-mode head types (r15, VERDICT r14 #5): ranks 1–6 of the Zipf
+    * draw are the English function words of the t3 langid profile —
+    * exactly how natural language behaves (the head of a real
+    * token-frequency law IS the stopword set; "the" alone is ~6 % of
+    * English). Under the inverse-CDF draw their combined mass is
+    * ln 6 / ln V ≈ 19.5 %, so the langid gate sees the evidence an
+    * in-domain corpus provides and p6's funnel no longer empties at
+    * stage c (the r14 zipf row was degenerate: a stopword-free `w<k>`
+    * vocabulary predicts `und` for every document). Ranks 7+ keep the
+    * synthetic `w<k>` types, so the head/tail frequency SHAPE t12/t20
+    * stress is unchanged — only the head types' spelling moved onto
+    * the stopword profile. */
+  private val ZipfHead = Seq("the", "a", "of", "to", "in", "and")
+
   private def h(cols: Column*): Column = xxhash64(cols: _*)
 
   def main(args: Array[String]): Unit = {
@@ -81,10 +97,14 @@ object ScaleGen {
       pmod(h(docId, lit("dup")), lit(250)) === 0 && docId > 0, docId - 1
     ).otherwise(docId)
     val tok: Column => Column =
-      if (zipf) i => concat(lit("w"),
-        ceil(pow(lit(ZipfV.toDouble),
+      if (zipf) i => {
+        val idx = ceil(pow(lit(ZipfV.toDouble),
           pmod(h(seed, lit("tok"), i), lit(1000000)) / lit(1000000.0)))
-          .cast("long"))
+          .cast("long")
+        when(idx <= ZipfHead.size,
+          element_at(array(ZipfHead.map(lit): _*), idx.cast("int")))
+          .otherwise(concat(lit("w"), idx))
+      }
       else i => element_at(
         array(Vocab.map(lit): _*),
         (pmod(h(seed, lit("tok"), i), lit(Vocab.size)) + 1).cast("int"))

@@ -264,10 +264,18 @@ object Similarity {
     * oracles pin them. */
   private[queries] def sharedCells(s: SparkSession, dir: String): DataFrame = {
     val via = Dedup.D13AssignVia
-    graft.SharedStage.getOrCompute(s, dir,
-        if (via == "lsh") "s2_cells_lsh" else "s2_cells") {
+    val key = via match {
+      case "lsh"      => "s2_cells_lsh"
+      case "twolevel" => "s2_cells_twolevel"
+      case _          => "s2_cells"
+    }
+    graft.SharedStage.getOrCompute(s, dir, key) {
       val e = embeddings(s, dir)
-      if (via == "lsh") lshCellAssigned(e) else cellAssigned(e)
+      via match {
+        case "lsh"      => lshCellAssigned(e)
+        case "twolevel" => twoLevelCellAssigned(e)
+        case _          => cellAssigned(e)
+      }
     }
   }
 
@@ -359,6 +367,17 @@ object Similarity {
   /** Probed target cells per source vector in the blocked tier (s2's
     * recall-vs-scan knob, re-used for mining candidates). */
   private[graft] val S11bProbe = 2
+  /** Per-(source, probed-cell) candidate shortlist kept by the blocked
+    * tier BEFORE the margin stage (r15, VERDICT r14 #2). Set to
+    * [[S11MarginK]] because that is exactly what the margin arithmetic
+    * consumes from the source side: the global top-k of a union of
+    * probed cells is contained in the union of the per-cell top-k's
+    * (any global top-k member is in its own cell's top-k), so the
+    * s-side neighborhood sums AND the best match are IDENTICAL to the
+    * unshortlisted tier — only the t-side neighborhood is now computed
+    * over the shortlisted pair set (the documented blocked-tier rule,
+    * replayed by the s11b oracle). */
+  private[graft] val S11ShortlistK = S11MarginK
 
   /** s11 — margin-based bitext mining (Artetxe & Schwenk 2019,
     * arXiv:1811.01136 §3; the CCMatrix/LASER parallel-corpus shape): for
@@ -422,7 +441,23 @@ object Similarity {
     * N_src·P·(N_tgt/C) candidate cosines instead of N_src·N_tgt,
     * the s2 posture (N^1.5 under the sqrt rule; s9's LSH-assisted
     * assignment is the further linearization, unchanged here). Cells
-    * partition tgt, so the candidate set needs no dedup. */
+    * partition tgt, so the candidate set needs no dedup.
+    *
+    * r15 (VERDICT r14 #2 — the sf30 N^1.5 stage was NOT the cosine
+    * flops but the full probed-cell pair mass flowing through
+    * [[s11MarginCore]]'s two windows and three joins): each
+    * (source, probed cell) keeps only its top-[[S11ShortlistK]]
+    * candidates by (c4, t_id), expressed as `row_number() <= k` so
+    * Spark plans a PARTIAL WindowGroupLimit below the exchange (the s1
+    * pattern, PlanSpec-pinned) — every map partition emits at most k
+    * rows per (s_id, cell) group, so downstream volume is O(N_src·P·k)
+    * regardless of cell size. The scored-candidate volume itself is
+    * unchanged (that term is linear-per-row and codegen'd); what the
+    * shortlist removes is the superlinear shuffle/sort mass. Source-side
+    * margins and the best match are EXACTLY the unshortlisted tier's
+    * (per-cell top-k contains the global top-k — see [[S11ShortlistK]]);
+    * the t-side neighborhood is defined over the shortlisted set and the
+    * s11b oracle replays that rule. */
   private def s11IvfPairs(src: DataFrame, tgt: DataFrame): DataFrame = {
     val tgtE = tgt.select(col("t_id").as("vec_id"), col("t_emb").as("embedding"))
     val cent = centroidsOf(tgtE)
@@ -436,10 +471,24 @@ object Similarity {
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= S11bProbe)
       .select(col("s_id"), col("s_emb"), col("c_id").as("cell"))
+    s11CellPairs(probes, cells)
+  }
+
+  /** The shared candidate-scoring + shortlist tail of every blocked s11
+    * tier: join probes to cell members, score c4, keep each
+    * (source, probed cell)'s top-[[S11ShortlistK]] (see [[s11IvfPairs]]
+    * — a WindowGroupLimit with no exchange below it, the cell join's
+    * partitioning already clusters the group key). */
+  private def s11CellPairs(probes: DataFrame, cells: DataFrame): DataFrame = {
+    val wShort = Window.partitionBy(col("s_id"), col("cell"))
+      .orderBy(col("c4").desc, col("t_id").asc)
     probes.join(cells, Seq("cell"))
-      .select(col("s_id"), col("t_id"),
+      .select(col("s_id"), col("cell"), col("t_id"),
         round(cosine_sim(col("s_emb"), col("t_emb")) * 10000, 0)
           .cast("long").as("c4"))
+      .withColumn("sr", row_number().over(wShort))
+      .filter(col("sr") <= S11ShortlistK)
+      .select(col("s_id"), col("t_id"), col("c4"))
   }
 
   /** The margin arithmetic over ANY (s_id, t_id, c4) pair source:
@@ -504,18 +553,49 @@ object Similarity {
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= S11bProbe)
       .select(col("s_id"), col("s_emb"), col("c_id").as("cell"))
-    probes.join(cells, Seq("cell"))
-      .select(col("s_id"), col("t_id"),
-        round(cosine_sim(col("s_emb"), col("t_emb")) * 10000, 0)
-          .cast("long").as("c4"))
+    // same shortlist as every blocked tier: the tiers differ only in
+    // HOW cells/probes are found, not in what the margin stage consumes
+    s11CellPairs(probes, cells)
+  }
+
+  /** The two-level candidate source (`via=twolevel`, r15): both N·C
+    * assignment terms of [[s11IvfPairs]] — the target-side cell build
+    * AND the source-side probe scoring — go through the two-level
+    * codebook ([[twoLevelCellAssignedAgainst]] /
+    * [[twoLevelCodebook]]): a vector scores ~3·sqrt(C) centroids
+    * instead of C, cutting the tier's one remaining superlinear stage
+    * (the r15 shortlist removed the pair-mass term; `SCALE_300X_S11SHORT`
+    * measured what was left at tail 1.23 — assignment). Source probes
+    * rank the top-[[S11bProbe]] cells among the candidate centroids of
+    * their top-[[TwoLevelProbe]] super-cells; same rounded-cosine /
+    * lowest-id determinism as every other tier. */
+  private def s11TwoLevelPairs(src: DataFrame, tgt: DataFrame): DataFrame = {
+    val tgtE = tgt.select(col("t_id").as("vec_id"), col("t_emb").as("embedding"))
+    val cent = centroidsOf(tgtE)
+    val cells = twoLevelCellAssignedAgainst(cent, tgtE)
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+        col("cell"))
+      .filter(col("cell") >= 0) // sentinel singletons are unreachable
+    val (supers, centGroups) = twoLevelCodebook(cent)
+    val sProbes = twoLevelProbes(supers, src, "s_id", "s_emb")
+    val wP = Window.partitionBy(col("s_id"))
+      .orderBy(col("p_cos").desc, col("c_id").asc)
+    val probes = sProbes.join(broadcast(centGroups), Seq("grp"))
+      .withColumn("p_cos", round(cosine_sim(col("s_emb"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= S11bProbe)
+      .select(col("s_id"), col("s_emb"), col("c_id").as("cell"))
+    s11CellPairs(probes, cells)
   }
 
   /** s11's pair-source seam (the d13 `assignVia` convention): `exact`
     * (default — the oracle-gated brute matrix), `ivf` (the blocked
-    * production path [[s11IvfPairs]], N^1.5 under the sqrt rule), or
-    * `lsh` (the fully-linearized [[s11LshIvfPairs]]). System property
-    * `graft.s11.via` or env SPARK_GRAFT_S11_VIA; ScaleBench runs with
-    * `ivf`/`lsh` measure the tiered slopes on the same catalog entry. */
+    * production path [[s11IvfPairs]], N^1.5 under the sqrt rule),
+    * `twolevel` (ivf with the two-level codebook on both assignment
+    * terms — [[s11TwoLevelPairs]]), or `lsh` (the LSH-bucketed
+    * [[s11LshIvfPairs]]). System property `graft.s11.via` or env
+    * SPARK_GRAFT_S11_VIA; ScaleBench runs with the non-default values
+    * measure the tiered slopes on the same catalog entry. */
   private def s11Via: String =
     sys.props.get("graft.s11.via").orElse(sys.env.get("SPARK_GRAFT_S11_VIA"))
       .getOrElse("exact")
@@ -524,9 +604,10 @@ object Similarity {
     val src = s11Side(s, dir, S11SrcLang, "s_id", "s_emb")
     val tgt = s11Side(s, dir, S11TgtLang, "t_id", "t_emb")
     val pairs = s11Via match {
-      case "ivf" => s11IvfPairs(src, tgt)
-      case "lsh" => s11LshIvfPairs(src, tgt)
-      case _     => s11ExactPairs(src, tgt)
+      case "ivf"      => s11IvfPairs(src, tgt)
+      case "twolevel" => s11TwoLevelPairs(src, tgt)
+      case "lsh"      => s11LshIvfPairs(src, tgt)
+      case _          => s11ExactPairs(src, tgt)
     }
     s11MarginCore(pairs).drop("n_cand").orderBy(col("s_id"))
   }
@@ -667,6 +748,149 @@ object Similarity {
     * alternative to [[cellAssigned]]. */
   private[graft] def lshCellAssigned(e: DataFrame): DataFrame =
     lshCellAssignedAgainst(centroids(e), e)
+
+  /** Super-cells probed per vector in the two-level assignment: 2 keeps
+    * the cost at ~3·sqrt(C) scored centroids per vector while covering
+    * the argmax whenever it sits in the first OR second super-cell. */
+  private[graft] val TwoLevelProbe = 2
+
+  /** The two-level codebook: S = ceil(sqrt C) super-centroids seeded
+    * from the CENTROID table by the same idMix TakeOrdered rule, and
+    * every centroid assigned to its argmax super-cell (C·S cosines —
+    * vanishing; both tables broadcast). Shared by
+    * [[twoLevelCellAssignedAgainst]] and s11's `twolevel` probe side so
+    * the two sides can never drift. */
+  private[queries] def twoLevelCodebook(cent: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val s = math.max(2, math.ceil(math.sqrt(cent.count().toDouble)).toInt)
+    val supers = cent.orderBy(idMix(col("c_id")), col("c_id")).limit(s)
+      .select(col("c_id").as("g_id"), col("c_emb").as("g_emb"))
+    val centGroups = cent.join(broadcast(supers), lit(true))
+      .withColumn("g_cos", round(cosine_sim(col("c_emb"), col("g_emb")), 4))
+      .groupBy(col("c_id"))
+      .agg(first(col("c_emb")).as("c_emb"),
+        max_by(col("g_id"), struct(col("g_cos"), (-col("g_id")).as("nid")))
+          .as("grp"))
+      .select(col("grp"), col("c_id"), col("c_emb"))
+    (supers, centGroups)
+  }
+
+  /** Two-level (hierarchical-codebook) cell assignment —
+    * `assignVia=twolevel` (r15, VERDICT r14 #4): instead of scoring all
+    * C centroids (N·C = N^1.5 under the sqrt rule — the engine's one
+    * superlinear default term), the CODEBOOK itself is clustered:
+    * S = ceil(sqrt C) super-centroids are seeded from the centroid
+    * table by the same idMix TakeOrdered rule, each centroid joins its
+    * argmax super-cell (C·S cosines — vanishing), and a vector scores
+    * the S supers, probes its top-[[TwoLevelProbe]], and scores only
+    * the centroids resident there: N·(S + P·E[C/S]) ≈ N·3·sqrt(C)
+    * cosines, i.e. N^1.25 under C ∝ sqrt(N) — against lsh's
+    * N·C·L/2^bits. This is the classic two-level IVF / IMI build shape
+    * (e.g. Babenko & Lempitsky's inverted multi-index, arXiv public).
+    *
+    * Approximate like lsh — the true argmax can live in an unprobed
+    * super-cell — so it lives behind the same [[Dedup.D13AssignVia]]
+    * seam, is measured by the same honesty kit ([[graft.D13LshProbe]]
+    * takes `twolevel` as its via argument), and the driver-SF oracles
+    * stay pinned to the exact default. Failure mode differs from lsh in
+    * the right direction for dedup: a miss lands in the RUNNER-UP
+    * super-cell's best centroid — geometrically adjacent, so cluster
+    * mass stays together — where an lsh miss with no co-bucketed
+    * centroid is a sentinel singleton. Every super-cell holds ≥0
+    * centroids (supers are seeds, assignment is by argmax); a vector
+    * whose probed supers are both empty of centroids keeps the lsh
+    * sentinel convention (−vec_id − 1, visibly undeduped), though with
+    * P = 2 and argmax assignment this requires two adjacent empty
+    * super-cells — not observed on any measured corpus.
+    *
+    * Plan shape: both codebook tables are broadcast (S and C rows); the
+    * probe top-P is SCAN-SIDE — the S supers are packed into one
+    * broadcast row and each vector picks its top-P by
+    * `slice(array_sort(...))` over struct(−cos, g_id), so NO window and
+    * NO embedding-carrying exchange exists anywhere in the probe stage
+    * (the first formulation used `row_number() <= P`, which shipped
+    * N·P embedding rows through a vec_id exchange — at sf30 a ~360 MB
+    * shuffle that erased the cosine savings); the final argmax is the
+    * map-side max_by of [[cellAssignedAgainst]] — bit-identical
+    * ordering (4-dp rounded cosine, lowest-id tie-break; struct
+    * ascending on (−cos, id) IS (cos desc, id asc)) at every level, so
+    * the DuckDB honesty-kit replays are exact. */
+  private[graft] def twoLevelCellAssignedAgainst(cent: DataFrame,
+      e: DataFrame): DataFrame = {
+    val (supers, centGroups) = twoLevelCodebook(cent)
+    val probes =
+      twoLevelProbes(supers, e, "vec_id", "embedding")
+    val assigned = probes.join(broadcast(centGroups), Seq("grp"))
+      .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("nid")))
+        .as("cell"))
+    e.join(assigned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("cell"), -col("vec_id") - 1).as("cell"))
+  }
+
+  /** Scan-side top-[[TwoLevelProbe]] super-cells for each row of `e`:
+    * the packed-broadcast + array_sort formulation (see
+    * [[twoLevelCellAssignedAgainst]]'s plan note) — one row per
+    * (vector, probed super-cell), columns (idc, embc, grp), produced
+    * without any exchange. Shared by the d13 assignment and s11's
+    * `twolevel` probe side. */
+  private def twoLevelProbes(supers: DataFrame, e: DataFrame,
+      idc: String, embc: String): DataFrame = {
+    val packed = supers
+      .agg(collect_list(struct(col("g_id"), col("g_emb"))).as("gs"))
+    e.crossJoin(broadcast(packed))
+      .select(col(idc), col(embc),
+        explode(slice(
+          array_sort(transform(col("gs"), g =>
+            struct((-round(cosine_sim(col(embc), g("g_emb")), 4)).as("nc"),
+              g("g_id").as("g_id")))),
+          1, TwoLevelProbe)).as("tp"))
+      .select(col(idc), col(embc), col("tp.g_id").as("grp"))
+  }
+
+  /** [[twoLevelCellAssignedAgainst]] with self-seeded centroids — the
+    * third drop-in behind the d13 assignment seam. */
+  private[graft] def twoLevelCellAssigned(e: DataFrame): DataFrame =
+    twoLevelCellAssignedAgainst(centroids(e), e)
+
+  /** Sampled top1−top2 assignment-margin statistic (r15, VERDICT r14
+    * #3 — make `assignVia` selection measured, not manual): one cheap
+    * aggregate over ~`sampleTarget` idMix-strided vectors scoring the
+    * REAL codebook (the same centroid table d13 assigns against),
+    * reporting the mean/median/p25 of (top1 − top2) rounded-cosine
+    * margin plus the mean top-1 cosine. The two statistics separate the
+    * corpus geometries the honesty kit quantified: a CLUSTERED
+    * (trained-embedding-like) corpus reads mean_top1 near the
+    * within-cluster band (≈0.9+) because most vectors sit on a dense
+    * centroid, while the near-uniform synthetic corpus tops out near
+    * the random-pair band (≈0.5). The decision rule calibrated on the
+    * measured corpora lives in SCALING.md; the probe main is
+    * [[graft.D13LshProbe]]'s `margin` mode. */
+  private[graft] def assignMarginProbe(e: DataFrame,
+      sampleTarget: Long = 1000L): DataFrame = {
+    val n = e.count()
+    val stride = math.max(1L, n / sampleTarget)
+    val sample = e.filter(pmod(idMixOf(col("vec_id")), lit(stride)) === 0)
+    val cent = centroids(e)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val top2 = sample.join(broadcast(cent), lit(true))
+      .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("c_cos"))).as("c1"),
+        max(when(col("rn") === 2, col("c_cos"))).as("c2"))
+      .withColumn("margin", col("c1") - col("c2"))
+    top2.agg(count(lit(1)).as("n_sampled"),
+      round(avg(col("margin")), 4).as("mean_margin"),
+      round(expr("percentile(margin, 0.5)"), 4).as("median_margin"),
+      round(expr("percentile(margin, 0.25)"), 4).as("p25_margin"),
+      round(avg(col("c1")), 4).as("mean_top1"),
+      round(expr("percentile(c1, 0.5)"), 4).as("median_top1"))
+  }
 
   def s9LshAssign(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
@@ -1544,7 +1768,8 @@ object Similarity {
          |FROM scored ORDER BY s_id""".stripMargin,
     // s11b: the blocked tier replayed whole — tgt-slice codebook by the
     // balanced sqrt rule, argmax cell assignment, top-P probes per src,
-    // margins over the candidate pairs, agreement vs the exact best.
+    // the per-(src, cell) top-K shortlist (r15), margins over the
+    // shortlisted pairs, agreement vs the exact best.
     "s11b_bitext_blocked" ->
       s"""WITH $commonCtes,
          |src AS (
@@ -1599,10 +1824,18 @@ object Similarity {
          |  ) WHERE rn <= $S11bProbe
          |),
          |cand AS (
-         |  SELECT p.s_id, a.t_id,
+         |  SELECT p.s_id, a.cell, a.t_id,
          |         CAST(round(${dotSql("p.s_emb", "a.t_emb")}
          |                    / (p.s_nrm * a.t_nrm) * 10000, 0) AS BIGINT) AS c4
          |  FROM probes p JOIN cells a USING (cell)
+         |),
+         |short AS (
+         |  SELECT s_id, t_id, c4 FROM (
+         |    SELECT s_id, t_id, c4,
+         |           row_number() OVER (PARTITION BY s_id, cell
+         |             ORDER BY c4 DESC, t_id ASC) AS sr
+         |    FROM cand
+         |  ) WHERE sr <= $S11ShortlistK
          |),
          |rk AS (
          |  SELECT s_id, t_id, c4,
@@ -1610,7 +1843,7 @@ object Similarity {
          |           ORDER BY c4 DESC, t_id ASC) AS rs,
          |         row_number() OVER (PARTITION BY t_id
          |           ORDER BY c4 DESC, s_id ASC) AS rt
-         |  FROM cand
+         |  FROM short
          |),
          |a AS (
          |  SELECT s_id, CAST(sum(c4) AS BIGINT) AS sa4, count(*) AS na
@@ -1621,7 +1854,7 @@ object Similarity {
          |  FROM rk WHERE rt <= $S11MarginK GROUP BY 1
          |),
          |nc AS (
-         |  SELECT s_id, count(*) AS n_cand FROM cand GROUP BY 1
+         |  SELECT s_id, count(*) AS n_cand FROM short GROUP BY 1
          |),
          |best AS (
          |  SELECT s_id, t_id, c4 FROM rk WHERE rs = 1

@@ -351,6 +351,29 @@ class PlanSpec extends SparkSpec {
       s"an embedding column crossed an exchange in:\n$p")
   }
 
+  test("r15 s11 ivf tier: the per-(source, probed-cell) candidate " +
+       "shortlist plans as a WindowGroupLimit keyed on (s_id, cell) " +
+       "with NO exchange below it — the cell join's partitioning " +
+       "already clusters the group key, so the shortlist is a local " +
+       "sort+limit and the margin stage's input is O(N_src·P·K) " +
+       "regardless of cell size") {
+    System.setProperty("graft.s11.via", "ivf")
+    try {
+      val p = plan(Similarity.s11BitextMargin(spark, sfDir))
+      val lines = p.linesIterator.toSeq
+      val short = lines.indexWhere(l => l.contains("WindowGroupLimit") &&
+        l.contains("cell"))
+      assert(short >= 0, s"no shortlist keyed on (s_id, cell) in:\n$p")
+      // nothing between the shortlist and its join input may shuffle:
+      // the next Exchange below it must come AFTER the join line
+      val below = lines.drop(short + 1)
+      val joinAt = below.indexWhere(l => l.contains("Join"))
+      val exchAt = below.indexWhere(l => l.contains("Exchange"))
+      assert(joinAt >= 0 && (exchAt < 0 || exchAt > joinAt),
+        s"an exchange crept between the cell join and the shortlist:\n$p")
+    } finally System.clearProperty("graft.s11.via")
+  }
+
   test("whole-stage codegen covers the scan->project hot path of t2") {
     // AQE's plan string hides codegen annotation until execution; disable
     // it for this one plan so the `*(n)` codegen markers are visible
