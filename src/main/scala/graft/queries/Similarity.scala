@@ -868,29 +868,62 @@ object Similarity {
     * the random-pair band (≈0.5). The decision rule calibrated on the
     * measured corpora lives in SCALING.md; the probe main is
     * [[graft.D13LshProbe]]'s `margin` mode. */
-  private[graft] def assignMarginProbe(e: DataFrame,
-      sampleTarget: Long = 1000L): DataFrame = {
+  /** [[s12AssignMargin]]'s sample-size knob: ~1 000 vectors keeps the
+    * probe a constant-cost aggregate at any corpus size (the idMix
+    * stride grows with N). */
+  private[graft] val MarginSampleTarget = 1000L
+
+  private[graft] def assignMarginProbe(e: DataFrame): DataFrame = {
+    // one metadata-cheap count sizes the stride (the centroids()
+    // convention); everything downstream is EXACT integer arithmetic —
+    // cosines quantized to ten-thousandths (the s11 c4 convention), so
+    // the margin sums are BIGINT (no cross-row float accumulation) and
+    // the percentiles interpolate integer-valued doubles identically in
+    // both engines (the proven x6 percentile↔quantile_cont contract)
     val n = e.count()
-    val stride = math.max(1L, n / sampleTarget)
+    val stride = math.max(1L, n / MarginSampleTarget)
     val sample = e.filter(pmod(idMixOf(col("vec_id")), lit(stride)) === 0)
     val cent = centroids(e)
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
+      .orderBy(col("c4").desc, col("c_id").asc)
     val top2 = sample.join(broadcast(cent), lit(true))
-      .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
+      .withColumn("c4",
+        round(cosine_sim(col("embedding"), col("c_emb")) * 10000, 0)
+          .cast("long"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
       .groupBy(col("vec_id"))
-      .agg(max(when(col("rn") === 1, col("c_cos"))).as("c1"),
-        max(when(col("rn") === 2, col("c_cos"))).as("c2"))
-      .withColumn("margin", col("c1") - col("c2"))
+      .agg(max(when(col("rn") === 1, col("c4"))).as("c1"),
+        max(when(col("rn") === 2, col("c4"))).as("c2"))
+      .withColumn("m4", col("c1") - col("c2"))
     top2.agg(count(lit(1)).as("n_sampled"),
-      round(avg(col("margin")), 4).as("mean_margin"),
-      round(expr("percentile(margin, 0.5)"), 4).as("median_margin"),
-      round(expr("percentile(margin, 0.25)"), 4).as("p25_margin"),
-      round(avg(col("c1")), 4).as("mean_top1"),
-      round(expr("percentile(c1, 0.5)"), 4).as("median_top1"))
+      round(sum(col("m4")).cast("double") / count(lit(1)) / 10000.0, 4)
+        .as("mean_margin"),
+      round(expr("percentile(m4, 0.5D)") / 10000.0, 4).as("median_margin"),
+      round(expr("percentile(m4, 0.25D)") / 10000.0, 4).as("p25_margin"),
+      round(sum(col("c1")).cast("double") / count(lit(1)) / 10000.0, 4)
+        .as("mean_top1"),
+      round(expr("percentile(c1, 0.5D)") / 10000.0, 4).as("median_top1"))
   }
+
+  /** s12 — the assignment-margin pre-flight as a first-class gated
+    * operator (r15, VERDICT r14 #3): the sampled statistic that PICKS
+    * the `assignVia` tier per corpus (decision rule in SCALING.md
+    * round-15 — mean_top1 ≥ 0.45 ⇒ clustered geometry ⇒ approximate
+    * assignment safe; calibrated against D13LshProbe's measured drop
+    * recall on the clustered and near-uniform corpora). One output row
+    * of six statistics over ~[[MarginSampleTarget]] idMix-strided
+    * vectors scoring the REAL codebook ([[centroids]] — the same table
+    * d13 assigns against).
+    *
+    * Scale shape: the sample is a stride filter on the scan (no
+    * shuffle), the codebook is the usual broadcast, the top-2 is a
+    * WindowGroupLimit over ≤2·sample rows, and the final aggregate is
+    * one row — a constant-cost pre-flight at any corpus size, which is
+    * the point: a 100 TB run spends seconds here to avoid choosing the
+    * wrong assignment path for hours. */
+  def s12AssignMargin(s: SparkSession, dir: String): DataFrame =
+    assignMarginProbe(embeddings(s, dir))
 
   def s9LshAssign(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
@@ -1213,6 +1246,7 @@ object Similarity {
     "s8_radius_search" -> s8RadiusSearch _,
     "s11_bitext_margin" -> s11BitextMargin _,
     "s11b_bitext_blocked" -> s11bBitextBlocked _,
+    "s12_assign_margin" -> s12AssignMargin _,
   )
 
   // ---- DuckDB oracle construction -----------------------------------
@@ -1879,5 +1913,46 @@ object Similarity {
          |       coalesce(bl.match_id = e.exact_match, false) AS agree
          |FROM ebest e LEFT JOIN blocked bl USING (s_id)
          |ORDER BY e.s_id""".stripMargin,
+    // s12: the assignVia pre-flight replayed whole — idMix stride
+    // sample, real codebook, integer ten-thousandth cosines (exact
+    // BIGINT sums), top-2 per vector, and the proven
+    // percentile↔quantile_cont interpolation on integer-valued doubles
+    "s12_assign_margin" ->
+      s"""WITH $commonCtes,
+         |$centOracleCte,
+         |st AS (
+         |  SELECT greatest(1, count(*) // $MarginSampleTarget) AS stride
+         |  FROM en
+         |),
+         |smp AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm FROM en e, st
+         |  WHERE ((e.vec_id * $MixA + $MixB) % $MixM) % st.stride = 0
+         |),
+         |t2 AS (
+         |  SELECT vec_id,
+         |         max(CASE WHEN rn = 1 THEN c4 END) AS c1,
+         |         max(CASE WHEN rn = 2 THEN c4 END) AS c2
+         |  FROM (
+         |    SELECT s.vec_id,
+         |           CAST(round(${dotSql("s.embedding", "c.c_emb")}
+         |                      / (s.nrm * c.c_nrm) * 10000, 0) AS BIGINT)
+         |             AS c4,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY CAST(round(${dotSql("s.embedding", "c.c_emb")}
+         |                      / (s.nrm * c.c_nrm) * 10000, 0) AS BIGINT)
+         |                      DESC, c.c_id ASC) AS rn
+         |    FROM smp s CROSS JOIN cent c
+         |  ) WHERE rn <= 2 GROUP BY vec_id
+         |),
+         |m AS (SELECT vec_id, c1, c1 - c2 AS m4 FROM t2)
+         |SELECT count(*) AS n_sampled,
+         |       round(CAST(sum(m4) AS DOUBLE) / count(*) / 10000.0, 4)
+         |         AS mean_margin,
+         |       round(quantile_cont(m4, 0.5) / 10000.0, 4) AS median_margin,
+         |       round(quantile_cont(m4, 0.25) / 10000.0, 4) AS p25_margin,
+         |       round(CAST(sum(c1) AS DOUBLE) / count(*) / 10000.0, 4)
+         |         AS mean_top1,
+         |       round(quantile_cont(c1, 0.5) / 10000.0, 4) AS median_top1
+         |FROM m""".stripMargin,
   )
 }

@@ -241,4 +241,52 @@ class SimilaritySpec extends SparkSpec {
       info(s"lsh tier: ${rows.length}/${exactIds.size} sources matched")
     } finally System.clearProperty("graft.s11.via")
   }
+
+  test("s11 via=twolevel: same schema, sources subset of exact, margins " +
+       "well-formed") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Similarity.s11BitextMargin(spark, dir)
+    val exactIds = exact.collect().map(_.getAs[Long]("s_id")).toSet
+    System.setProperty("graft.s11.via", "twolevel")
+    try {
+      val tl = Similarity.s11BitextMargin(spark, dir)
+      assert(tl.schema == exact.schema, "twolevel tier changed the schema")
+      val rows = tl.collect()
+      assert(rows.nonEmpty, "twolevel tier mined nothing")
+      val ids = rows.map(_.getAs[Long]("s_id"))
+      assert(ids.distinct.length == ids.length, "duplicate source rows")
+      assert(ids.forall(exactIds.contains),
+        "twolevel tier produced a source the exact tier does not know")
+      info(s"twolevel tier: ${rows.length}/${exactIds.size} sources matched")
+    } finally System.clearProperty("graft.s11.via")
+  }
+
+  test("d13 assignVia=twolevel: drop rows are a plausible d13 output — " +
+       "every drop has a lower-id keeper in the same cell at cosine >= " +
+       "threshold semantics preserved (schema + keeper < vec_id)") {
+    System.setProperty("graft.d13.assignVia", "twolevel")
+    try {
+      val rows = graft.queries.Dedup.d13SemanticDedup(spark, sfDir).collect()
+      assert(rows.nonEmpty, "twolevel d13 dropped nothing on the harness")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("kept_by") < r.getAs[Long]("vec_id"),
+          "keeper must be the lower id (greedy keep-first)")
+        assert(r.getAs[Double]("cosine") >= graft.queries.Dedup.D13Threshold)
+      }
+    } finally System.clearProperty("graft.d13.assignVia")
+  }
+
+  test("s12 assign-margin probe: one row, ~1k sample, and the harness " +
+       "(near-uniform) corpus reads mean_top1 BELOW the 0.45 clustered " +
+       "threshold — the decision rule routes it to exact assignment") {
+    val rows = Similarity.s12AssignMargin(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("n_sampled") > 0)
+    val meanTop1 = r.getAs[Double]("mean_top1")
+    val meanMargin = r.getAs[Double]("mean_margin")
+    assert(meanTop1 > 0 && meanTop1 < 0.45,
+      s"harness corpus should read near-uniform (mean_top1=$meanTop1)")
+    assert(meanMargin >= 0, "top1 - top2 margin cannot be negative")
+  }
 }
