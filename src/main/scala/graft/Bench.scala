@@ -190,11 +190,14 @@ object Bench {
     // per-query stats use STEADY passes only whenever at least one
     // exists; the full per-pass calibration trace is emitted so the
     // artifact itself shows which regime produced each number. The
-    // driver profile (4 cpus) has a different kernel level, so the gate
-    // arms only under the bench profile unless SPARK_GRAFT_CALIB_REF is
-    // set explicitly.
+    // pinned 0.060 s reference is the 32-CPU kernel level, so the gate
+    // arms only under a 32-cpu bench-profile run unless
+    // SPARK_GRAFT_CALIB_REF is set explicitly — at the 4-cpu default the
+    // kernel can NEVER meet 0.060*1.15, and an armed gate would burn
+    // 2x15 s of retry sleep per calibration (~11 min per capture) before
+    // labeling an idle box "drifting".
     val calibRef = sys.env.get("SPARK_GRAFT_CALIB_REF").map(_.toDouble)
-      .getOrElse(if (driverProfile) Double.NaN else 0.060)
+      .getOrElse(if (!driverProfile && cpus == "32") 0.060 else Double.NaN)
     val gated = !calibRef.isNaN
     val steadyLevel = calibRef * 1.15
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_CALIB_RETRIES", "2").toInt
@@ -325,6 +328,13 @@ object Bench {
       "\"" + n + "\":[" + f4(mn) + "," + f4(md) + "," + f4(mx) + "]"
     }.mkString("{", ",", "}")
     val total = timed.map(_._2).filter(_ >= 0).sum
+    // a -1 failure sentinel in a NON-committed (drifting) pass would
+    // otherwise vanish from the artifact once steady-pass gating drops
+    // that pass — a crash must stay loud even when its pass isn't graded
+    val failJson = names.flatMap { n =>
+      val c = samples(n).result().count(_ == -1.0)
+      if (c > 0) Some("\"" + n + "\":" + c) else None
+    }.mkString("{", ",", "}")
     val regJson = regressions
       .map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
     val passCalibJson = passCalib.map(f).mkString("[", ",", "]")
@@ -339,7 +349,7 @@ object Bench {
     // spread map goes FIRST and the bar-query tail of `queries` plus the
     // small verdict-bearing fields (ab, calibration, regime, suspect,
     // regressions) go last, inside any plausible tail window
-    val json = s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","runs":${passCalib.size},"profile":"$profileJson","spread":$spreadJson,"queries":$qs,"ab":$abJson,"calibration":$calibJson,"regime":"$regime","suspect":$suspect,"prev":$prevJson,"regressions":$regJson}"""
+    val json = s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","runs":${passCalib.size},"profile":"$profileJson","spread":$spreadJson,"queries":$qs,"ab":$abJson,"calibration":$calibJson,"regime":"$regime","suspect":$suspect,"failures":$failJson,"prev":$prevJson,"regressions":$regJson}"""
     println(json)
     writeSelf(json, selfFile)
     spark.stop()

@@ -19,6 +19,10 @@ object CellStatsProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale/sf1")
     val via = args.lift(1).getOrElse("exact")
+    // the JSON echoes via verbatim, so an unknown value must fail here
+    // rather than silently running the exact path under the typo'd label
+    require(Set("exact", "twolevel", "lsh").contains(via),
+      s"unknown via '$via' — expected exact, twolevel or lsh")
     val spark = BenchSupport.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))

@@ -32,6 +32,13 @@ object D13LshProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val via = args.lift(1).getOrElse("lsh")
+    // fail loudly on anything else: an unknown via (including the seam's
+    // legal "exact", which this probe has no approximate side for) would
+    // otherwise compare MISMATCHED paths — assignment stats on one
+    // fallback, drop sets on another — and print a self-inconsistent
+    // honesty artifact under the typo'd label
+    require(Set("lsh", "twolevel", "margin").contains(via),
+      s"unknown via '$via' — expected lsh, twolevel or margin")
     val spark = BenchSupport.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -52,7 +59,7 @@ object D13LshProbe {
 
     val approxCells = via match {
       case "twolevel" => Similarity.twoLevelCellAssigned(e)
-      case _          => Similarity.lshCellAssigned(e)
+      case "lsh"      => Similarity.lshCellAssigned(e)
     }
     val exactCells = Similarity.cellAssigned(e)
       .select(col("vec_id"), col("cell").as("c_exact"))

@@ -76,7 +76,11 @@ object ScaleBench {
     // s11 is the mining ladder's exact tier — its |src|×|tgt| pair
     // matrix is the measured quadratic (the honest brute baseline, s1's
     // role; the production path blocks candidates via s3/s9 first)
-    "t23_dsir_importance", "s11_bitext_margin")
+    "t23_dsir_importance", "s11_bitext_margin",
+    // r15: the assignVia pre-flight — its claim is CONSTANT cost at any
+    // corpus size (idMix stride grows with N), which is exactly what a
+    // slope row falsifies or proves
+    "s12_assign_margin")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)

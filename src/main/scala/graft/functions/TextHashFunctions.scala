@@ -324,15 +324,16 @@ object BigramPolyBuckets {
     val off = s.getBaseOffset
     val len = s.numBytes
     var spaces = 0
-    var nonAscii = false
     var i = 0
     while (i < len) {
       val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
       if (b == 0x20) spaces += 1
-      if ((b & 0x80) != 0) nonAscii = true
+      // dispatch on the FIRST high byte: the rest of the byte scan (and
+      // its space count) is dead work once the document is known
+      // multibyte — the code-point path re-splits from the decoded string
+      if ((b & 0x80) != 0) return bucketsCodePoints(s.toString, p, nb)
       i += 1
     }
-    if (nonAscii) return bucketsCodePoints(s.toString, p, nb)
     val m = spaces + 1
     if (m < 2) return Array.emptyIntArray
     val starts = new Array[Int](m)

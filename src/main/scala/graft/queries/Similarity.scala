@@ -572,11 +572,15 @@ object Similarity {
   private def s11TwoLevelPairs(src: DataFrame, tgt: DataFrame): DataFrame = {
     val tgtE = tgt.select(col("t_id").as("vec_id"), col("t_emb").as("embedding"))
     val cent = centroidsOf(tgtE)
-    val cells = twoLevelCellAssignedAgainst(cent, tgtE)
+    // ONE codebook build feeds both the target-side cell assignment and
+    // the source-side probes — the build has an eager cent.count() and a
+    // C·S scoring subplan, so constructing it twice (the first r15
+    // formulation) charged the measured tier two extra driver actions
+    val (supers, centGroups) = twoLevelCodebook(cent)
+    val cells = twoLevelCellAssignedWith(supers, centGroups, tgtE)
       .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
         col("cell"))
       .filter(col("cell") >= 0) // sentinel singletons are unreachable
-    val (supers, centGroups) = twoLevelCodebook(cent)
     val sProbes = twoLevelProbes(supers, src, "s_id", "s_emb")
     val wP = Window.partitionBy(col("s_id"))
       .orderBy(col("p_cos").desc, col("c_id").asc)
@@ -818,6 +822,14 @@ object Similarity {
   private[graft] def twoLevelCellAssignedAgainst(cent: DataFrame,
       e: DataFrame): DataFrame = {
     val (supers, centGroups) = twoLevelCodebook(cent)
+    twoLevelCellAssignedWith(supers, centGroups, e)
+  }
+
+  /** [[twoLevelCellAssignedAgainst]] over an already-built codebook —
+    * the shared core, so a caller that also needs the codebook for its
+    * own probes (s11's `twolevel` tier) builds it exactly once. */
+  private[queries] def twoLevelCellAssignedWith(supers: DataFrame,
+      centGroups: DataFrame, e: DataFrame): DataFrame = {
     val probes =
       twoLevelProbes(supers, e, "vec_id", "embedding")
     val assigned = probes.join(broadcast(centGroups), Seq("grp"))
