@@ -263,7 +263,7 @@ object Similarity {
     * unconditionally: probe pruning needs geometric cells, and its
     * oracles pin them. */
   private[queries] def sharedCells(s: SparkSession, dir: String): DataFrame = {
-    val via = Dedup.D13AssignVia
+    val via = Dedup.resolveAssignVia(s, dir)
     val key = via match {
       case "lsh"      => "s2_cells_lsh"
       case "twolevel" => "s2_cells_twolevel"
@@ -884,6 +884,13 @@ object Similarity {
     * probe a constant-cost aggregate at any corpus size (the idMix
     * stride grows with N). */
   private[graft] val MarginSampleTarget = 1000L
+
+  /** The `assignVia=auto` clustered-geometry threshold on the probe's
+    * mean_top1 (see [[graft.queries.Dedup.resolveAssignVia]]):
+    * calibrated in SCALING.md round-15 against the measured corpora —
+    * clustered skew reads 0.57–0.60, near-uniform main reads 0.23–0.28,
+    * a no-overlap 2× gap; 0.45 splits it with margin on both sides. */
+  private[graft] val AutoTop1Threshold = 0.45
 
   private[graft] def assignMarginProbe(e: DataFrame): DataFrame = {
     // one metadata-cheap count sizes the stride (the centroids()

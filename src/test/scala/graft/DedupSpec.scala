@@ -654,4 +654,67 @@ class DedupSpec extends SparkSpec {
         s"common vec_ids: ${common.length}")
     } finally System.clearProperty("graft.d13.assignVia")
   }
+
+  test("r15 assignVia=auto: the pure rule splits on the calibrated " +
+       "threshold, the near-uniform harness corpus resolves to exact " +
+       "with output identical to the default path, and a clustered " +
+       "fixture resolves to twolevel matching the explicit tier") {
+    import spark.implicits._
+    // the pure rule, both branches + boundary (>= is the contract)
+    assert(Dedup.decideAssignVia(0.23) == "exact")
+    assert(Dedup.decideAssignVia(0.60) == "twolevel")
+    assert(Dedup.decideAssignVia(0.45) == "twolevel")
+
+    // near-uniform: the harness corpus sits well below the threshold
+    // (SCALING.md calibration: main reads 0.23-0.28), so auto must pick
+    // exact and produce the bit-identical default output
+    val sfDir = "/root/testdata/sf0.01"
+    val probed = graft.queries.Similarity.assignMarginProbe(
+      graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")))
+      .head().getAs[Double]("mean_top1")
+    assert(probed < graft.queries.Similarity.AutoTop1Threshold,
+      s"fixture honesty: harness corpus no longer near-uniform ($probed)")
+    val exact = Dedup.d13SemanticDedup(spark, sfDir).collect().toSeq
+    System.setProperty("graft.d13.assignVia", "auto")
+    try {
+      assert(Dedup.resolveAssignVia(spark, sfDir) == "exact")
+      val auto = Dedup.d13SemanticDedup(spark, sfDir).collect().toSeq
+      assert(auto == exact, "auto-resolved exact diverged from default")
+    } finally System.clearProperty("graft.d13.assignVia")
+
+    // clustered: 3 tight clusters (cos ~0.995 within, ~0 across) around
+    // orthogonal axes; any idMix-seeded centroid is a cluster member, so
+    // every vector's top-1 cosine is near 1 and auto must pick twolevel
+    val dir = java.nio.file.Files.createTempDirectory("graft-d13auto").toString
+    val rows = (0L until 600L).map { i =>
+      val k = (i % 3).toInt
+      val a = Array.fill(8)(0f)
+      a(k) = 1f
+      a(3 + ((i / 3) % 3).toInt) = 0.1f // deterministic within-cluster jitter
+      (i, a, k)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val clustered = graft.queries.Similarity.assignMarginProbe(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")))
+      .head().getAs[Double]("mean_top1")
+    assert(clustered >= graft.queries.Similarity.AutoTop1Threshold,
+      s"fixture honesty: clusters not tight enough ($clustered)")
+    System.setProperty("graft.d13.assignVia", "auto")
+    val autoDrops = try {
+      assert(Dedup.resolveAssignVia(spark, dir) == "twolevel")
+      Dedup.d13SemanticDedup(spark, dir).collect().toSeq
+    } finally System.clearProperty("graft.d13.assignVia")
+    System.setProperty("graft.d13.assignVia", "twolevel")
+    val tlDrops = try {
+      Dedup.d13SemanticDedup(spark, dir).collect().toSeq
+    } finally System.clearProperty("graft.d13.assignVia")
+    assert(autoDrops == tlDrops,
+      "auto-resolved twolevel diverged from the explicit tier")
+    info(s"harness mean_top1=$probed -> exact; " +
+      s"clustered fixture mean_top1=$clustered -> twolevel " +
+      s"(${autoDrops.length} drops)")
+  }
 }
