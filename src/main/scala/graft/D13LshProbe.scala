@@ -15,7 +15,9 @@ import graft.sources.Tables
   *      operator's decision, cells are just its blocking),
   *   3. drop counts on both paths.
   * `runMain graft.D13LshProbe [dir] [via]` — via is `lsh` (default,
-  * [[Similarity.lshCellAssigned]]) or `twolevel`
+  * [[Similarity.lshCellAssigned]]), `lshcap`
+  * ([[Similarity.lshCapCellAssigned]], the occupancy-capped linear
+  * tier) or `twolevel`
   * ([[Similarity.twoLevelCellAssigned]]); prints one JSON line. Run it
   * on the skew (clustered) ScaleGen corpus for the trained-embedding
   * geometry the approximate defaults target, and on the main series
@@ -37,8 +39,8 @@ object D13LshProbe {
     // otherwise compare MISMATCHED paths — assignment stats on one
     // fallback, drop sets on another — and print a self-inconsistent
     // honesty artifact under the typo'd label
-    require(Set("lsh", "twolevel", "margin").contains(via),
-      s"unknown via '$via' — expected lsh, twolevel or margin")
+    require(Set("lsh", "lshcap", "twolevel", "margin").contains(via),
+      s"unknown via '$via' — expected lsh, lshcap, twolevel or margin")
     val spark = BenchSupport.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -59,6 +61,7 @@ object D13LshProbe {
 
     val approxCells = via match {
       case "twolevel" => Similarity.twoLevelCellAssigned(e)
+      case "lshcap"   => Similarity.lshCapCellAssigned(e)
       case "lsh"      => Similarity.lshCellAssigned(e)
     }
     val exactCells = Similarity.cellAssigned(e)

@@ -203,7 +203,7 @@ object Similarity {
   /** [[centroids]] for composing families (d13b seeds its cells from the
     * ORGANIC corpus while assigning an augmented one — the stored-index
     * position, where new near-dup mass joins existing cells). */
-  private[queries] def centroidsOf(e: DataFrame): DataFrame = centroids(e)
+  private[graft] def centroidsOf(e: DataFrame): DataFrame = centroids(e)
 
   /** Every vector assigned to its max-cosine centroid cell in one
     * broadcast pass (row_number argmax on the per-vector × per-centroid
@@ -266,6 +266,7 @@ object Similarity {
     val via = Dedup.resolveAssignVia(s, dir)
     val key = via match {
       case "lsh"      => "s2_cells_lsh"
+      case "lshcap"   => "s2_cells_lshcap"
       case "twolevel" => "s2_cells_twolevel"
       case _          => "s2_cells"
     }
@@ -273,6 +274,7 @@ object Similarity {
       val e = embeddings(s, dir)
       via match {
         case "lsh"      => lshCellAssigned(e)
+        case "lshcap"   => lshCapCellAssigned(e)
         case "twolevel" => twoLevelCellAssigned(e)
         case _          => cellAssigned(e)
       }
@@ -732,9 +734,22 @@ object Similarity {
     * seam; recall cost is s9's measured agreement (~67% clustered /
     * ~36% unclustered) and the honest delta is documented in SCALING.md. */
   private[graft] def lshCellAssignedAgainst(cent: DataFrame,
-      e: DataFrame): DataFrame = {
-    val cb = cent.select(col("c_id"), col("c_emb"),
+      e: DataFrame): DataFrame =
+    lshAssignCore(bucketedCodebook(cent), e)
+
+  /** The sign-LSH codebook: every centroid exploded to its L bucket
+    * ids — O(C·L) rows, always the broadcast side of the assignment
+    * join. Shared by the uncapped ([[lshCellAssignedAgainst]]) and
+    * occupancy-capped ([[lshCapCellAssignedAgainst]]) tiers. */
+  private[graft] def bucketedCodebook(cent: DataFrame): DataFrame =
+    cent.select(col("c_id"), col("c_emb"),
       explode(tableBuckets(col("c_emb"))).as("bucket"))
+
+  /** The bucket join + map-side max_by argmax shared by both lsh tiers:
+    * candidate mass partial-aggregates to one row per vector before the
+    * single exchange; bucketless vectors fall back to the sentinel
+    * singleton cell (-vec_id - 1). */
+  private def lshAssignCore(cb: DataFrame, e: DataFrame): DataFrame = {
     val assigned = e
       .select(col("vec_id"), col("embedding"),
         explode(tableBuckets(col("embedding"))).as("bucket"))
@@ -752,6 +767,64 @@ object Similarity {
     * alternative to [[cellAssigned]]. */
   private[graft] def lshCellAssigned(e: DataFrame): DataFrame =
     lshCellAssignedAgainst(centroids(e), e)
+
+  /** Residents kept per sign-LSH bucket in the `lshcap` tier
+    * (`graft.d13.lsh.bucketCap`, env fallback for forked ScaleBench
+    * JVMs like the assignVia seam itself). 8 = the mean main-series
+    * occupancy (C/2^bits, C = √(N/8)) at sf30 — the cap starts binding
+    * at exactly the depth where the uncapped tier's N^1.5 slope was
+    * measured, and is a no-op at driver/harness SFs (C = 16 over 192
+    * bucket slots), so the tier equals `lsh` there. On a CLUSTERED
+    * corpus sign buckets are hot-skewed and the cap binds much earlier
+    * — that is the case the honesty-kit numbers in SCALING.md price. */
+  private[graft] def LshBucketCap: Int =
+    sys.props.get("graft.d13.lsh.bucketCap")
+      .orElse(sys.env.get("GRAFT_D13_LSH_BUCKETCAP"))
+      .map(_.toInt).getOrElse(8)
+
+  /** Occupancy-CAPPED sign-LSH assignment (`assignVia=lshcap`, r15) —
+    * the structural fix for the lsh tier's measured return to the
+    * N^1.5 law at depth (SCALING.md round-15 decomposition: per-vector
+    * candidate count is bucket occupancy ≈ C/2^bits, and C ∝ √N, so
+    * the uncapped join output grows N·√N with a smaller constant than
+    * exact — p5-lsh measured 1.41 on sf30→100, ON d13-exact's 1.40).
+    * Here every bucket keeps at most [[LshBucketCap]] resident
+    * centroids — a DETERMINISTIC idMix-ranked sample, the same
+    * fair-stride rule the centroid seeds and the margin probe use —
+    * so the join output is bounded by N·L·B: the assignment term is
+    * LINEAR in corpus size by construction, the first tier in the seam
+    * with that property. The price, measured not guessed (honesty kit
+    * `D13LshProbe <dir> lshcap`, results in SCALING.md): the true
+    * argmax survives the cap in a co-occupied bucket with probability
+    * ≈ 1-(1-B/occ)^k (k = co-occupied tables), so agreement decays as
+    * occupancy outgrows B — recall-for-linearity, the trade a 100 TB
+    * operator makes explicitly. Misses stay benign exactly as in the
+    * uncapped tier: an evicted argmax means the vector scores the
+    * surviving candidates and lands in a geometric runner-up cell (or
+    * the visible sentinel if its buckets are empty). The cap is
+    * enforced scan-side (groupBy + array_sort + slice over the O(C·L)
+    * codebook — no window, rows bounded by C·L before AND after), so
+    * the capped codebook is the same broadcast shape the uncapped tier
+    * ships. With cap ≥ C the tier is bit-identical to `lsh`
+    * (SimilaritySpec pins this equivalence both at assignment level
+    * and through the full d13 drop set). */
+  private[graft] def lshCapCellAssignedAgainst(cent: DataFrame,
+      e: DataFrame): DataFrame =
+    lshAssignCore(cappedCodebook(cent, LshBucketCap), e)
+
+  private[graft] def cappedCodebook(cent: DataFrame, cap: Int): DataFrame =
+    bucketedCodebook(cent)
+      .groupBy(col("bucket"))
+      .agg(slice(array_sort(collect_list(struct(
+          idMix(col("c_id")).as("rk"), col("c_id").as("c_id"),
+          col("c_emb").as("c_emb")))), 1, cap).as("res"))
+      .select(col("bucket"), explode(col("res")).as("r"))
+      .select(col("bucket"), col("r.c_id").as("c_id"),
+        col("r.c_emb").as("c_emb"))
+
+  /** [[lshCapCellAssignedAgainst]] with self-seeded centroids. */
+  private[graft] def lshCapCellAssigned(e: DataFrame): DataFrame =
+    lshCapCellAssignedAgainst(centroids(e), e)
 
   /** Super-cells probed per vector in the two-level assignment: 2 keeps
     * the cost at ~3·sqrt(C) scored centroids per vector while covering

@@ -261,6 +261,69 @@ class SimilaritySpec extends SparkSpec {
     } finally System.clearProperty("graft.s11.via")
   }
 
+  test("d13 assignVia=lshcap: cap >= C is bit-identical to lsh; a tight " +
+       "cap keeps the per-bucket bound, stays a subset of the uncapped " +
+       "codebook, and still assigns every vector") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    // 1. equivalence at a non-binding cap: same assignment map as lsh
+    System.setProperty("graft.d13.lsh.bucketCap", "1000000")
+    val loose =
+      try Similarity.lshCapCellAssigned(e).select("vec_id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally System.clearProperty("graft.d13.lsh.bucketCap")
+    val lsh = Similarity.lshCellAssigned(e).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loose == lsh, "cap >= C must be bit-identical to the lsh tier")
+    // 2. the cap is enforced scan-side on the codebook itself
+    val cent = Similarity.centroidsOf(e)
+    val full = Similarity.bucketedCodebook(cent)
+      .select("bucket", "c_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val capped = Similarity.cappedCodebook(cent, 1)
+      .select("bucket", "c_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(capped.groupBy(_._1).values.forall(_.length <= 1),
+      "a bucket kept more residents than the cap")
+    assert(capped.toSet.subsetOf(full),
+      "capped codebook invented a (bucket, centroid) pair")
+    assert(capped.toSet.size < full.size,
+      "cap=1 on the harness codebook should actually bind somewhere")
+    // 3. under a binding cap every vector still lands in a cell
+    //    (real or the visible sentinel) exactly once
+    System.setProperty("graft.d13.lsh.bucketCap", "2")
+    try {
+      val cells = Similarity.lshCapCellAssigned(e)
+        .select("vec_id", "cell").collect()
+      assert(cells.length.toLong == e.count(), "a vector was lost")
+      assert(cells.map(_.getLong(0)).distinct.length == cells.length,
+        "a vector was assigned twice")
+    } finally System.clearProperty("graft.d13.lsh.bucketCap")
+  }
+
+  test("d13 assignVia=lshcap: drop rows keep the d13 contract (keeper < " +
+       "vec_id, cosine >= threshold, no sentinel pairs), and at harness " +
+       "scale — where the default cap exceeds every bucket occupancy — " +
+       "the tier is exactly the lsh drop set") {
+    val dir = "/root/testdata/sf0.01"
+    def drops(via: String): Seq[(Long, Long, Long, Double)] = {
+      System.setProperty("graft.d13.assignVia", via)
+      try graft.queries.Dedup.d13SemanticDedup(spark, dir).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+          r.getAs[Long]("kept_by"), r.getAs[Double]("cosine"))).toSeq
+      finally System.clearProperty("graft.d13.assignVia")
+    }
+    val rows = drops("lshcap")
+    assert(rows.forall { case (vid, _, kb, _) => kb < vid },
+      "keeper must be the lower id (greedy keep-first)")
+    assert(rows.forall(_._4 >= graft.queries.Dedup.D13Threshold))
+    assert(rows.forall(_._2 >= 0L), "a sentinel cell produced a pair")
+    assert(rows == drops("lsh"),
+      "non-binding cap must reproduce the lsh tier's drop set")
+    info(s"lshcap drops at sf0.01: ${rows.length}")
+  }
+
   test("d13 assignVia=twolevel: drop rows are a plausible d13 output — " +
        "every drop has a lower-id keeper in the same cell at cosine >= " +
        "threshold semantics preserved (schema + keeper < vec_id)") {
