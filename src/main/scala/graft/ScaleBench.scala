@@ -80,7 +80,12 @@ object ScaleBench {
     // r15: the assignVia pre-flight — its claim is CONSTANT cost at any
     // corpus size (idMix stride grows with N), which is exactly what a
     // slope row falsifies or proves
-    "s12_assign_margin")
+    "s12_assign_margin",
+    // late r15: the capped-vs-uncapped assignment differential — its
+    // capped half is the one linear-by-construction assignment; the
+    // entry also carries the uncapped pick and the exact argmax, so its
+    // own slope is dominated by those reference sides, not the cap
+    "s13_lshcap_assign")
 
   def main(args: Array[String]): Unit = {
     val outFile = args(0)

@@ -812,11 +812,35 @@ object Similarity {
       e: DataFrame): DataFrame =
     lshAssignCore(cappedCodebook(cent, LshBucketCap), e)
 
+  /** The eviction rank key — idMix over (c_id XOR bucket·[[CapRankMixP]]):
+    * PER-BUCKET decorrelated, deliberately NOT the global idMix(c_id).
+    * Measured and fixed (SCALING.md round-15): under a global rank the
+    * same low-mix centroids survive in EVERY bucket and the rest are
+    * evicted from every bucket at once — at sf100 (occupancy ~15.6 vs
+    * cap 8) 91 of 500 centroids vanished entirely, concentrating cells
+    * and inflating d13's downstream within-cell quadratic
+    * (Σ|cell|² 8.09G → 13.1G, and the measured wall-clock tracked it:
+    * 547 → 898 s, the two +62/+64 % within noise of each other). The
+    * decorrelation must be NON-AFFINE: idMix is a linear map, so any
+    * additive fold (idMix(c_id + f(bucket))) shifts every resident of a
+    * bucket by the same constant and never reorders within the bucket —
+    * the first fix attempt was exactly that no-op, caught by a numpy
+    * replication before it shipped. XOR breaks the affinity: per-bucket
+    * survival becomes independent, a centroid misses ALL its L buckets
+    * with probability (1−B/occ)^L (8 of 500 at sf100 instead of 91),
+    * and Σ|cell|² lands at 9.35G (+16 % over the uncapped tier — the
+    * honest residual cost of eviction-induced drift). The multiplier
+    * keeps bucket·P inside INT32 and the XOR'd key·MixA far inside
+    * BIGINT for every corpus the oracle replays. */
+  private val CapRankMixP = 100003L
+
   private[graft] def cappedCodebook(cent: DataFrame, cap: Int): DataFrame =
     bucketedCodebook(cent)
       .groupBy(col("bucket"))
       .agg(slice(array_sort(collect_list(struct(
-          idMix(col("c_id")).as("rk"), col("c_id").as("c_id"),
+          idMix(col("c_id").bitwiseXOR(col("bucket") * lit(CapRankMixP)))
+            .as("rk"),
+          col("c_id").as("c_id"),
           col("c_emb").as("c_emb")))), 1, cap).as("res"))
       .select(col("bucket"), explode(col("res")).as("r"))
       .select(col("bucket"), col("r.c_id").as("c_id"),
@@ -1016,6 +1040,72 @@ object Similarity {
     * wrong assignment path for hours. */
   def s12AssignMargin(s: SparkSession, dir: String): DataFrame =
     assignMarginProbe(embeddings(s, dir))
+
+  /** The bucket cap pinned by the s13 catalog entry and its oracle —
+    * deliberately TIGHT (1) so the eviction rule actually fires at
+    * harness SF (the sf0.01 codebook has occupancy-3 buckets; the
+    * production default [[LshBucketCap]] = 8 would be a no-op there and
+    * the gate would only re-test s9). The production tier reads its cap
+    * from the seam, not from this pin. */
+  private[graft] val S13Cap = 1
+
+  /** s13 — occupancy-capped LSH assignment as a first-class gated
+    * operator (late r15): the measurement companion to the
+    * `assignVia=lshcap` production tier exactly as s9 is to `lsh`.
+    * Every bucket of the sign-LSH codebook keeps only its [[S13Cap]]
+    * smallest-idMix residents (the deterministic fair-stride rule), and
+    * each vector is scored against BOTH codebooks — capped and
+    * uncapped — plus the exact N·C argmax. Reported per vector: the
+    * capped cell, the uncapped lsh cell, the exact cell, both candidate
+    * counts, and the two agreement flags; candidate-count shrinkage
+    * (n_cand_cap ≤ n_cand_lsh, pinned by spec) is the linearity
+    * mechanism made visible row by row, and the agreement flags price
+    * it. A vector whose capped buckets hold no centroid reports cell
+    * −1, s9's visible-miss convention.
+    *
+    * Scale shape: identical to s9 — the capped codebook is a strictly
+    * SMALLER broadcast (≤ min(C·L, buckets·cap) rows, the cap enforced
+    * scan-side by [[cappedCodebook]]'s bounded groupBy), the probe side
+    * never leaves its scan partition, and both argmaxes are map-side
+    * max_by partial-aggregates. The join output is bounded at N·L·cap
+    * rows — the linear-by-construction assignment the production seam
+    * ships — while s9's uncapped join grows with occupancy (C/2^bits,
+    * C ∝ √N): at 100 TB this entry IS the plan shape of the only
+    * assignment tier whose cost does not bend. The DuckDB oracle
+    * replays plane literals, bucket ids, the per-bucket idMix rank cap,
+    * both picks and the exact argmax bit-for-bit. */
+  def s13LshCapAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cent = centroids(e)
+    def picked(cb: DataFrame, cell: String, n: String): DataFrame =
+      e.select(col("vec_id"), col("embedding"),
+          explode(tableBuckets(col("embedding"))).as("bucket"))
+        .join(broadcast(cb), Seq("bucket"))
+        .dropDuplicates("vec_id", "c_id")
+        .withColumn("c_cos",
+          round(cosine_sim(col("embedding"), col("c_emb")), 4))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("nid")))
+            .as(cell),
+          count(lit(1)).as(n))
+    val capPick = picked(cappedCodebook(cent, S13Cap), "cell_cap", "n_cand_cap")
+    val lshPick = picked(bucketedCodebook(cent), "cell_lsh", "n_cand_lsh")
+    cellAssigned(e).select(col("vec_id"), col("cell").as("cell_exact"))
+      .join(capPick, Seq("vec_id"), "left")
+      .join(lshPick, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cell_cap"), lit(-1L)).as("cell_cap"),
+        coalesce(col("cell_lsh"), lit(-1L)).as("cell_lsh"),
+        col("cell_exact"),
+        coalesce(col("n_cand_cap"), lit(0L)).as("n_cand_cap"),
+        coalesce(col("n_cand_lsh"), lit(0L)).as("n_cand_lsh"),
+        (coalesce(col("cell_cap"), lit(-1L)) ===
+          coalesce(col("cell_lsh"), lit(-1L))).as("cap_agree_lsh"),
+        (coalesce(col("cell_cap"), lit(-1L)) === col("cell_exact"))
+          .as("cap_agree_exact"))
+      .orderBy(col("vec_id"))
+  }
 
   def s9LshAssign(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
@@ -1330,6 +1420,7 @@ object Similarity {
     "s2_ann_ivf"   -> s2AnnIvf _,
     "s3_ann_lsh"   -> s3AnnLsh _,
     "s9_lsh_assign" -> s9LshAssign _,
+    "s13_lshcap_assign" -> s13LshCapAssign _,
     "s10_probe_sweep" -> s10ProbeSweep _,
     "s4_ann_pq"    -> s4AnnPq _,
     "s5_ann_truncated" -> s5AnnTruncated _,
@@ -1549,6 +1640,75 @@ object Similarity {
        |LEFT JOIN ret r ON r.q_id = g.q_id AND r.p = g.p
        |LEFT JOIN hit h ON h.q_id = g.q_id AND h.p = g.p
        |ORDER BY g.q_id, g.p""".stripMargin
+
+  /** s13's oracle: the s9 replay plus the per-bucket idMix rank cap
+    * (`cbcap`) and a second pick over the capped candidate set. */
+  private def s13OracleSql: String = {
+    val cb = (0 until NumTables).map { t =>
+      s"SELECT c_id, ${bucketsSql("c_emb", t)} AS bucket FROM cent"
+    }.mkString("\nUNION ALL\n")
+    val vb = (0 until NumTables).map { t =>
+      s"SELECT vec_id, ${bucketsSql("embedding", t)} AS bucket FROM en"
+    }.mkString("\nUNION ALL\n")
+    def pick(candSrc: String, name: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, c_id, n_cand FROM (
+         |    SELECT vec_id, c_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY c_cos DESC, c_id ASC) AS rn,
+         |           count(*) OVER (PARTITION BY vec_id) AS n_cand
+         |    FROM (
+         |      SELECT c.vec_id, c.c_id,
+         |             ${cosSql("en.embedding", "en.nrm", "cent.c_emb", "cent.c_nrm")}
+         |               AS c_cos
+         |      FROM (SELECT DISTINCT vb.vec_id, $candSrc.c_id
+         |            FROM vb JOIN $candSrc USING (bucket)) c
+         |      JOIN en ON en.vec_id = c.vec_id
+         |      JOIN cent ON cent.c_id = c.c_id
+         |    )
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH $commonCtes,
+       |$centOracleCte,
+       |cb AS (
+       |$cb
+       |),
+       |cbcap AS (
+       |  SELECT bucket, c_id FROM (
+       |    SELECT bucket, c_id,
+       |           row_number() OVER (PARTITION BY bucket
+       |             ORDER BY ${mixSql(s"xor(c_id, bucket * $CapRankMixP)")},
+       |                      c_id) AS rn
+       |    FROM cb
+       |  ) WHERE rn <= $S13Cap
+       |),
+       |vb AS (
+       |$vb
+       |),
+       |${pick("cbcap", "pick_cap")},
+       |${pick("cb", "pick_lsh")},
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT en.vec_id, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY en.vec_id
+       |             ORDER BY ${cosSql("en.embedding", "en.nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |                      c.c_id ASC) AS rn
+       |    FROM en CROSS JOIN cent c
+       |  ) WHERE rn = 1
+       |)
+       |SELECT x.vec_id,
+       |       coalesce(pc.c_id, -1) AS cell_cap,
+       |       coalesce(pl.c_id, -1) AS cell_lsh,
+       |       x.cell AS cell_exact,
+       |       coalesce(pc.n_cand, 0) AS n_cand_cap,
+       |       coalesce(pl.n_cand, 0) AS n_cand_lsh,
+       |       coalesce(pc.c_id, -1) = coalesce(pl.c_id, -1) AS cap_agree_lsh,
+       |       coalesce(pc.c_id, -1) = x.cell AS cap_agree_exact
+       |FROM cells x
+       |LEFT JOIN pick_cap pc USING (vec_id)
+       |LEFT JOIN pick_lsh pl USING (vec_id)
+       |ORDER BY x.vec_id""".stripMargin
+  }
 
   private def s9OracleSql: String = {
     val cb = (0 until NumTables).map { t =>
@@ -1803,6 +1963,7 @@ object Similarity {
     "s2_ann_ivf" -> s2OracleSql,
     "s3_ann_lsh" -> s3OracleSql,
     "s9_lsh_assign" -> s9OracleSql,
+    "s13_lshcap_assign" -> s13OracleSql,
     "s10_probe_sweep" -> s10OracleSql,
     "s4_ann_pq"  -> s4OracleSql,
     "s5_ann_truncated" -> s5OracleSql,

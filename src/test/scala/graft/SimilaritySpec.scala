@@ -261,6 +261,31 @@ class SimilaritySpec extends SparkSpec {
     } finally System.clearProperty("graft.s11.via")
   }
 
+  test("s13 capped-assignment differential: one row per vector, capped " +
+       "candidates never exceed uncapped, the cap actually evicts, " +
+       "agreement flags are consistent, misses visible as -1") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val rows = Similarity.s13LshCapAssign(spark, sfDir).collect()
+    assert(rows.length.toLong == e.count(), "one row per vector")
+    rows.foreach { r =>
+      val (cap, lsh, exact) = (r.getAs[Long]("cell_cap"),
+        r.getAs[Long]("cell_lsh"), r.getAs[Long]("cell_exact"))
+      val (nc, nl) = (r.getAs[Long]("n_cand_cap"), r.getAs[Long]("n_cand_lsh"))
+      assert(nc <= nl, s"capped candidates $nc exceed uncapped $nl")
+      assert(exact >= 0L, "exact argmax can never miss")
+      assert((cap == -1L) == (nc == 0L), "miss iff zero candidates")
+      assert(r.getAs[Boolean]("cap_agree_lsh") == (cap == lsh))
+      assert(r.getAs[Boolean]("cap_agree_exact") == (cap == exact))
+    }
+    val (totCap, totLsh) =
+      (rows.map(_.getAs[Long]("n_cand_cap")).sum,
+       rows.map(_.getAs[Long]("n_cand_lsh")).sum)
+    assert(totCap < totLsh,
+      "cap=1 must shrink the total candidate mass on the harness corpus")
+    info(s"candidate mass: capped $totCap vs uncapped $totLsh; " +
+      s"agree_lsh ${rows.count(_.getAs[Boolean]("cap_agree_lsh"))}/${rows.length}")
+  }
+
   test("d13 assignVia=lshcap: cap >= C is bit-identical to lsh; a tight " +
        "cap keeps the per-bucket bound, stays a subset of the uncapped " +
        "codebook, and still assigns every vector") {
