@@ -21,8 +21,8 @@ object CellStatsProbe {
     val via = args.lift(1).getOrElse("exact")
     // the JSON echoes via verbatim, so an unknown value must fail here
     // rather than silently running the exact path under the typo'd label
-    require(Set("exact", "twolevel", "lsh", "lshcap").contains(via),
-      s"unknown via '$via' — expected exact, twolevel, lsh or lshcap")
+    require(Set("exact", "twolevel", "lsh", "lshcap", "lshflat").contains(via),
+      s"unknown via '$via' — expected exact, twolevel, lsh, lshcap or lshflat")
     val spark = BenchSupport.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -30,6 +30,7 @@ object CellStatsProbe {
       case "twolevel" => Similarity.twoLevelCellAssigned(e)
       case "lsh"      => Similarity.lshCellAssigned(e)
       case "lshcap"   => Similarity.lshCapCellAssigned(e)
+      case "lshflat"  => Similarity.lshFlatCellAssigned(e)
       case _          => Similarity.cellAssigned(e)
     }
     val byCell = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))

@@ -39,8 +39,8 @@ object D13LshProbe {
     // otherwise compare MISMATCHED paths — assignment stats on one
     // fallback, drop sets on another — and print a self-inconsistent
     // honesty artifact under the typo'd label
-    require(Set("lsh", "lshcap", "twolevel", "margin").contains(via),
-      s"unknown via '$via' — expected lsh, lshcap, twolevel or margin")
+    require(Set("lsh", "lshcap", "lshflat", "twolevel", "margin").contains(via),
+      s"unknown via '$via' — expected lsh, lshcap, lshflat, twolevel or margin")
     val spark = BenchSupport.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -62,6 +62,7 @@ object D13LshProbe {
     val approxCells = via match {
       case "twolevel" => Similarity.twoLevelCellAssigned(e)
       case "lshcap"   => Similarity.lshCapCellAssigned(e)
+      case "lshflat"  => Similarity.lshFlatCellAssigned(e)
       case "lsh"      => Similarity.lshCellAssigned(e)
     }
     val exactCells = Similarity.cellAssigned(e)

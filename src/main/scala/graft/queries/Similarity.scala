@@ -267,6 +267,7 @@ object Similarity {
     val key = via match {
       case "lsh"      => "s2_cells_lsh"
       case "lshcap"   => "s2_cells_lshcap"
+      case "lshflat"  => "s2_cells_lshflat"
       case "twolevel" => "s2_cells_twolevel"
       case _          => "s2_cells"
     }
@@ -275,6 +276,7 @@ object Similarity {
       via match {
         case "lsh"      => lshCellAssigned(e)
         case "lshcap"   => lshCapCellAssigned(e)
+        case "lshflat"  => lshFlatCellAssigned(e)
         case "twolevel" => twoLevelCellAssigned(e)
         case _          => cellAssigned(e)
       }
@@ -849,6 +851,47 @@ object Similarity {
   /** [[lshCapCellAssignedAgainst]] with self-seeded centroids. */
   private[graft] def lshCapCellAssigned(e: DataFrame): DataFrame =
     lshCapCellAssignedAgainst(centroids(e), e)
+
+  /** Target cell population of the `lshflat` tier's codebook
+    * (`graft.d13.flatCellTarget`, env fallback for forked ScaleBench
+    * JVMs). 512 keeps the within-cell pairwise block comfortably inside
+    * one task while leaving cells deep enough that near-duplicates
+    * co-assign (they share sign buckets, hence candidate sets). */
+  private[graft] def FlatCellTarget: Int =
+    sys.props.get("graft.d13.flatCellTarget")
+      .orElse(sys.env.get("GRAFT_D13_FLATCELLTARGET"))
+      .map(_.toInt).getOrElse(512)
+
+  /** The FLAT codebook: C = ceil(N / [[FlatCellTarget]]) centroids by
+    * the same idMix TakeOrdered seed rule — C grows LINEARLY with the
+    * corpus instead of the balanced √-rule, so mean cell population is
+    * pinned at the target and d13's within-cell pairwise term becomes
+    * N·target = linear. Unaffordable under exact assignment (N·C would
+    * be N²/target) and under uncapped lsh (occupancy ∝ C); the capped
+    * join is what makes it payable — N·L·B is C-independent. At harness
+    * SFs (N ≤ target) the rule degenerates to the [[NumCentroids]]
+    * floor, i.e. the standard codebook. */
+  private[graft] def centroidsFlat(e: DataFrame): DataFrame = {
+    val k = math.max(NumCentroids,
+      math.ceil(e.count().toDouble / FlatCellTarget).toInt)
+    e.orderBy(idMix(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+  }
+
+  /** The `lshflat` assignment tier (late r15) — the FIRST fully linear
+    * d13 path, closing the "honest boundary" of the cap alone: the flat
+    * codebook pins cell population (pairwise term N·target, linear) and
+    * the XOR-capped bucket join pins assignment at N·L·B (linear,
+    * C-independent). Every prior tier left one N^1.5 term standing:
+    * exact/lsh/twolevel all keep the √-codebook's N²/C pairwise, and
+    * under the √-rule the assignment term itself regrows (occupancy
+    * ∝ C ∝ √N). Recall price measured by the same honesty kit
+    * (`D13LshProbe <dir> lshflat` — drop recall/precision vs the exact
+    * path's drop set) and recorded in SCALING.md; misses stay visible
+    * sentinels. */
+  private[graft] def lshFlatCellAssigned(e: DataFrame): DataFrame =
+    lshCapCellAssignedAgainst(centroidsFlat(e), e)
 
   /** Super-cells probed per vector in the two-level assignment: 2 keeps
     * the cost at ~3·sqrt(C) scored centroids per vector while covering

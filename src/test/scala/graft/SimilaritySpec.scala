@@ -349,6 +349,27 @@ class SimilaritySpec extends SparkSpec {
     info(s"lshcap drops at sf0.01: ${rows.length}")
   }
 
+  test("d13 assignVia=lshflat: at harness SF the flat codebook " +
+       "degenerates to the NumCentroids floor and the cap never binds, " +
+       "so the tier must reproduce the lsh drop set exactly; the flat " +
+       "sizing rule itself is pinned at the unit level") {
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    // 500 vectors / target 512 -> ceil = 1 -> the 16-centroid floor:
+    // identical codebook to the standard sqrt rule at this SF
+    assert(Similarity.centroidsFlat(e).count() == 16L)
+    def drops(via: String): Seq[Long] = {
+      System.setProperty("graft.d13.assignVia", via)
+      try graft.queries.Dedup.d13SemanticDedup(spark, dir).collect()
+        .map(_.getAs[Long]("vec_id")).toSeq
+      finally System.clearProperty("graft.d13.assignVia")
+    }
+    assert(drops("lshflat") == drops("lsh"),
+      "degenerate flat codebook must reproduce the lsh tier bit-for-bit")
+  }
+
   test("d13 assignVia=twolevel: drop rows are a plausible d13 output — " +
        "every drop has a lower-id keeper in the same cell at cosine >= " +
        "threshold semantics preserved (schema + keeper < vec_id)") {
