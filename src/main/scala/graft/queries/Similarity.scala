@@ -61,12 +61,17 @@ object Similarity {
   private val BitsPerTable = 5
 
   /** Deterministic pseudo-random hyperplanes (fixed seed, ±1 components —
-    * sign-random projections need no Gaussian). */
-  private val planes: Array[Array[Float]] = {
+    * sign-random projections need no Gaussian). [[planesFor]] extends
+    * the SAME seeded sequence to any count, so the first 30 planes —
+    * and with them every 5-bit bucket id the s3/s9/s13 oracles embed —
+    * are identical no matter how many more the adaptive-bits tier
+    * draws. */
+  private def planesFor(n: Int): Array[Array[Float]] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(NumTables * BitsPerTable)(
-      Array.fill(64)(if (rnd.nextBoolean()) 1f else -1f))
+    Array.fill(n)(Array.fill(64)(if (rnd.nextBoolean()) 1f else -1f))
   }
+  private val planes: Array[Array[Float]] =
+    planesFor(NumTables * BitsPerTable)
 
   /** Deterministic pseudo-random id mix BOTH engines can compute with
     * plain BIGINT arithmetic (a Knuth-style affine mix — NOT xxhash64,
@@ -596,14 +601,53 @@ object Similarity {
     s11CellPairs(probes, cells)
   }
 
+  /** The flat candidate source (`via=flat`, late r15) — s11 with NO
+    * superlinear stage left, the same three-pin construction as d13's
+    * `lshflat`: the target side is cell-assigned through the flat
+    * codebook (C = N_tgt/target, adaptive bits, capped buckets — all
+    * linear), source probes rank their top-[[S11bProbe]] cells among
+    * their capped-bucket candidates (N_src·L·cap cosines — linear,
+    * C-independent), and the pair stage scans probed cells whose
+    * population the flat rule PINS (~[[FlatCellTarget]] members), so
+    * candidate mass is N_src·probe·target — linear, where every √-rule
+    * tier pays N_src·√N_tgt. Mining recall is the priced honesty
+    * number (the SimilaritySpec subset pin + the SCALING.md
+    * differential); a source whose probed cells are empty simply mines
+    * nothing — visible by absence against the exact tier, the s11b
+    * convention. */
+  private def s11FlatPairs(src: DataFrame, tgt: DataFrame): DataFrame = {
+    val tgtE = tgt.select(col("t_id").as("vec_id"),
+      col("t_emb").as("embedding"))
+    val k = flatCodebookSize(tgtE)
+    val bits = flatBits(k)
+    val cb = cappedCodebookN(centroidsFlatK(tgtE, k), LshBucketCap, bits)
+    val cells = lshAssignCoreN(cb, tgtE, bits)
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+        col("cell"))
+      .filter(col("cell") >= 0) // sentinel singletons are unreachable
+    val wP = Window.partitionBy(col("s_id"))
+      .orderBy(col("p_cos").desc, col("c_id").asc)
+    val probes = src
+      .select(col("s_id"), col("s_emb"),
+        explode(tableBucketsN(col("s_emb"), bits)).as("bucket"))
+      .join(broadcast(cb), Seq("bucket"))
+      .dropDuplicates("s_id", "c_id")
+      .withColumn("p_cos", round(cosine_sim(col("s_emb"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= S11bProbe)
+      .select(col("s_id"), col("s_emb"), col("c_id").as("cell"))
+    s11CellPairs(probes, cells)
+  }
+
   /** s11's pair-source seam (the d13 `assignVia` convention): `exact`
     * (default — the oracle-gated brute matrix), `ivf` (the blocked
     * production path [[s11IvfPairs]], N^1.5 under the sqrt rule),
     * `twolevel` (ivf with the two-level codebook on both assignment
-    * terms — [[s11TwoLevelPairs]]), or `lsh` (the LSH-bucketed
-    * [[s11LshIvfPairs]]). System property `graft.s11.via` or env
-    * SPARK_GRAFT_S11_VIA; ScaleBench runs with the non-default values
-    * measure the tiered slopes on the same catalog entry. */
+    * terms — [[s11TwoLevelPairs]]), `lsh` (the LSH-bucketed
+    * [[s11LshIvfPairs]]), or `flat` (the fully linear
+    * [[s11FlatPairs]], late r15). System property `graft.s11.via` or
+    * env SPARK_GRAFT_S11_VIA; ScaleBench runs with the non-default
+    * values measure the tiered slopes on the same catalog entry. */
   private def s11Via: String =
     sys.props.get("graft.s11.via").orElse(sys.env.get("SPARK_GRAFT_S11_VIA"))
       .getOrElse("exact")
@@ -615,6 +659,7 @@ object Similarity {
       case "ivf"      => s11IvfPairs(src, tgt)
       case "twolevel" => s11TwoLevelPairs(src, tgt)
       case "lsh"      => s11LshIvfPairs(src, tgt)
+      case "flat"     => s11FlatPairs(src, tgt)
       case _          => s11ExactPairs(src, tgt)
     }
     s11MarginCore(pairs).drop("n_cand").orderBy(col("s_id"))
@@ -662,12 +707,23 @@ object Similarity {
     * identical bucket ids. This is also literally the oracle's formula
     * (dot(emb, plane) > 0). Shared by s3 (neighbor search) and s9
     * (assignment pre-filter). */
-  private def tableBuckets(emb: Column): Column = array((0 until NumTables).map { t =>
-    (0 until BitsPerTable).map { b =>
-      val plane = typedlit(planes(t * BitsPerTable + b))
-      when(dot_product(emb, plane) > 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _) + lit(t * (1 << BitsPerTable))
-  }: _*)
+  private def tableBuckets(emb: Column): Column =
+    tableBucketsN(emb, BitsPerTable)
+
+  /** [[tableBuckets]] at an arbitrary bit width — the adaptive-bits
+    * tier ([[lshFlatCellAssigned]]) widens buckets as its codebook
+    * grows so occupancy stays pinned. At `bits` = [[BitsPerTable]] this
+    * is bit-for-bit the fixed-width function (same plane prefix, same
+    * indexing). */
+  private def tableBucketsN(emb: Column, bits: Int): Column = {
+    val ps = planesFor(NumTables * bits)
+    array((0 until NumTables).map { t =>
+      (0 until bits).map { b =>
+        val plane = typedlit(ps(t * bits + b))
+        when(dot_product(emb, plane) > 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _) + lit(t * (1 << bits))
+    }: _*)
+  }
 
   def s3AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
@@ -744,17 +800,24 @@ object Similarity {
     * join. Shared by the uncapped ([[lshCellAssignedAgainst]]) and
     * occupancy-capped ([[lshCapCellAssignedAgainst]]) tiers. */
   private[graft] def bucketedCodebook(cent: DataFrame): DataFrame =
-    cent.select(col("c_id"), col("c_emb"),
-      explode(tableBuckets(col("c_emb"))).as("bucket"))
+    bucketedCodebookN(cent, BitsPerTable)
 
-  /** The bucket join + map-side max_by argmax shared by both lsh tiers:
+  private def bucketedCodebookN(cent: DataFrame, bits: Int): DataFrame =
+    cent.select(col("c_id"), col("c_emb"),
+      explode(tableBucketsN(col("c_emb"), bits)).as("bucket"))
+
+  /** The bucket join + map-side max_by argmax shared by every lsh tier:
     * candidate mass partial-aggregates to one row per vector before the
     * single exchange; bucketless vectors fall back to the sentinel
     * singleton cell (-vec_id - 1). */
-  private def lshAssignCore(cb: DataFrame, e: DataFrame): DataFrame = {
+  private def lshAssignCore(cb: DataFrame, e: DataFrame): DataFrame =
+    lshAssignCoreN(cb, e, BitsPerTable)
+
+  private def lshAssignCoreN(cb: DataFrame, e: DataFrame,
+      bits: Int): DataFrame = {
     val assigned = e
       .select(col("vec_id"), col("embedding"),
-        explode(tableBuckets(col("embedding"))).as("bucket"))
+        explode(tableBucketsN(col("embedding"), bits)).as("bucket"))
       .join(broadcast(cb), Seq("bucket"))
       .withColumn("c_cos", round(cosine_sim(col("embedding"), col("c_emb")), 4))
       .groupBy(col("vec_id"))
@@ -837,7 +900,11 @@ object Similarity {
   private val CapRankMixP = 100003L
 
   private[graft] def cappedCodebook(cent: DataFrame, cap: Int): DataFrame =
-    bucketedCodebook(cent)
+    cappedCodebookN(cent, cap, BitsPerTable)
+
+  private def cappedCodebookN(cent: DataFrame, cap: Int,
+      bits: Int): DataFrame =
+    bucketedCodebookN(cent, bits)
       .groupBy(col("bucket"))
       .agg(slice(array_sort(collect_list(struct(
           idMix(col("c_id").bitwiseXOR(col("bucket") * lit(CapRankMixP)))
@@ -862,36 +929,67 @@ object Similarity {
       .orElse(sys.env.get("GRAFT_D13_FLATCELLTARGET"))
       .map(_.toInt).getOrElse(512)
 
-  /** The FLAT codebook: C = ceil(N / [[FlatCellTarget]]) centroids by
-    * the same idMix TakeOrdered seed rule — C grows LINEARLY with the
-    * corpus instead of the balanced √-rule, so mean cell population is
-    * pinned at the target and d13's within-cell pairwise term becomes
-    * N·target = linear. Unaffordable under exact assignment (N·C would
-    * be N²/target) and under uncapped lsh (occupancy ∝ C); the capped
-    * join is what makes it payable — N·L·B is C-independent. At harness
-    * SFs (N ≤ target) the rule degenerates to the [[NumCentroids]]
-    * floor, i.e. the standard codebook. */
-  private[graft] def centroidsFlat(e: DataFrame): DataFrame = {
-    val k = math.max(NumCentroids,
+  /** Target mean bucket occupancy of the `lshflat` tier: its bit width
+    * grows with the codebook (2^bits ≈ C / this) so occupancy — and
+    * with it both the per-vector candidate count and the eviction
+    * pressure — stays PINNED as C grows. Without this the fixed 6×32
+    * bucket space saturates: at sf100 (C = 3 907, occupancy 122 vs
+    * cap 8) per-bucket survival is 6.6 %, two thirds of the flat
+    * codebook survives NOWHERE, the effective cell count stops growing
+    * with N, and the pairwise term quietly reverts to quadratic — the
+    * measured 1.50 slope of the fixed-width flat tier
+    * (`SCALE_1000X_D13FLAT5.json`). */
+  private[graft] val FlatTargetOcc = 8
+
+  /** The flat codebook size: C = ceil(N / [[FlatCellTarget]]) — linear
+    * in the corpus, against the standard rule's √. At harness SFs
+    * (N ≤ target) this degenerates to the [[NumCentroids]] floor, i.e.
+    * the standard codebook. */
+  private def flatCodebookSize(e: DataFrame): Int =
+    math.max(NumCentroids,
       math.ceil(e.count().toDouble / FlatCellTarget).toInt)
+
+  /** The FLAT codebook at a given size, by the same idMix TakeOrdered
+    * seed rule as [[centroids]]. */
+  private def centroidsFlatK(e: DataFrame, k: Int): DataFrame =
     e.orderBy(idMix(col("vec_id")), col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-  }
+
+  /** [[centroidsFlatK]] at the [[flatCodebookSize]] — the spec hook. */
+  private[graft] def centroidsFlat(e: DataFrame): DataFrame =
+    centroidsFlatK(e, flatCodebookSize(e))
+
+  /** The adaptive bit width: 2^bits ≈ k / [[FlatTargetOcc]], floored at
+    * the fixed [[BitsPerTable]] so small codebooks stay on the oracle's
+    * 5-bit prefix. */
+  private def flatBits(k: Int): Int =
+    math.max(BitsPerTable,
+      math.ceil(math.log(k.toDouble / FlatTargetOcc) / math.log(2)).toInt)
 
   /** The `lshflat` assignment tier (late r15) — the FIRST fully linear
-    * d13 path, closing the "honest boundary" of the cap alone: the flat
-    * codebook pins cell population (pairwise term N·target, linear) and
-    * the XOR-capped bucket join pins assignment at N·L·B (linear,
-    * C-independent). Every prior tier left one N^1.5 term standing:
-    * exact/lsh/twolevel all keep the √-codebook's N²/C pairwise, and
-    * under the √-rule the assignment term itself regrows (occupancy
-    * ∝ C ∝ √N). Recall price measured by the same honesty kit
-    * (`D13LshProbe <dir> lshflat` — drop recall/precision vs the exact
-    * path's drop set) and recorded in SCALING.md; misses stay visible
-    * sentinels. */
-  private[graft] def lshFlatCellAssigned(e: DataFrame): DataFrame =
-    lshCapCellAssignedAgainst(centroidsFlat(e), e)
+    * d13 path, closing the "honest boundary" of the cap alone. Three
+    * pins, each with its own invariant: (1) the flat codebook
+    * C = N/target pins CELL population, so the within-cell pairwise
+    * term is N·target — linear; (2) the bit width grows with the
+    * codebook (2^bits ≈ C/[[FlatTargetOcc]]) pinning bucket OCCUPANCY,
+    * so the effective codebook stays ≈ C instead of saturating at the
+    * fixed bucket space (the measured failure of the fixed-width flat
+    * tier — slope 1.50, SCALING.md); (3) the XOR-capped join bounds the
+    * assignment at N·L·cap — linear, C-independent, with the cap now a
+    * BACKSTOP against hot buckets rather than the steady-state evictor.
+    * Every prior tier left one N^1.5 term standing; this path has
+    * none. Recall price measured by the same honesty kit
+    * (`D13LshProbe <dir> lshflat`) and recorded in SCALING.md; misses
+    * stay visible sentinels. At harness SFs the whole construction
+    * degenerates to the standard 16-centroid codebook at 5 bits with a
+    * non-binding cap — bit-for-bit the lsh tier (spec-pinned). */
+  private[graft] def lshFlatCellAssigned(e: DataFrame): DataFrame = {
+    val k = flatCodebookSize(e)
+    val bits = flatBits(k)
+    lshAssignCoreN(
+      cappedCodebookN(centroidsFlatK(e, k), LshBucketCap, bits), e, bits)
+  }
 
   /** Super-cells probed per vector in the two-level assignment: 2 keeps
     * the cost at ~3·sqrt(C) scored centroids per vector while covering

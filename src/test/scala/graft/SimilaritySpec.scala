@@ -286,6 +286,25 @@ class SimilaritySpec extends SparkSpec {
       s"agree_lsh ${rows.count(_.getAs[Boolean]("cap_agree_lsh"))}/${rows.length}")
   }
 
+  test("s11 via=flat: same schema, sources subset of exact, margins " +
+       "well-formed") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Similarity.s11BitextMargin(spark, dir)
+    val exactIds = exact.collect().map(_.getAs[Long]("s_id")).toSet
+    System.setProperty("graft.s11.via", "flat")
+    try {
+      val fl = Similarity.s11BitextMargin(spark, dir)
+      assert(fl.schema == exact.schema, "flat tier changed the schema")
+      val rows = fl.collect()
+      assert(rows.nonEmpty, "flat tier mined nothing")
+      val ids = rows.map(_.getAs[Long]("s_id"))
+      assert(ids.distinct.length == ids.length, "duplicate source rows")
+      assert(ids.forall(exactIds.contains),
+        "flat tier produced a source the exact tier does not know")
+      info(s"flat tier: ${rows.length}/${exactIds.size} sources matched")
+    } finally System.clearProperty("graft.s11.via")
+  }
+
   test("d13 assignVia=lshcap: cap >= C is bit-identical to lsh; a tight " +
        "cap keeps the per-bucket bound, stays a subset of the uncapped " +
        "codebook, and still assigns every vector") {
