@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Cosine similarity of two float vectors as a native Catalyst expression.
   *
@@ -203,6 +203,114 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All sign-LSH table-bucket ids of a float vector in ONE fused pass —
+  * the kernel form of the when-chain over per-plane [[DotProduct]]s
+  * that Similarity's bucket tiers originally inlined. The chain form is
+  * bit-identical but generates tables·bits separate 64-element dot
+  * loops inside one projection; past ~30 planes the generated method
+  * falls off the JIT cliff (the adaptive-bits flat tier measured its
+  * sf30 assignment at minutes instead of seconds at 48 planes). Here
+  * the planes live in ONE flat float[] reference and the generated code
+  * is three nested loops — constant code size at any bit width.
+  * Arithmetic is exactly the chain's: each element widened to double,
+  * left-to-right accumulation per plane, sign test dot > 0, bucket =
+  * t·2^bits + Σ 2^b — so the s3/s9/s13 oracles, which replay the
+  * plane literals in SQL, are untouched. Null semantics match
+  * [[DotProduct]]: null input, null element, or a vector whose length
+  * differs from the plane dimension poisons to NULL. */
+case class SignBuckets(child: Expression, planes: Array[Float],
+    tables: Int, bits: Int) extends UnaryExpression {
+
+  private val dim: Int = planes.length / (tables * bits)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sign_buckets"
+  override def nullable: Boolean = true
+
+  private def elementNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_buckets requires array<float> input, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) return null
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        val off = (t * bits + b) * dim
+        var i = 0
+        while (i < dim) {
+          if (a.isNullAt(i)) return null
+          dot += a.getFloat(i).toDouble * planes(off + i).toDouble
+          i += 1
+        }
+        if (dot > 0) sig |= (1 << b)
+        b += 1
+      }
+      out(t) = sig + t * (1 << bits)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ps = ctx.addReferenceObj("signPlanes", planes, "float[]")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val sig = ctx.freshName("sig")
+      val dot = ctx.freshName("dot")
+      val off = ctx.freshName("off")
+      val elementCheck =
+        if (elementNullable)
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val breakOuter =
+        if (elementNullable) s"if (${ev.isNull}) break;" else ""
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $out = new int[$tables];
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    int $sig = 0;
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      double $dot = 0.0;
+         |      int $off = ($t * $bits + $b) * $dim;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $elementCheck
+         |        $dot += (double) $a.getFloat($i) * (double) $ps[$off + $i];
+         |      }
+         |      $breakOuter
+         |      if ($dot > 0) $sig |= (1 << $b);
+         |    }
+         |    $breakOuter
+         |    $out[$t] = $sig + $t * (1 << $bits);
+         |  }
+         |  if (${if (elementNullable) s"!${ev.isNull}" else "true"}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-API entry point: `cosine_sim($"a", $"b")`. Inputs must be
     * `array<float>` (the harness embedding type); enforced at analysis
@@ -215,4 +323,11 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API entry point: all sign-LSH table buckets in one fused
+    * pass. `planes` is the flat row-major (table·bits)×dim matrix. */
+  def sign_buckets(emb: Column, planes: Array[Float], tables: Int,
+      bits: Int): Column =
+    ColumnBridge.column(
+      SignBuckets(ColumnBridge.expression(emb), planes, tables, bits))
 }

@@ -713,17 +713,18 @@ object Similarity {
   /** [[tableBuckets]] at an arbitrary bit width — the adaptive-bits
     * tier ([[lshFlatCellAssigned]]) widens buckets as its codebook
     * grows so occupancy stays pinned. At `bits` = [[BitsPerTable]] this
-    * is bit-for-bit the fixed-width function (same plane prefix, same
-    * indexing). */
-  private def tableBucketsN(emb: Column, bits: Int): Column = {
-    val ps = planesFor(NumTables * bits)
-    array((0 until NumTables).map { t =>
-      (0 until bits).map { b =>
-        val plane = typedlit(ps(t * bits + b))
-        when(dot_product(emb, plane) > 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _) + lit(t * (1 << bits))
-    }: _*)
-  }
+    * produces bit-for-bit the fixed-width ids (same plane prefix, same
+    * indexing). Since late r15 this is ONE fused
+    * [[graft.functions.SignBuckets]] codegen kernel instead of a
+    * when-chain over tables·bits separate [[dot_product]]s: the chain
+    * form is arithmetically identical but its generated method grows
+    * with the plane count and falls off the JIT cliff past ~30 planes —
+    * the adaptive tier's 48-plane assignment measured MINUTES instead
+    * of seconds before the kernel (SCALING.md round-15). Every oracle
+    * replays plane literals against unchanged bucket values. */
+  private def tableBucketsN(emb: Column, bits: Int): Column =
+    graft.functions.VectorFunctions.sign_buckets(
+      emb, planesFor(NumTables * bits).flatten, NumTables, bits)
 
   def s3AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)

@@ -15,6 +15,33 @@ class FunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("sign_buckets kernel == the when-chain of per-plane dot_products, " +
+       "at the oracle's 5 bits and the adaptive tier's 8 — same seeded " +
+       "planes, bitwise-equal bucket ids per vector") {
+    import graft.functions.VectorFunctions.{dot_product, sign_buckets}
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding"))
+    for (bits <- Seq(5, 8)) {
+      val rnd = new scala.util.Random(7) // the Similarity plane seed
+      val planes = Array.fill(6 * bits)(
+        Array.fill(64)(if (rnd.nextBoolean()) 1f else -1f))
+      val chain = array((0 until 6).map { t =>
+        (0 until bits).map { b =>
+          when(dot_product(col("embedding"), typedlit(planes(t * bits + b))) > 0,
+            lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _) + lit(t * (1 << bits))
+      }: _*)
+      val rows = e.select(col("vec_id"),
+          sign_buckets(col("embedding"), planes.flatten, 6, bits).as("k"),
+          chain.as("c")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[Int](1).toList == r.getSeq[Int](2).toList,
+          s"kernel/chain divergence at bits=$bits vec_id=${r.get(0)}")
+      }
+    }
+  }
+
   test("cosine_sim registered as a SQL function via GraftExtensions") {
     GraftExtensions.register(spark)
     graft.sources.Tables.embeddings(spark, sfDir)
