@@ -302,10 +302,18 @@ object Bench {
     // reference's per-query isolated microbenchmark (times=5 on one
     // query at a time), where the catalog-sweep numbers above carry
     // whatever heap state ~100 preceding queries left behind (the r13
-    // "primed JVM" effect, measured at up to 2x on q4). The samples are
-    // steady-gated like the passes.
+    // "primed JVM" effect, measured at up to 2x on q4). Pair selection
+    // is honest about regime (ADVICE r15: gatedCalibrate retries
+    // boundedly and then commits the pair regardless, so the old minBy
+    // could silently pick a drifting-window sample): the min is taken
+    // over STEADY pairs whenever any exist, and every committed sample
+    // carries its own "steady" flag plus the steady/total pair counts,
+    // so a drifting-only row is visibly marked in the artifact. The
+    // set covers every query the r15 verdict read at ≥1.5× vs baseline
+    // (q5 added in r16).
     val abNames = sys.env.getOrElse("SPARK_GRAFT_AB",
-        "q3_join_groupcount,q4_derived_diff_filter,q6_semijoin_having_distinct")
+        "q3_join_groupcount,q4_derived_diff_filter," +
+          "q5_composite_key_join,q6_semijoin_having_distinct")
       .split(",").map(_.trim).filter(names.contains).toSeq
     val abRounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "5").toInt
     val abJson = abNames.map { n =>
@@ -315,9 +323,13 @@ object Bench {
       }.filter(_._2 >= 0)
       if (pairs.isEmpty) "\"" + n + "\":null"
       else {
-        val (c, t) = pairs.minBy(_._2)
+        val steadyPairs =
+          if (gated) pairs.filter(_._1 <= steadyLevel) else Seq.empty
+        val pool = if (steadyPairs.nonEmpty) steadyPairs else pairs
+        val (c, t) = pool.minBy(_._2)
         val norm = if (gated) s""","norm":${f4(t * calibRef / c)}""" else ""
-        "\"" + n + s"""":{"raw":${f4(t)},"calib":${f(c)}$norm}"""
+        val steady = gated && c <= steadyLevel
+        "\"" + n + s"""":{"raw":${f4(t)},"calib":${f(c)}$norm,"steady":$steady,"n_steady":${steadyPairs.size},"n_pairs":${pairs.size}}"""
       }
     }.mkString("{", ",", "}")
 

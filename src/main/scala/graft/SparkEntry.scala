@@ -45,7 +45,15 @@ object SparkEntry {
       // differential), so timing it would re-charge s11's exact matrix;
       // the blocked tier's own cost is measured via the
       // SPARK_GRAFT_S11_VIA=ivf ScaleBench row instead
-      "s11b_bitext_blocked")
+      "s11b_bitext_blocked",
+      // s14 is the flat-construction gate fixture: its knobs are pinned
+      // TIGHT (cell target 4 -> a k=N/4 codebook) so the adaptive math
+      // binds at harness SF, and it carries an exact-argmax reference
+      // column over that deliberately oversized codebook — N*(N/4)
+      // cosines that exist only for the oracle differential. The
+      // production flat tier's cost is the assignVia=lshflat ScaleBench
+      // rows (SCALE_1000X_D13FLAT)
+      "s14_flat_assign")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */

@@ -223,6 +223,24 @@ case class SignBuckets(child: Expression, planes: Array[Float],
 
   private val dim: Int = planes.length / (tables * bits)
 
+  // Array fields compare by reference under case-class equality, so two
+  // logically identical sign_buckets expressions built from separately
+  // allocated plane arrays would never canonicalize together (ADVICE
+  // r15 — perf only: CSE and reuse-exchange matching silently degrade).
+  // Content equality restores the Expression contract; the plane CACHE
+  // in Similarity.flatPlanesFor makes the common case a cheap reference
+  // hit before the element compare.
+  override def equals(other: Any): Boolean = other match {
+    case s: SignBuckets =>
+      (s eq this) || (s.tables == tables && s.bits == bits &&
+        s.child == child && java.util.Arrays.equals(s.planes, planes))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child,
+      Integer.valueOf(tables), Integer.valueOf(bits),
+      Integer.valueOf(java.util.Arrays.hashCode(planes)))
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "sign_buckets"
   override def nullable: Boolean = true

@@ -73,6 +73,17 @@ object Similarity {
   private val planes: Array[Array[Float]] =
     planesFor(NumTables * BitsPerTable)
 
+  /** Flattened plane array per count, memoized so two `sign_buckets`
+    * expressions at the same bit width share ONE float[] reference
+    * (ADVICE r15: a fresh array per call made logically identical
+    * expressions compare unequal, defeating Catalyst canonicalization
+    * and CSE — the kernel also content-compares as a second line of
+    * defense). */
+  private val flatPlanesCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Float]]()
+  private def flatPlanesFor(n: Int): Array[Float] =
+    flatPlanesCache.computeIfAbsent(n, k => planesFor(k).flatten)
+
   /** Deterministic pseudo-random id mix BOTH engines can compute with
     * plain BIGINT arithmetic (a Knuth-style affine mix — NOT xxhash64,
     * which DuckDB cannot reproduce). Safe under ANSI overflow for ids up
@@ -645,24 +656,50 @@ object Similarity {
     * `twolevel` (ivf with the two-level codebook on both assignment
     * terms — [[s11TwoLevelPairs]]), `lsh` (the LSH-bucketed
     * [[s11LshIvfPairs]]), or `flat` (the fully linear
-    * [[s11FlatPairs]], late r15). System property `graft.s11.via` or
+    * [[s11FlatPairs]], late r15), or `auto` (r16, VERDICT r15 #4):
+    * resolve per corpus off the SAME s12 statistic d13's seam uses —
+    * [[resolveAutoTier]] over the TARGET slice (the side the codebook
+    * and candidate structure are built on), with the d13 tier names
+    * mapped onto the mining ladder's (`lshflat`→`flat`; `twolevel` and
+    * `exact` are shared names). System property `graft.s11.via` or
     * env SPARK_GRAFT_S11_VIA; ScaleBench runs with the non-default
     * values measure the tiered slopes on the same catalog entry. */
   private def s11Via: String =
     sys.props.get("graft.s11.via").orElse(sys.env.get("SPARK_GRAFT_S11_VIA"))
       .getOrElse("exact")
 
+  /** The resolved `auto` tier for s11's mining ladder: the shared
+    * probe + size rule over the target-language slice, memoized per
+    * (dir, tgt-lang, corpus stamp). The size axis reads the SLICE
+    * count — the candidate structure is built over the targets, so the
+    * exact tier's quadratic and the blocked tiers' growth are both in
+    * |tgt| (and |src| scales every tier identically). */
+  private def s11AutoVia(dir: String, tgt: DataFrame): String =
+    resolveAutoTier(s"$dir@s11:$S11TgtLang@${corpusStamp(dir)}",
+      tgt.select(col("t_id").as("vec_id"), col("t_emb").as("embedding")))
+    match {
+      case "lshflat" => "flat"
+      case v         => v // twolevel | exact — shared tier names
+    }
+
+  private def s11PairsFor(via: String, src: DataFrame,
+      tgt: DataFrame): DataFrame = via match {
+    case "ivf"      => s11IvfPairs(src, tgt)
+    case "twolevel" => s11TwoLevelPairs(src, tgt)
+    case "lsh"      => s11LshIvfPairs(src, tgt)
+    case "flat"     => s11FlatPairs(src, tgt)
+    case _          => s11ExactPairs(src, tgt)
+  }
+
   def s11BitextMargin(s: SparkSession, dir: String): DataFrame = {
     val src = s11Side(s, dir, S11SrcLang, "s_id", "s_emb")
     val tgt = s11Side(s, dir, S11TgtLang, "t_id", "t_emb")
-    val pairs = s11Via match {
-      case "ivf"      => s11IvfPairs(src, tgt)
-      case "twolevel" => s11TwoLevelPairs(src, tgt)
-      case "lsh"      => s11LshIvfPairs(src, tgt)
-      case "flat"     => s11FlatPairs(src, tgt)
-      case _          => s11ExactPairs(src, tgt)
+    val via = s11Via match {
+      case "auto" => s11AutoVia(dir, tgt)
+      case v      => v
     }
-    s11MarginCore(pairs).drop("n_cand").orderBy(col("s_id"))
+    s11MarginCore(s11PairsFor(via, src, tgt))
+      .drop("n_cand").orderBy(col("s_id"))
   }
 
   /** s11b — the blocked production tier as its own DIFFERENTIAL entry
@@ -675,12 +712,25 @@ object Similarity {
     * false` — a LOUD miss, never a silently absent row. The honest
     * numbers at sf0.01: agreement where the probe finds the true match,
     * misses reported as such. */
+  /** s11b's BLOCKED side seam (r16): default `ivf` — the oracle-gated
+    * differential is unchanged — but at scale the agreement table can
+    * be re-measured under any tier (`flat`, `twolevel`, or `auto`,
+    * which resolves like s11's own seam), so the honesty numbers
+    * follow whatever tier the auto rule actually ships. */
+  private def s11bVia: String =
+    sys.props.get("graft.s11b.via").orElse(sys.env.get("SPARK_GRAFT_S11B_VIA"))
+      .getOrElse("ivf")
+
   def s11bBitextBlocked(s: SparkSession, dir: String): DataFrame = {
     val src = s11Side(s, dir, S11SrcLang, "s_id", "s_emb")
     val tgt = s11Side(s, dir, S11TgtLang, "t_id", "t_emb")
+    val via = s11bVia match {
+      case "auto" => s11AutoVia(dir, tgt)
+      case v      => v
+    }
     val exactBest = s11MarginCore(s11ExactPairs(src, tgt))
       .select(col("s_id"), col("match_id").as("exact_match"))
-    val blocked = s11MarginCore(s11IvfPairs(src, tgt))
+    val blocked = s11MarginCore(s11PairsFor(via, src, tgt))
     exactBest.join(blocked, Seq("s_id"), "left")
       .select(col("s_id"),
         coalesce(col("match_id"), lit(-1L)).as("match_id"),
@@ -724,7 +774,7 @@ object Similarity {
     * replays plane literals against unchanged bucket values. */
   private def tableBucketsN(emb: Column, bits: Int): Column =
     graft.functions.VectorFunctions.sign_buckets(
-      emb, planesFor(NumTables * bits).flatten, NumTables, bits)
+      emb, flatPlanesFor(NumTables * bits), NumTables, bits)
 
   def s3AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
@@ -1131,6 +1181,77 @@ object Similarity {
     * a no-overlap 2× gap; 0.45 splits it with margin on both sides. */
   private[graft] val AutoTop1Threshold = 0.45
 
+  /** The corpus-size axis of the auto rule (r16, VERDICT r15 #1): the
+    * vector count above which the flat tier's measured recall floor
+    * clears ~0.9 — main sf10 (200 k vectors) reads drop recall 0.907 /
+    * precision 0.985 while main sf1 (20 k) reads 0.782 (SCALING.md
+    * flat-tier table), so 200 k is the measured boundary, not a guess.
+    * Below it the corpus is small enough that exact assignment is
+    * cheap anyway (its N·C wall is a DEPTH phenomenon); above it the
+    * exact default is the measured 12.7-minute N^1.5 path at 2 M
+    * vectors vs lshflat's linear 74 s at 0.91/0.985. Sys-prop
+    * `graft.d13.autoFlatMinVectors` (env fallback for forked ScaleBench
+    * JVMs, the assignVia convention). */
+  private[graft] def AutoFlatMinVectors: Long =
+    sys.props.get("graft.d13.autoFlatMinVectors")
+      .orElse(sys.env.get("GRAFT_D13_AUTOFLATMINVECTORS"))
+      .map(_.toLong).getOrElse(200000L)
+
+  /** The pure auto-tier rule, unit-testable without a corpus (r16 —
+    * extends the r15 geometry-only rule with the corpus-size axis the
+    * 1000×-span measurements demanded):
+    *
+    *   - no usable probe statistic (NaN — empty sample / degenerate
+    *     codebook, ADVICE r15) ⇒ `exact`, the oracle-pinned default;
+    *   - DEEP corpus (n ≥ [[AutoFlatMinVectors]], where the flat
+    *     tier's recall floor clears ~0.9) ⇒ `lshflat` — the only tier
+    *     measured LINEAR at depth (0.94 sf30→100 vs exact's 1.40 /
+    *     uncapped lsh's 1.49), 10.2× over exact at 2 M vectors;
+    *   - small + clustered geometry (mean_top1 ≥
+    *     [[AutoTop1Threshold]]) ⇒ `twolevel` (recall 0.91–0.95 there,
+    *     the r15 rule unchanged);
+    *   - small + near-uniform ⇒ `exact` (cheap at this size, perfect
+    *     recall, and the approximate tiers are measured slower below
+    *     the depth where their constants amortize).
+    *
+    * Values are d13 `assignVia` seam names; s11's mining ladder maps
+    * them onto its own tier names ([[s11AutoVia]]). */
+  private[graft] def decideAssignTier(meanTop1: Double, n: Long): String =
+    if (meanTop1.isNaN) "exact"
+    else if (n >= AutoFlatMinVectors) "lshflat"
+    else if (meanTop1 >= AutoTop1Threshold) "twolevel"
+    else "exact"
+
+  /** Shared per-corpus auto resolution: ONE probe + one count per
+    * (cache key), memoized for the JVM. The key embeds
+    * [[corpusStamp]] — the embeddings table's latest mtime — so a
+    * corpus regenerated at the same path in the same JVM gets a fresh
+    * decision instead of a silently stale one (ADVICE r15). The probe
+    * row is read null-guarded: a degenerate probe (no sampled rows)
+    * yields NaN and the rule falls back to `exact` rather than
+    * throwing (ADVICE r15). */
+  private val autoTierCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def corpusStamp(dir: String): Long = {
+    val p = new java.io.File(s"$dir/embeddings.parquet")
+    val kids = Option(p.listFiles()).getOrElse(Array.empty[java.io.File])
+    kids.foldLeft(p.lastModified())((m, f) => math.max(m, f.lastModified()))
+  }
+  private[graft] def resolveAutoTier(cacheKey: String,
+      e: => DataFrame): String =
+    autoTierCache.computeIfAbsent(cacheKey, _ => {
+      val frame = e
+      val n = frame.count()
+      val row = assignMarginProbe(frame).select(col("mean_top1")).head()
+      val meanTop1 = if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+      decideAssignTier(meanTop1, n)
+    })
+
+  /** d13's auto resolution over a corpus dir (the `assignVia=auto`
+    * entry point — see [[graft.queries.Dedup.resolveAssignVia]]). */
+  private[graft] def autoAssignTier(s: SparkSession, dir: String): String =
+    resolveAutoTier(s"$dir@d13@${corpusStamp(dir)}", embeddings(s, dir))
+
   private[graft] def assignMarginProbe(e: DataFrame): DataFrame = {
     // one metadata-cheap count sizes the stride (the centroids()
     // convention); everything downstream is EXACT integer arithmetic —
@@ -1246,6 +1367,83 @@ object Similarity {
           coalesce(col("cell_lsh"), lit(-1L))).as("cap_agree_lsh"),
         (coalesce(col("cell_cap"), lit(-1L)) === col("cell_exact"))
           .as("cap_agree_exact"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** s14's construction knobs, pinned TIGHT (the s13 convention, r16 —
+    * VERDICT r15 #3): at production values the flat tier's two
+    * distinctive mechanisms DEGENERATE at harness SF (N=500 /
+    * target 512 → the 16-centroid floor at the fixed 5-bit width —
+    * bit-for-bit the lsh tier, so the gate would only re-test s9/s13).
+    * Cell target 4 forces the linear codebook rule to BIND
+    * (k = ceil(500/4) = 125 ≫ the 16 floor) and occupancy target 1
+    * forces the adaptive width to BIND (ceil(log2 125) = 7 > the 5-bit
+    * floor), so both adaptive formulas are exercised — and
+    * oracle-REPLAYED: the DuckDB side recomputes k and bits from
+    * count(*) and compares them as output columns, so a drift in
+    * either formula hash-fails loudly. The production tier reads its
+    * knobs from the seams ([[FlatCellTarget]]/[[FlatTargetOcc]]), not
+    * from these pins. */
+  private[graft] val S14CellTarget = 4
+  private[graft] val S14TargetOcc = 1
+  private[graft] val S14Cap = 8
+
+  /** s14 — the `lshflat` construction as a first-class gated operator
+    * (r16): the measurement companion to the `assignVia=lshflat`
+    * production tier exactly as s13 is to `lshcap` and s9 to `lsh`.
+    * The FLAT codebook (k = ceil(N/[[S14CellTarget]]) idMix seeds —
+    * linear in the corpus, against the standard √ rule) is bucketed at
+    * the ADAPTIVE width (2^bits ≈ k/[[S14TargetOcc]], hyperplanes
+    * extended deterministically from the same seeded sequence), capped
+    * per bucket, and every vector reports its capped-flat pick, the
+    * exact argmax over the SAME codebook, the candidate count, the
+    * agreement flag, and the two adaptive quantities (k, bits)
+    * themselves. A vector whose buckets hold no centroid reports
+    * cell −1, s9's visible-miss convention.
+    *
+    * Scale shape: identical to the production flat tier — the capped
+    * codebook is a bounded broadcast (≤ min(k·L, 2^bits·L·cap) rows),
+    * the probe side never leaves its scan partition, the argmax is a
+    * map-side max_by partial-aggregate, and the join output is bounded
+    * at N·L·cap rows with cell population pinned at the target — BOTH
+    * of the d13 family's N^1.5 terms linear by construction, the plan
+    * whose measured 0.94 slope at 2 M vectors is the repo's deepest
+    * scale result. The exact-argmax column is the gate fixture's
+    * honesty reference (harness N·k only), not part of the production
+    * plan. The DuckDB oracle replays the 42 plane literals, the flat
+    * seed rank, the per-bucket idMix cap, both picks, and the adaptive
+    * k/bits arithmetic bit-for-bit. */
+  def s14FlatAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val n = e.count()
+    val k = math.max(NumCentroids,
+      math.ceil(n.toDouble / S14CellTarget).toInt)
+    val bits = math.max(BitsPerTable,
+      math.ceil(math.log(k.toDouble / S14TargetOcc) / math.log(2)).toInt)
+    val cent = centroidsFlatK(e, k)
+    val cb = cappedCodebookN(cent, S14Cap, bits)
+    val pick = e.select(col("vec_id"), col("embedding"),
+        explode(tableBucketsN(col("embedding"), bits)).as("bucket"))
+      .join(broadcast(cb), Seq("bucket"))
+      .dropDuplicates("vec_id", "c_id")
+      .withColumn("c_cos",
+        round(cosine_sim(col("embedding"), col("c_emb")), 4))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("nid")))
+          .as("cell_flat"),
+        count(lit(1)).as("n_cand"))
+    cellAssignedAgainst(cent, e)
+      .select(col("vec_id"), col("cell").as("cell_exact"))
+      .join(pick, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cell_flat"), lit(-1L)).as("cell_flat"),
+        col("cell_exact"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        (coalesce(col("cell_flat"), lit(-1L)) === col("cell_exact"))
+          .as("flat_agree"),
+        lit(k.toLong).as("codebook_k"),
+        lit(bits.toLong).as("bucket_bits"))
       .orderBy(col("vec_id"))
   }
 
@@ -1563,6 +1761,7 @@ object Similarity {
     "s3_ann_lsh"   -> s3AnnLsh _,
     "s9_lsh_assign" -> s9LshAssign _,
     "s13_lshcap_assign" -> s13LshCapAssign _,
+    "s14_flat_assign" -> s14FlatAssign _,
     "s10_probe_sweep" -> s10ProbeSweep _,
     "s4_ann_pq"    -> s4AnnPq _,
     "s5_ann_truncated" -> s5AnnTruncated _,
@@ -1691,15 +1890,23 @@ object Similarity {
        |${recallSql(s"CAST($ProbeCells AS INTEGER) AS probed_cells")}""".stripMargin
 
   /** The engine's table-bucket rule as oracle SQL: for table t, bucket =
-    * t·2^bits + Σ_b (dot(emb, plane[t·bits+b]) > 0 ? 2^b : 0). */
-  private def bucketsSql(emb: String, t: Int): String = {
-    val bits = (0 until BitsPerTable).map { b =>
-      val plane = planes(t * BitsPerTable + b)
+    * t·2^bits + Σ_b (dot(emb, plane[t·bits+b]) > 0 ? 2^b : 0). The
+    * width-parameterized form serves s14's adaptive-bits replay — the
+    * plane sequence extends deterministically, so the flat indexing
+    * (t·bits + b) matches [[graft.functions.SignBuckets]]'s layout at
+    * any width. */
+  private def bucketsSqlN(emb: String, t: Int, nBits: Int): String = {
+    val all = planesFor(NumTables * nBits)
+    val terms = (0 until nBits).map { b =>
+      val plane = all(t * nBits + b)
       val lit = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
       s"(CASE WHEN list_sum(list_transform(generate_series(1, len($emb)), i -> CAST($emb[i] AS DOUBLE) * ($lit)[i])) > 0 THEN ${1 << b} ELSE 0 END)"
     }.mkString(" + ")
-    s"$bits + ${t * (1 << BitsPerTable)}"
+    s"$terms + ${t * (1 << nBits)}"
   }
+
+  private def bucketsSql(emb: String, t: Int): String =
+    bucketsSqlN(emb, t, BitsPerTable)
 
   private def s3OracleSql: String = {
     val eb = (0 until NumTables).map { t =>
@@ -1849,6 +2056,86 @@ object Similarity {
        |FROM cells x
        |LEFT JOIN pick_cap pc USING (vec_id)
        |LEFT JOIN pick_lsh pl USING (vec_id)
+       |ORDER BY x.vec_id""".stripMargin
+  }
+
+  /** s14's oracle: the flat-codebook seed rank, the 42 seven-bit plane
+    * literals, the per-bucket idMix cap, both picks, AND the adaptive
+    * k/bits arithmetic recomputed in SQL from count(*) — the baked
+    * 7-bit plane set is cross-checked by the SQL-computed bucket_bits
+    * column, so a corpus where the adaptive width would NOT be 7
+    * hash-fails loudly instead of silently diverging. */
+  private def s14OracleSql: String = {
+    val S14Bits = 7 // = max(5, ceil(log2(ceil(500/4)/1))) on the harness corpora
+    val cb = (0 until NumTables).map { t =>
+      s"SELECT c_id, ${bucketsSqlN("c_emb", t, S14Bits)} AS bucket FROM flatcent"
+    }.mkString("\nUNION ALL\n")
+    val vb = (0 until NumTables).map { t =>
+      s"SELECT vec_id, ${bucketsSqlN("embedding", t, S14Bits)} AS bucket FROM en"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $commonCtes,
+       |flatcent AS (  -- the FLAT codebook: k = ceil(N / $S14CellTarget) idMix seeds
+       |  SELECT c_id, c_emb, c_nrm FROM (
+       |    SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm,
+       |           row_number() OVER (
+       |             ORDER BY (vec_id * $MixA + $MixB) % $MixM, vec_id) AS crn
+       |    FROM en
+       |  ) WHERE crn <= greatest($NumCentroids,
+       |      CAST(ceil(CAST((SELECT count(*) FROM en) AS DOUBLE)
+       |                / $S14CellTarget) AS BIGINT))
+       |),
+       |cb AS (
+       |$cb
+       |),
+       |cbcap AS (
+       |  SELECT bucket, c_id FROM (
+       |    SELECT bucket, c_id,
+       |           row_number() OVER (PARTITION BY bucket
+       |             ORDER BY ${mixSql(s"xor(c_id, bucket * $CapRankMixP)")},
+       |                      c_id) AS rn
+       |    FROM cb
+       |  ) WHERE rn <= $S14Cap
+       |),
+       |vb AS (
+       |$vb
+       |),
+       |pick AS (
+       |  SELECT vec_id, c_id, n_cand FROM (
+       |    SELECT vec_id, c_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY c_cos DESC, c_id ASC) AS rn,
+       |           count(*) OVER (PARTITION BY vec_id) AS n_cand
+       |    FROM (
+       |      SELECT c.vec_id, c.c_id,
+       |             ${cosSql("en.embedding", "en.nrm", "fc.c_emb", "fc.c_nrm")}
+       |               AS c_cos
+       |      FROM (SELECT DISTINCT vb.vec_id, cbcap.c_id
+       |            FROM vb JOIN cbcap USING (bucket)) c
+       |      JOIN en ON en.vec_id = c.vec_id
+       |      JOIN flatcent fc ON fc.c_id = c.c_id
+       |    )
+       |  ) WHERE rn = 1
+       |),
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT en.vec_id, fc.c_id AS cell,
+       |           row_number() OVER (PARTITION BY en.vec_id
+       |             ORDER BY ${cosSql("en.embedding", "en.nrm", "fc.c_emb", "fc.c_nrm")} DESC,
+       |                      fc.c_id ASC) AS rn
+       |    FROM en CROSS JOIN flatcent fc
+       |  ) WHERE rn = 1
+       |)
+       |SELECT x.vec_id,
+       |       coalesce(p.c_id, -1) AS cell_flat,
+       |       x.cell AS cell_exact,
+       |       coalesce(p.n_cand, 0) AS n_cand,
+       |       coalesce(p.c_id, -1) = x.cell AS flat_agree,
+       |       (SELECT count(*) FROM flatcent) AS codebook_k,
+       |       greatest($BitsPerTable, CAST(ceil(log2(
+       |         CAST((SELECT count(*) FROM flatcent) AS DOUBLE)
+       |           / $S14TargetOcc)) AS BIGINT)) AS bucket_bits
+       |FROM cells x
+       |LEFT JOIN pick p USING (vec_id)
        |ORDER BY x.vec_id""".stripMargin
   }
 
@@ -2106,6 +2393,7 @@ object Similarity {
     "s3_ann_lsh" -> s3OracleSql,
     "s9_lsh_assign" -> s9OracleSql,
     "s13_lshcap_assign" -> s13OracleSql,
+    "s14_flat_assign" -> s14OracleSql,
     "s10_probe_sweep" -> s10OracleSql,
     "s4_ann_pq"  -> s4OracleSql,
     "s5_ann_truncated" -> s5OracleSql,

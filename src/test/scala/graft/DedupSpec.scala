@@ -660,10 +660,21 @@ class DedupSpec extends SparkSpec {
        "with output identical to the default path, and a clustered " +
        "fixture resolves to twolevel matching the explicit tier") {
     import spark.implicits._
-    // the pure rule, both branches + boundary (>= is the contract)
-    assert(Dedup.decideAssignVia(0.23) == "exact")
-    assert(Dedup.decideAssignVia(0.60) == "twolevel")
-    assert(Dedup.decideAssignVia(0.45) == "twolevel")
+    val rule = graft.queries.Similarity.decideAssignTier _
+    // the pure rule, all branches + boundaries (>= is the contract on
+    // both axes). Small corpora: geometry decides (the r15 rule).
+    assert(rule(0.23, 500L) == "exact")
+    assert(rule(0.60, 500L) == "twolevel")
+    assert(rule(0.45, 500L) == "twolevel")
+    // deep corpora (r16 — the corpus-size axis): the flat tier is the
+    // measured-linear path once its recall floor clears ~0.9, on BOTH
+    // geometries; boundary at the measured 200k floor
+    assert(rule(0.23, 200000L) == "lshflat")
+    assert(rule(0.60, 2000000L) == "lshflat")
+    assert(rule(0.23, 199999L) == "exact")
+    // degenerate probe (empty sample) must fall back to exact, never
+    // throw and never route a corpus it knows nothing about (ADVICE r15)
+    assert(rule(Double.NaN, 2000000L) == "exact")
 
     // near-uniform: the harness corpus sits well below the threshold
     // (SCALING.md calibration: main reads 0.23-0.28), so auto must pick

@@ -389,6 +389,31 @@ class SimilaritySpec extends SparkSpec {
       "degenerate flat codebook must reproduce the lsh tier bit-for-bit")
   }
 
+  test("s14 flat-construction gate: the tight knobs BIND at harness SF " +
+       "(k = N/4 codebook above the floor, adaptive 7-bit width above " +
+       "the 5-bit floor), candidates are bounded by L*cap, and picks " +
+       "come from the flat codebook or the visible -1 sentinel") {
+    val rows = Similarity.s14FlatAssign(spark, sfDir).collect()
+    assert(rows.length == 500)
+    // the two adaptive quantities, emitted as columns and oracle-checked:
+    // k = max(16, ceil(500/4)) = 125 (the linear rule BINDS — not the
+    // floor), bits = max(5, ceil(log2(125/1))) = 7 (adaptive width BINDS)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("codebook_k") == 125L)
+      assert(r.getAs[Long]("bucket_bits") == 7L)
+      // capped join output is bounded: <= NumTables * cap candidates
+      assert(r.getAs[Long]("n_cand") <= 6L * 8L)
+      val flat = r.getAs[Long]("cell_flat")
+      assert(flat == -1L || flat >= 0L)
+      assert(r.getAs[Boolean]("flat_agree") ==
+        (flat == r.getAs[Long]("cell_exact")))
+    }
+    val agree = rows.count(_.getAs[Boolean]("flat_agree"))
+    val misses = rows.count(_.getAs[Long]("cell_flat") == -1L)
+    assert(agree > 0, "flat pick never matched the exact argmax")
+    info(s"s14 at sf0.01: agree $agree/500, misses $misses")
+  }
+
   test("d13 assignVia=twolevel: drop rows are a plausible d13 output — " +
        "every drop has a lower-id keeper in the same cell at cosine >= " +
        "threshold semantics preserved (schema + keeper < vec_id)") {
