@@ -1018,9 +1018,16 @@ object Similarity {
     math.max(BitsPerTable,
       math.ceil(math.log(k.toDouble / FlatTargetOcc) / math.log(2)).toInt)
 
-  /** The `lshflat` assignment tier (late r15) — the FIRST fully linear
-    * d13 path, closing the "honest boundary" of the cap alone. Three
-    * pins, each with its own invariant: (1) the flat codebook
+  /** The `lshflat` assignment tier (late r15) — the first d13 path
+    * with no N^1.5 term BY CONSTRUCTION, closing the "honest boundary"
+    * of the cap alone; measured LINEAR (0.94) at 2 M vectors on
+    * near-uniform geometry. On CLUSTERED geometry the construction's
+    * premise partially fails — sign-identical cluster centroids cannot
+    * be separated by any bit width, eviction re-concentrates the
+    * cluster into few surviving cells, and the measured tail is 1.30
+    * (still the best deep tier there on both axes; mechanism and
+    * CellStatsProbe numbers in SCALING.md round-16). Three pins, each
+    * with its own invariant: (1) the flat codebook
     * C = N/target pins CELL population, so the within-cell pairwise
     * term is N·target — linear; (2) the bit width grows with the
     * codebook (2^bits ≈ C/[[FlatTargetOcc]]) pinning bucket OCCUPANCY,
@@ -1204,9 +1211,17 @@ object Similarity {
     *   - no usable probe statistic (NaN — empty sample / degenerate
     *     codebook, ADVICE r15) ⇒ `exact`, the oracle-pinned default;
     *   - DEEP corpus (n ≥ [[AutoFlatMinVectors]], where the flat
-    *     tier's recall floor clears ~0.9) ⇒ `lshflat` — the only tier
-    *     measured LINEAR at depth (0.94 sf30→100 vs exact's 1.40 /
-    *     uncapped lsh's 1.49), 10.2× over exact at 2 M vectors;
+    *     tier's recall floor clears ~0.9) ⇒ `lshflat` on EITHER
+    *     geometry: near-uniform it is the only tier measured LINEAR
+    *     (0.94 sf30→100 vs exact's 1.40 / uncapped lsh's 1.49, 10.2×
+    *     over exact at 2 M vectors); clustered it reads 1.30 — not
+    *     linear (sign-identical cluster centroids defeat occupancy
+    *     pinning, the named r16 residual) but the best measured
+    *     exponent AND 5.4× cheaper absolute than twolevel at 2 M
+    *     vectors, at recall 0.925/0.996 (SCALING.md round-16: every
+    *     √-codebook tier reverts to N^1.5 at depth on every geometry —
+    *     twolevel's r15 0.93 was its constant amortizing, re-measured
+    *     1.49 on sf30→100);
     *   - small + clustered geometry (mean_top1 ≥
     *     [[AutoTop1Threshold]]) ⇒ `twolevel` (recall 0.91–0.95 there,
     *     the r15 rule unchanged);
