@@ -172,7 +172,13 @@ object RelationalQueries {
     val spend = orders.groupBy(col("o_custkey").as("s_custkey"), col("o_year").as("s_year"))
       .agg(sum(col("o_totalprice")).as("year_spend_raw"))
     val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
-    cnt.join(spend,
+    // shuffle_hash hint (r16): both agg outputs are already partitioned
+    // on their own join keys, so the join inserts no exchange either
+    // way — but the default SMJ adds a full sort of BOTH ~|cust×year|
+    // sides just to merge them, while a hash join builds the smaller
+    // side and streams the other sort-free. The hint is physical only
+    // (same composite-key equi-join semantics the operator exercises).
+    cnt.join(spend.hint("shuffle_hash"),
         cnt("o_custkey") === spend("s_custkey") && cnt("o_year") === spend("s_year"))
       .join(cust, cnt("o_custkey") === cust("c_custkey"))
       // round before ranking — see q2 determinism note
@@ -209,6 +215,18 @@ object RelationalQueries {
     // ≤ brands×suppliers set instead of every qualifying lineitem row.
     // Equivalent because s_suppkey is the supplier PK (s_name functionally
     // dependent), so distinct-then-join ≡ join-then-distinct.
+    //
+    // Measured and REVERTED (r16): fusing the distinct exchange into
+    // the final range order (repartitionByRange on the dedup key →
+    // exchange-free dropDuplicates, RangePartitioning satisfies
+    // ClusteredDistribution → sortWithinPartitions → order-preserving
+    // broadcast dim join) reads 1.09 s min-of-7 against this plan's
+    // 0.67 on the same harness: repartitionByRange runs a SEPARATE
+    // range-bounds sampling job over its child, so the semi-joined
+    // lineitem scan executes twice — the saved exchange round never
+    // pays for a doubled input. The two-exchange shape below (hash
+    // distinct with map-side partial, then the ≤10k-row range sort) is
+    // the measured optimum at this SF.
     li.join(midParts, col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"), col("l_suppkey"))
       .distinct()
