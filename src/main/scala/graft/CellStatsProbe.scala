@@ -38,7 +38,7 @@ object CellStatsProbe {
       count(lit(1)).as("n_cells"),
       max(col("n")).as("max_cell"),
       sum(col("n") * col("n")).as("sum_sq")).collect()(0)
-    val subAgg = Dedup.boundedSubCells(cells)
+    val subAgg = Dedup.boundedSubCells(cells, Dedup.subCapFor(via))
       .groupBy(col("cell"), col("sub")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * col("n")).as("sub_sum_sq"),
         max(col("n")).as("max_sub")).collect()(0)

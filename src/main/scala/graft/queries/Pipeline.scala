@@ -340,7 +340,8 @@ object Pipeline {
       staged: DataFrame): DataFrame = {
     val surv = staged.filter(col("d_pass")).select(col("doc_id").as("vec_id"))
     val scells = Dedup.boundedSubCells(
-      Similarity.sharedCells(s, dir).join(surv, "vec_id"))
+      Similarity.sharedCells(s, dir).join(surv, "vec_id"),
+      Dedup.subCapFor(Dedup.resolveAssignVia(s, dir)))
     val a = scells.select(col("cell"), col("sub"), col("vec_id").as("kept_by"),
       col("embedding").as("emb_a"))
     val b = scells.select(col("cell").as("b_cell"), col("sub").as("b_sub"),
