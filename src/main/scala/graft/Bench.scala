@@ -309,10 +309,13 @@ object Bench {
     // over STEADY pairs whenever any exist, and every committed sample
     // carries its own "steady" flag plus the steady/total pair counts,
     // so a drifting-only row is visibly marked in the artifact. The
-    // set covers every query the r15 verdict read at ≥1.5× vs baseline
-    // (q5 added in r16).
+    // set covers ALL SIX bar queries (q5 added in r16; q1/q2 in r17 —
+    // VERDICT r16 #3: q2's only evidence was a sweep number that moves
+    // ±30% with host regime, so no bar verdict should ever lean on a
+    // sweep number again).
     val abNames = sys.env.getOrElse("SPARK_GRAFT_AB",
-        "q3_join_groupcount,q4_derived_diff_filter," +
+        "q1_argmax_per_year,q2_top10_multiagg," +
+          "q3_join_groupcount,q4_derived_diff_filter," +
           "q5_composite_key_join,q6_semijoin_having_distinct")
       .split(",").map(_.trim).filter(names.contains).toSeq
     val abRounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "5").toInt
@@ -328,8 +331,12 @@ object Bench {
         val pool = if (steadyPairs.nonEmpty) steadyPairs else pairs
         val (c, t) = pool.minBy(_._2)
         val norm = if (gated) s""","norm":${f4(t * calibRef / c)}""" else ""
-        val steady = gated && c <= steadyLevel
-        "\"" + n + s"""":{"raw":${f4(t)},"calib":${f(c)}$norm,"steady":$steady,"n_steady":${steadyPairs.size},"n_pairs":${pairs.size}}"""
+        // ungated runs emit steady/n_steady as null (ADVICE r16): an
+        // uncalibrated row must stay distinguishable from one whose
+        // every pair actually drifted
+        val steady = if (gated) (c <= steadyLevel).toString else "null"
+        val nSteady = if (gated) steadyPairs.size.toString else "null"
+        "\"" + n + s"""":{"raw":${f4(t)},"calib":${f(c)}$norm,"steady":$steady,"n_steady":$nSteady,"n_pairs":${pairs.size}}"""
       }
     }.mkString("{", ",", "}")
 

@@ -57,7 +57,7 @@ object Similarity {
   // cosine ~0.45 is ~0.65, so one table of many bits has hopeless recall;
   // L tables of k bits give recall 1-(1-0.65^k)^L ≈ 0.5 at (6, 5) while
   // scanning ~L/2^k ≈ 19% of the corpus.
-  private val NumTables = 6
+  private[graft] val NumTables = 6
   private val BitsPerTable = 5
 
   /** Deterministic pseudo-random hyperplanes (fixed seed, ±1 components —
@@ -399,6 +399,36 @@ object Similarity {
     * replayed by the s11b oracle). */
   private[graft] val S11ShortlistK = S11MarginK
 
+  /** The flat mining tier's ABSOLUTE per-(source, probed-cell) scan cap
+    * (r17, VERDICT r16 #1 — deep clustered MINING was the last measured
+    * superlinear tier): the flat codebook CONSTRUCTS cells at
+    * ~[[FlatCellTarget]] members, so — exactly the d13
+    * `FlatSubCellCap` argument — a probed cell more than 2× over
+    * target is sign-eviction CONCENTRATION (sign-identical cluster
+    * centroids collapsing into few survivors; the mechanism
+    * CellStatsProbe quantified in SCALING.md round-16), not geometry,
+    * and the candidate scan may be bounded absolutely. Unlike d13's
+    * pair stage, both pair members here are NOT residents of the cell
+    * (the source is an external prober), so a plain sub-cell split
+    * would sever every source from the residents outside "its" sub —
+    * instead each (source, probed cell) scans ONE idMix-fair sub-cell
+    * of ≤ ~cap residents, chosen by the source's own mix (XOR'd with
+    * the cell id so co-probing sources decorrelate — idMix is affine,
+    * addition would not reorder): every resident stays reachable (by
+    * the 1/k_scan slice of sources whose mix picks its sub), candidate
+    * mass is pinned at N_src·probe·cap — linear on ANY geometry — and
+    * the whole construction is integer arithmetic end to end. Cells at
+    * ≤ cap get k_scan = 1 ⇒ sub = 0 on both sides: a no-op join key,
+    * which is why main-geometry plans and harness-SF outputs are
+    * unchanged (spec-pinned against an explicitly-unbounded run).
+    * Recall price on concentration cells is measured by the s11b
+    * differential under `via=flat` (SCALING.md round-17). Sys-prop
+    * `graft.s11.flatScanCap`, env fallback for forked ScaleBench JVMs. */
+  private[graft] def S11FlatScanCap: Long =
+    sys.props.get("graft.s11.flatScanCap")
+      .orElse(sys.env.get("SPARK_GRAFT_S11_FLATSCANCAP"))
+      .map(_.toLong).getOrElse(2L * FlatCellTarget)
+
   /** s11 — margin-based bitext mining (Artetxe & Schwenk 2019,
     * arXiv:1811.01136 §3; the CCMatrix/LASER parallel-corpus shape): for
     * every source-language document, the best target-language match by
@@ -498,11 +528,15 @@ object Similarity {
     * tier: join probes to cell members, score c4, keep each
     * (source, probed cell)'s top-[[S11ShortlistK]] (see [[s11IvfPairs]]
     * — a WindowGroupLimit with no exchange below it, the cell join's
-    * partitioning already clusters the group key). */
-  private def s11CellPairs(probes: DataFrame, cells: DataFrame): DataFrame = {
+    * partitioning already clusters the group key). The flat tier joins
+    * on (cell, sub) — its per-(source, cell) scan cap (r17) lives in
+    * the JOIN KEY, so capped-away residents are never emitted by the
+    * hash join, not generated-then-filtered. */
+  private def s11CellPairs(probes: DataFrame, cells: DataFrame,
+      keys: Seq[String] = Seq("cell")): DataFrame = {
     val wShort = Window.partitionBy(col("s_id"), col("cell"))
       .orderBy(col("c4").desc, col("t_id").asc)
-    probes.join(cells, Seq("cell"))
+    probes.join(cells, keys)
       .select(col("s_id"), col("cell"), col("t_id"),
         round(cosine_sim(col("s_emb"), col("t_emb")) * 10000, 0)
           .cast("long").as("c4"))
@@ -647,7 +681,27 @@ object Similarity {
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= S11bProbe)
       .select(col("s_id"), col("s_emb"), col("c_id").as("cell"))
-    s11CellPairs(probes, cells)
+    // the per-(source, probed-cell) scan cap (see [[S11FlatScanCap]]):
+    // residents hash into k_scan = ceil(|cell| / cap) sub-cells by their
+    // own idMix; each probe picks ONE sub by the source's mix XOR'd with
+    // the cell id, and the sub rides the JOIN KEY so capped-away
+    // residents are never emitted. The counts frame is ≤C rows — the
+    // flat codebook keeps that at N_tgt/target (a 512× reduction), the
+    // same bounded broadcast d13's boundedSubCells ships.
+    val cap = S11FlatScanCap
+    val scanK = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("c_n"))
+      .withColumn("k_scan", expr(s"(c_n + $cap - 1) div $cap"))
+      .select(col("cell"), col("k_scan"))
+    val cellsSub = cells.join(broadcast(scanK), Seq("cell"))
+      .withColumn("sub", pmod(idMix(col("t_id")), col("k_scan")))
+      .drop("k_scan")
+    val probesSub = probes.join(broadcast(scanK), Seq("cell"))
+      .withColumn("sub", pmod(
+        idMix(col("s_id").bitwiseXOR(col("cell") * lit(CapRankMixP))),
+        col("k_scan")))
+      .drop("k_scan")
+    s11CellPairs(probesSub, cellsSub, Seq("cell", "sub"))
   }
 
   /** s11's pair-source seam (the d13 `assignVia` convention): `exact`
@@ -675,20 +729,28 @@ object Similarity {
     * exact tier's quadratic and the blocked tiers' growth are both in
     * |tgt| (and |src| scales every tier identically). */
   private def s11AutoVia(dir: String, tgt: DataFrame): String =
-    resolveAutoTier(s"$dir@s11:$S11TgtLang@${corpusStamp(dir)}",
+    resolveAutoTierFor(dir, s"s11:$S11TgtLang",
       tgt.select(col("t_id").as("vec_id"), col("t_emb").as("embedding")))
     match {
       case "lshflat" => "flat"
       case v         => v // twolevel | exact — shared tier names
     }
 
+  /** Tier-name dispatch. Unknown names FAIL LOUDLY (ADVICE r16): the
+    * old wildcard fell through to exact, so a typo'd
+    * SPARK_GRAFT_S11B_VIA made s11b compare exact against exact and
+    * emit a trivially-perfect agreement table that read as a real
+    * honesty result. `lshflat` is accepted as the d13-seam spelling of
+    * `flat` (the same mapping [[s11AutoVia]] applies). */
   private def s11PairsFor(via: String, src: DataFrame,
       tgt: DataFrame): DataFrame = via match {
-    case "ivf"      => s11IvfPairs(src, tgt)
-    case "twolevel" => s11TwoLevelPairs(src, tgt)
-    case "lsh"      => s11LshIvfPairs(src, tgt)
-    case "flat"     => s11FlatPairs(src, tgt)
-    case _          => s11ExactPairs(src, tgt)
+    case "ivf"              => s11IvfPairs(src, tgt)
+    case "twolevel"         => s11TwoLevelPairs(src, tgt)
+    case "lsh"              => s11LshIvfPairs(src, tgt)
+    case "flat" | "lshflat" => s11FlatPairs(src, tgt)
+    case "exact"            => s11ExactPairs(src, tgt)
+    case other => sys.error(
+      s"unknown s11 via tier '$other' (exact|ivf|twolevel|lsh|flat|auto)")
   }
 
   def s11BitextMargin(s: SparkSession, dir: String): DataFrame = {
@@ -1247,34 +1309,71 @@ object Similarity {
     * throwing (ADVICE r15). */
   private val autoTierCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The memo-invalidation stamp for a corpus dir: the max mtime across
+    * BOTH the embeddings and the documents parquet dirs (ADVICE r16 —
+    * s11's auto decision reads the documents lang slice, so a
+    * regenerated documents table must invalidate too; for d13 the
+    * extra axis costs at most one cheap re-probe). Returns 0 when
+    * NEITHER table is visible as a local file (a non-local path, where
+    * java.io.File.lastModified is 0 forever) — the resolvers treat 0
+    * as UNSTAMPABLE and skip the memo entirely instead of caching a
+    * possibly-stale decision on a constant key (ADVICE r16). */
   private[graft] def corpusStamp(dir: String): Long = {
-    val p = new java.io.File(s"$dir/embeddings.parquet")
-    val kids = Option(p.listFiles()).getOrElse(Array.empty[java.io.File])
-    kids.foldLeft(p.lastModified())((m, f) => math.max(m, f.lastModified()))
+    def tableStamp(name: String): Long = {
+      val p = new java.io.File(s"$dir/$name")
+      val kids = Option(p.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.foldLeft(p.lastModified())((m, f) => math.max(m, f.lastModified()))
+    }
+    val e = tableStamp("embeddings.parquet")
+    val d = tableStamp("documents.parquet")
+    if (e == 0L && d == 0L) 0L else 31L * e + d
   }
+
+  /** One probe + ONE count per resolution (ADVICE r16 — the old shape
+    * counted the frame here and again inside the probe; the count now
+    * sizes the probe's stride directly). */
+  private def computeAutoTier(e: DataFrame): String = {
+    val n = e.count()
+    val row = assignMarginProbeN(e, n).select(col("mean_top1")).head()
+    val meanTop1 = if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+    decideAssignTier(meanTop1, n)
+  }
+
+  /** Memoized resolution for a STAMPABLE corpus (the caller embeds the
+    * non-zero [[corpusStamp]] in the key); unstampable corpora resolve
+    * fresh each time via [[resolveAutoTierFor]]. */
   private[graft] def resolveAutoTier(cacheKey: String,
       e: => DataFrame): String =
-    autoTierCache.computeIfAbsent(cacheKey, _ => {
-      val frame = e
-      val n = frame.count()
-      val row = assignMarginProbe(frame).select(col("mean_top1")).head()
-      val meanTop1 = if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
-      decideAssignTier(meanTop1, n)
-    })
+    autoTierCache.computeIfAbsent(cacheKey, _ => computeAutoTier(e))
+
+  /** The shared stamped-or-fresh entry: memo keyed on
+    * (dir, scope, stamp) when the corpus is locally stampable, a fresh
+    * probe per call otherwise (never a silently-stale cache on a
+    * non-local path — ADVICE r16). */
+  private[graft] def resolveAutoTierFor(dir: String, scope: String,
+      e: => DataFrame): String = {
+    val st = corpusStamp(dir)
+    if (st == 0L) computeAutoTier(e)
+    else resolveAutoTier(s"$dir@$scope@$st", e)
+  }
 
   /** d13's auto resolution over a corpus dir (the `assignVia=auto`
     * entry point — see [[graft.queries.Dedup.resolveAssignVia]]). */
   private[graft] def autoAssignTier(s: SparkSession, dir: String): String =
-    resolveAutoTier(s"$dir@d13@${corpusStamp(dir)}", embeddings(s, dir))
+    resolveAutoTierFor(dir, "d13", embeddings(s, dir))
 
-  private[graft] def assignMarginProbe(e: DataFrame): DataFrame = {
-    // one metadata-cheap count sizes the stride (the centroids()
-    // convention); everything downstream is EXACT integer arithmetic —
+  private[graft] def assignMarginProbe(e: DataFrame): DataFrame =
+    assignMarginProbeN(e, e.count())
+
+  private def assignMarginProbeN(e: DataFrame, n: Long): DataFrame = {
+    // the caller's count sizes the stride (the centroids() convention;
+    // auto resolution passes the count it already needed — ADVICE r16);
+    // everything downstream is EXACT integer arithmetic —
     // cosines quantized to ten-thousandths (the s11 c4 convention), so
     // the margin sums are BIGINT (no cross-row float accumulation) and
     // the percentiles interpolate integer-valued doubles identically in
     // both engines (the proven x6 percentile↔quantile_cont contract)
-    val n = e.count()
     val stride = math.max(1L, n / MarginSampleTarget)
     val sample = e.filter(pmod(idMixOf(col("vec_id")), lit(stride)) === 0)
     val cent = centroids(e)

@@ -728,4 +728,48 @@ class DedupSpec extends SparkSpec {
       s"clustered fixture mean_top1=$clustered -> twolevel " +
       s"(${autoDrops.length} drops)")
   }
+
+  test("r17 auto probe-cache invalidation (VERDICT r16 #6): a corpus " +
+       "REGENERATED at the same path gets a fresh tier decision (the " +
+       "memo key carries the corpus stamp); the stamp also watches " +
+       "documents.parquet (ADVICE r16) and reads 0 — unstampable, " +
+       "never memoized — for a path with neither table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-d13stale").toString
+    // generation 1: the near-uniform harness geometry, verbatim — small
+    // + near-uniform resolves exact (fixture honesty asserted below)
+    graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    System.setProperty("graft.d13.assignVia", "auto")
+    try {
+      assert(Dedup.resolveAssignVia(spark, dir) == "exact",
+        "fixture honesty: harness geometry no longer resolves exact")
+      // generation 2, SAME path: the clustered twolevel fixture — a
+      // stale memo would keep serving exact here
+      (0L until 600L).map { i =>
+        val k = (i % 3).toInt
+        val a = Array.fill(8)(0f)
+        a(k) = 1f
+        a(3 + ((i / 3) % 3).toInt) = 0.1f
+        (i, a, k)
+      }.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      assert(Dedup.resolveAssignVia(spark, dir) == "twolevel",
+        "regenerated corpus kept the stale cached tier")
+    } finally System.clearProperty("graft.d13.assignVia")
+    // the stamp's axes: documents.parquet mtime is folded in, so a
+    // regenerated documents table (s11's lang slice) invalidates too
+    val st1 = graft.queries.Similarity.corpusStamp(dir)
+    assert(st1 != 0L)
+    Thread.sleep(5) // mtime granularity headroom
+    Seq((1L, "t", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val st2 = graft.queries.Similarity.corpusStamp(dir)
+    assert(st2 != st1, "writing documents.parquet did not move the stamp")
+    assert(graft.queries.Similarity.corpusStamp(s"$dir/nope") == 0L,
+      "a path with neither table must read unstampable")
+  }
 }

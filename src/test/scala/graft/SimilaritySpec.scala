@@ -305,6 +305,57 @@ class SimilaritySpec extends SparkSpec {
     } finally System.clearProperty("graft.s11.via")
   }
 
+  test("s11 flat scan cap (r17): the default cap is non-binding at " +
+       "harness SF — bit-identical to an explicitly-unbounded run — " +
+       "and a cap=1 run still mines a non-empty deduped subset of " +
+       "exact sources with the schema unchanged") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Similarity.s11BitextMargin(spark, dir)
+    val exactIds = exact.collect().map(_.getAs[Long]("s_id")).toSet
+    System.setProperty("graft.s11.via", "flat")
+    val (dflt, unbounded, tight) = try {
+      val d = Similarity.s11BitextMargin(spark, dir).collect().toSeq
+      System.setProperty("graft.s11.flatScanCap", "1000000000")
+      val u = Similarity.s11BitextMargin(spark, dir).collect().toSeq
+      System.setProperty("graft.s11.flatScanCap", "1")
+      val t = Similarity.s11BitextMargin(spark, dir)
+      assert(t.schema == exact.schema, "cap changed the schema")
+      (d, u, t.collect().toSeq)
+    } finally {
+      System.clearProperty("graft.s11.flatScanCap")
+      System.clearProperty("graft.s11.via")
+    }
+    assert(dflt == unbounded,
+      "default cap bound a harness-SF cell — the no-op invariant broke")
+    assert(tight.nonEmpty, "cap=1 mined nothing")
+    val ids = tight.map(_.getAs[Long]("s_id"))
+    assert(ids.distinct.length == ids.length, "duplicate source rows")
+    assert(ids.forall(exactIds.contains),
+      "capped tier produced a source the exact tier does not know")
+    info(s"cap=1: ${tight.length}/${exactIds.size} sources matched")
+  }
+
+  test("s11 via seam hygiene (ADVICE r16): 'lshflat' aliases the flat " +
+       "tier (the d13 seam spelling); an unknown via name fails loudly " +
+       "instead of silently running exact") {
+    val dir = "/root/testdata/sf0.01"
+    System.setProperty("graft.s11.via", "lshflat")
+    val alias = try Similarity.s11BitextMargin(spark, dir).collect().toSeq
+      finally System.clearProperty("graft.s11.via")
+    System.setProperty("graft.s11.via", "flat")
+    val flat = try Similarity.s11BitextMargin(spark, dir).collect().toSeq
+      finally System.clearProperty("graft.s11.via")
+    assert(alias == flat, "lshflat alias diverged from flat")
+    System.setProperty("graft.s11.via", "nosuchtier")
+    try {
+      val err = intercept[RuntimeException] {
+        Similarity.s11BitextMargin(spark, dir).collect()
+      }
+      assert(err.getMessage.contains("unknown s11 via tier"),
+        s"wrong failure: ${err.getMessage}")
+    } finally System.clearProperty("graft.s11.via")
+  }
+
   test("d13 assignVia=lshcap: cap >= C is bit-identical to lsh; a tight " +
        "cap keeps the per-bucket bound, stays a subset of the uncapped " +
        "codebook, and still assigns every vector") {
@@ -402,7 +453,10 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("codebook_k") == 125L)
       assert(r.getAs[Long]("bucket_bits") == 7L)
       // capped join output is bounded: <= NumTables * cap candidates
-      assert(r.getAs[Long]("n_cand") <= 6L * 8L)
+      // (the engine's own knobs, not literals — ADVICE r16: a knob
+      // change must not leave this silently checking a stale bound)
+      assert(r.getAs[Long]("n_cand") <=
+        Similarity.NumTables.toLong * Similarity.S14Cap)
       val flat = r.getAs[Long]("cell_flat")
       assert(flat == -1L || flat >= 0L)
       assert(r.getAs[Boolean]("flat_agree") ==
