@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Similarity
+
+/** Depth honesty probe for s11's mining tiers (r17, VERDICT r16 #5 —
+  * the pricing instrument for the flat tier's per-(source, cell) scan
+  * cap): runs [[Similarity.s11Differential]] — an idMix-strided source
+  * sample mined by BOTH the exact reference and the blocked tier under
+  * `via` against the full target slice — and prints one JSON line of
+  * agreement statistics:
+  *
+  *   - `agree` / `n_src`: blocked best match == exact best match,
+  *   - `exact_accepted` / `blocked_accepted`: per-tier accepted counts,
+  *   - `acc_overlap_same`: sources accepted by BOTH tiers with the SAME
+  *     match (the strict accepted-set overlap),
+  *   - `acc_overlap_any`: accepted by both regardless of match,
+  *   - `missed`: sources whose probes found no candidate at all (the
+  *     −1 sentinel — a loud miss, s11b's convention).
+  *
+  * `runMain graft.S11Probe <dir> <via> [sampleTarget=500]` — via is
+  * `ivf`, `lsh`, `twolevel`, `flat` or `auto` (resolved tier echoed in
+  * the output). Run on the skew (clustered) and main ScaleGen corpora
+  * at sf30+; results land in SCALING.md's round-17 differential table.
+  * sampleTarget <= 0 keeps every source (the verbatim s11b shape —
+  * only feasible at harness SFs). */
+object S11Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val via = args.lift(1).getOrElse("flat")
+    require(Set("ivf", "lsh", "twolevel", "flat", "auto").contains(via),
+      s"unknown via '$via' — expected ivf, lsh, twolevel, flat or auto")
+    val target = args.lift(2).map(_.toLong).getOrElse(500L)
+    val spark =
+      BenchSupport.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    val t0 = System.nanoTime()
+    val d = Similarity.s11Differential(spark, dir, via, target)
+    val r = d.agg(
+      count(lit(1)).as("n_src"),
+      sum(when(col("agree"), 1L).otherwise(0L)).as("agree"),
+      sum(when(col("exact_accepted"), 1L).otherwise(0L)).as("exact_acc"),
+      sum(when(col("accepted"), 1L).otherwise(0L)).as("blocked_acc"),
+      sum(when(col("exact_accepted") && col("accepted") && col("agree"),
+        1L).otherwise(0L)).as("acc_same"),
+      sum(when(col("exact_accepted") && col("accepted"), 1L).otherwise(0L))
+        .as("acc_any"),
+      sum(when(col("match_id") === -1L, 1L).otherwise(0L)).as("missed"),
+      max(col("via")).as("via_resolved")).head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val n = r.getAs[Long]("n_src")
+    val agree = r.getAs[Long]("agree")
+    def f(v: Double): String =
+      "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    println(
+      s"""{"metric":"s11_differential","dir":"$dir","via":"$via",""" +
+      s""""via_resolved":"${r.getAs[String]("via_resolved")}",""" +
+      s""""sample_target":$target,"n_src":$n,"agree":$agree,""" +
+      s""""agree_rate":${f(agree.toDouble / math.max(1L, n))},""" +
+      s""""exact_accepted":${r.getAs[Long]("exact_acc")},""" +
+      s""""blocked_accepted":${r.getAs[Long]("blocked_acc")},""" +
+      s""""acc_overlap_same":${r.getAs[Long]("acc_same")},""" +
+      s""""acc_overlap_any":${r.getAs[Long]("acc_any")},""" +
+      s""""missed":${r.getAs[Long]("missed")},"sec":${f(sec)}}""")
+    spark.stop()
+  }
+}

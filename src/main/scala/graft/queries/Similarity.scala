@@ -804,6 +804,49 @@ object Similarity {
       .orderBy(col("s_id"))
   }
 
+  /** The s11b differential generalized to DEPTH (r17, VERDICT r16 #5):
+    * the full exact reference is quadratic in the slice sizes, so at
+    * sf30+ the honesty kit runs on an idMix-STRIDED source sample —
+    * BOTH sides (the exact reference and the blocked tier under `via`)
+    * mine the SAME sampled source set against the FULL target side, so
+    * per-source best-match agreement and the accepted-set overlap are
+    * apples-to-apples while the exact side costs K·N_tgt instead of
+    * N_src·N_tgt. Margins are within-sample (the t-side neighborhood
+    * sums see only sampled sources — on both sides equally; the
+    * blocked tier's candidate/codebook construction still runs over
+    * the full target slice, which is what depth measures).
+    * `sampleTarget <= 0` keeps every source — the verbatim s11b shape.
+    * Consumed by [[graft.S11Probe]]; the numbers land in SCALING.md's
+    * round-17 differential table (the pricing instrument for the flat
+    * tier's scan cap — [[S11FlatScanCap]]). */
+  private[graft] def s11Differential(s: SparkSession, dir: String,
+      via: String, sampleTarget: Long): DataFrame = {
+    val src0 = s11Side(s, dir, S11SrcLang, "s_id", "s_emb")
+    val src =
+      if (sampleTarget <= 0L) src0
+      else {
+        val stride = math.max(1L, src0.count() / sampleTarget)
+        src0.filter(pmod(idMixOf(col("s_id")), lit(stride)) === 0)
+      }
+    val tgt = s11Side(s, dir, S11TgtLang, "t_id", "t_emb")
+    val resolved = via match {
+      case "auto" => s11AutoVia(dir, tgt)
+      case v      => v
+    }
+    val exactBest = s11MarginCore(s11ExactPairs(src, tgt))
+      .select(col("s_id"), col("match_id").as("exact_match"),
+        col("accepted").as("exact_accepted"))
+    val blocked = s11MarginCore(s11PairsFor(resolved, src, tgt))
+    exactBest.join(blocked, Seq("s_id"), "left")
+      .select(col("s_id"), col("exact_match"), col("exact_accepted"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("accepted"), lit(false)).as("accepted"),
+        col("margin"),
+        coalesce(col("match_id") === col("exact_match"), lit(false))
+          .as("agree"),
+        lit(resolved).as("via"))
+  }
+
   /** s3 — multi-table sign-random-projection LSH: each of the 6 tables
     * hashes a vector to a 5-bit bucket of hyperplane signs; a query
     * probes its exact bucket in every table and candidates are the union

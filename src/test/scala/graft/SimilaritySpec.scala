@@ -335,6 +335,28 @@ class SimilaritySpec extends SparkSpec {
     info(s"cap=1: ${tight.length}/${exactIds.size} sources matched")
   }
 
+  test("s11 depth differential (r17): with sampling off and via=ivf, " +
+       "s11Differential reproduces s11b's per-source agreement columns " +
+       "exactly; a strided sample is a subset of the unsampled rows") {
+    val dir = "/root/testdata/sf0.01"
+    val s11b = Similarity.s11bBitextBlocked(spark, dir).collect()
+      .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("match_id"),
+        r.getAs[Boolean]("accepted"), r.getAs[Boolean]("agree"))).toSet
+    val full = Similarity.s11Differential(spark, dir, "ivf", 0L).collect()
+    assert(full.forall(_.getAs[String]("via") == "ivf"))
+    val fullKeys = full.map(r => (r.getAs[Long]("s_id"),
+      r.getAs[Long]("match_id"), r.getAs[Boolean]("accepted"),
+      r.getAs[Boolean]("agree"))).toSet
+    assert(fullKeys == s11b,
+      "unsampled differential diverged from the oracle-gated s11b")
+    val sampled = Similarity.s11Differential(spark, dir, "ivf", 10L)
+      .collect().map(_.getAs[Long]("s_id")).toSet
+    assert(sampled.nonEmpty && sampled.size < fullKeys.size,
+      "stride did not sample")
+    assert(sampled.subsetOf(fullKeys.map(_._1)),
+      "sampled sources are not a subset of the full source set")
+  }
+
   test("s11 via seam hygiene (ADVICE r16): 'lshflat' aliases the flat " +
        "tier (the d13 seam spelling); an unknown via name fails loudly " +
        "instead of silently running exact") {
