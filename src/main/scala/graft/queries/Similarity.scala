@@ -696,9 +696,16 @@ object Similarity {
     val cellsSub = cells.join(broadcast(scanK), Seq("cell"))
       .withColumn("sub", pmod(idMix(col("t_id")), col("k_scan")))
       .drop("k_scan")
+    // the cell id is PRE-MIXED into [0, 2^31) before the XOR: flat cells
+    // are keyed by centroid vec_ids, so the cappedCodebook-style
+    // `cell * prime` operand overflows idMix's ANSI-safe ±8e9 contract
+    // at scale-corpus ids (measured: every via=flat run at sf30+ threw
+    // ARITHMETIC_OVERFLOW). XOR with the mixed cell decorrelates
+    // co-probing sources nonlinearly — addition of a constant would
+    // shift, never reorder (the affine-mix pitfall).
     val probesSub = probes.join(broadcast(scanK), Seq("cell"))
       .withColumn("sub", pmod(
-        idMix(col("s_id").bitwiseXOR(col("cell") * lit(CapRankMixP))),
+        idMix(col("s_id").bitwiseXOR(idMix(col("cell")))),
         col("k_scan")))
       .drop("k_scan")
     s11CellPairs(probesSub, cellsSub, Seq("cell", "sub"))

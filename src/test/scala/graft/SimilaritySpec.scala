@@ -357,6 +357,36 @@ class SimilaritySpec extends SparkSpec {
       "sampled sources are not a subset of the full source set")
   }
 
+  test("s11 flat scan cap survives scale-corpus ids (r17 regression): " +
+       "cell ids are centroid vec_ids, so the probe-side sub mix must " +
+       "stay inside idMix's ANSI-safe range for large ids — the naive " +
+       "cell*prime operand threw ARITHMETIC_OVERFLOW on every sf30+ " +
+       "corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-s11big").toString
+    val base = 4000000L // well past the ~83k ids that overflowed
+    def basis(i: Int): Seq[Float] =
+      (0 until 64).map(d => if (d == i) 1f else 0f)
+    val ids = (0 until 40).map(i => base + i * 1001L)
+    ids.zipWithIndex.map { case (id, i) => (id, basis(i % 8), i % 2) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    ids.zipWithIndex.map { case (id, i) =>
+      (id, "w x", if (i % 2 == 0) "de" else "en", "s0", 3L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    System.setProperty("graft.s11.via", "flat")
+    System.setProperty("graft.s11.flatScanCap", "1") // force k_scan > 1
+    try {
+      val rows = Similarity.s11BitextMargin(spark, dir).collect()
+      assert(rows.forall(_.getAs[Long]("s_id") >= base))
+      info(s"large-id flat cap: ${rows.length} sources mined")
+    } finally {
+      System.clearProperty("graft.s11.flatScanCap")
+      System.clearProperty("graft.s11.via")
+    }
+  }
+
   test("s11 via seam hygiene (ADVICE r16): 'lshflat' aliases the flat " +
        "tier (the d13 seam spelling); an unknown via name fails loudly " +
        "instead of silently running exact") {
