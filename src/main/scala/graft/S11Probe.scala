@@ -17,7 +17,15 @@ import graft.queries.Similarity
   *     match (the strict accepted-set overlap),
   *   - `acc_overlap_any`: accepted by both regardless of match,
   *   - `missed`: sources whose probes found no candidate at all (the
-  *     −1 sentinel — a loud miss, s11b's convention).
+  *     −1 sentinel — a loud miss, s11b's convention),
+  *   - `regret_mean` / `regret_p90` / `within_1e3`: the cosine REGRET
+  *     distribution (exact best cosine − blocked pick cosine, ≥ 0) —
+  *     the metric that matters at depth, where match identity is
+  *     tie-dominated (10⁵-scale target slices put many candidates
+  *     within one 10⁻⁴ cosine quantum of the argmax, so two tiers
+  *     ranking the same near-tie family "disagree" on id while mining
+  *     equally good pairs). `within_1e3` counts sources whose blocked
+  *     pick is within 0.001 cosine of the exact best.
   *
   * `runMain graft.S11Probe <dir> <via> [sampleTarget=500]` — via is
   * `ivf`, `lsh`, `twolevel`, `flat` or `auto` (resolved tier echoed in
@@ -46,6 +54,9 @@ object S11Probe {
       sum(when(col("exact_accepted") && col("accepted"), 1L).otherwise(0L))
         .as("acc_any"),
       sum(when(col("match_id") === -1L, 1L).otherwise(0L)).as("missed"),
+      round(avg(col("regret")), 4).as("regret_mean"),
+      round(expr("percentile(regret, 0.9D)"), 4).as("regret_p90"),
+      sum(when(col("regret") <= 0.001, 1L).otherwise(0L)).as("within_1e3"),
       max(col("via")).as("via_resolved")).head()
     val sec = (System.nanoTime() - t0) / 1e9
     val n = r.getAs[Long]("n_src")
@@ -61,7 +72,11 @@ object S11Probe {
       s""""blocked_accepted":${r.getAs[Long]("blocked_acc")},""" +
       s""""acc_overlap_same":${r.getAs[Long]("acc_same")},""" +
       s""""acc_overlap_any":${r.getAs[Long]("acc_any")},""" +
-      s""""missed":${r.getAs[Long]("missed")},"sec":${f(sec)}}""")
+      s""""missed":${r.getAs[Long]("missed")},""" +
+      s""""regret_mean":${f(r.getAs[Double]("regret_mean"))},""" +
+      s""""regret_p90":${f(r.getAs[Double]("regret_p90"))},""" +
+      s""""within_1e3":${r.getAs[Long]("within_1e3")},""" +
+      s""""sec":${f(sec)}}""")
     spark.stop()
   }
 }

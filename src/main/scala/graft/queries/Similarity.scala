@@ -842,13 +842,25 @@ object Similarity {
     }
     val exactBest = s11MarginCore(s11ExactPairs(src, tgt))
       .select(col("s_id"), col("match_id").as("exact_match"),
+        col("cosine").as("exact_cosine"),
         col("accepted").as("exact_accepted"))
     val blocked = s11MarginCore(s11PairsFor(resolved, src, tgt))
+    // `regret` = exact best cosine − the blocked pick's cosine (both the
+    // quantized c4/10⁴ the margin stage ranks on): ≥ 0 by construction
+    // (the exact best is the global argmax over the same target slice),
+    // and the honest depth metric where match-IDENTITY agreement is
+    // tie-dominated — at 10⁵-scale target slices the top-1 by quantized
+    // cosine has many near-ties, so a blocked tier picking a different
+    // member of the same near-tie family is not a recall loss. A missed
+    // source (no candidates) keeps regret = exact_cosine (the full
+    // loss), never a silent null.
     exactBest.join(blocked, Seq("s_id"), "left")
       .select(col("s_id"), col("exact_match"), col("exact_accepted"),
         coalesce(col("match_id"), lit(-1L)).as("match_id"),
         coalesce(col("accepted"), lit(false)).as("accepted"),
         col("margin"),
+        round(col("exact_cosine") - coalesce(col("cosine"), lit(0.0)), 4)
+          .as("regret"),
         coalesce(col("match_id") === col("exact_match"), lit(false))
           .as("agree"),
         lit(resolved).as("via"))
@@ -1326,14 +1338,17 @@ object Similarity {
     *     tier's recall floor clears ~0.9) ⇒ `lshflat` on EITHER
     *     geometry: near-uniform it is the only tier measured LINEAR
     *     (0.94 sf30→100 vs exact's 1.40 / uncapped lsh's 1.49, 10.2×
-    *     over exact at 2 M vectors); clustered it reads 1.30 — not
-    *     linear (sign-identical cluster centroids defeat occupancy
-    *     pinning, the named r16 residual) but the best measured
-    *     exponent AND 5.4× cheaper absolute than twolevel at 2 M
-    *     vectors, at recall 0.925/0.996 (SCALING.md round-16: every
+    *     over exact at 2 M vectors; d13 drop recall RISES with depth —
+    *     0.901 sf30 / 0.927 sf100, SCALING.md round-17); clustered it
+    *     reads 1.06 with the [[graft.queries.Dedup.FlatSubCellCap]]
+    *     sub-cell cap (uncapped 1.30 — sign-identical cluster
+    *     centroids defeat occupancy pinning; the cap retired it at
+    *     recall unchanged, SCALING.md round-16) at recall 0.924/0.996,
+    *     and the mining ladder's [[S11FlatScanCap]] closes the same
+    *     mechanism for s11 (0.83 sf30→100, round-17). Every
     *     √-codebook tier reverts to N^1.5 at depth on every geometry —
     *     twolevel's r15 0.93 was its constant amortizing, re-measured
-    *     1.49 on sf30→100);
+    *     1.49 on sf30→100;
     *   - small + clustered geometry (mean_top1 ≥
     *     [[AutoTop1Threshold]]) ⇒ `twolevel` (recall 0.91–0.95 there,
     *     the r15 rule unchanged);

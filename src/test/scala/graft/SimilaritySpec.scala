@@ -344,6 +344,12 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Boolean]("accepted"), r.getAs[Boolean]("agree"))).toSet
     val full = Similarity.s11Differential(spark, dir, "ivf", 0L).collect()
     assert(full.forall(_.getAs[String]("via") == "ivf"))
+    // regret is exact-best minus blocked-pick cosine: never negative
+    // (the exact side is the global argmax over the same targets), and
+    // exactly 0 wherever the ids agree
+    assert(full.forall(_.getAs[Double]("regret") >= 0.0))
+    assert(full.filter(_.getAs[Boolean]("agree"))
+      .forall(_.getAs[Double]("regret") == 0.0))
     val fullKeys = full.map(r => (r.getAs[Long]("s_id"),
       r.getAs[Long]("match_id"), r.getAs[Boolean]("accepted"),
       r.getAs[Boolean]("agree"))).toSet
