@@ -1626,6 +1626,62 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The scan-cap gate's own TIGHT cap (the s13/s14 convention:
+    * deliberately small so the mechanism BINDS at harness SF — sf0.01
+    * cells average ~31 members, so k_scan = 4 and the sub arithmetic
+    * is non-trivial in every oracle row; the production mining cap
+    * stays [[S11FlatScanCap]] = 1024 and is a no-op at harness SF by
+    * design). */
+  private[graft] val S15Cap = 8L
+
+  /** s15 — the r17 per-(prober, cell) scan-cap construction as a
+    * first-class gated operator (the measurement companion to
+    * [[S11FlatScanCap]], exactly as s14 is to `lshflat` and s13 to
+    * `lshcap`): over the harness embeddings, cells are assigned by the
+    * EXACT argmax (the d13 oracle path — the cap arithmetic is
+    * tier-independent, so gating it over exact cells keeps the oracle
+    * to proven CTEs), each cell's residents hash into
+    * k_scan = ceil(|cell| / [[S15Cap]]) sub-cells by their own idMix,
+    * and each of the s2 query set's [[ProbeCells]] probed cells gets
+    * the prober's OWN sub choice — idMix(q_id XOR idMix(cell)), the
+    * cell PRE-MIXED into [0, 2³¹) so the outer affine mix never leaves
+    * its ANSI-safe range (the r17 overflow lesson, now oracle-replayed
+    * bit for bit including the XOR). One row per (q_id, probed cell):
+    * the cell population, k_scan, the chosen sub, and the number of
+    * residents actually scanned — an empty chosen sub is a visible
+    * n_scanned = 0 row, never an absent one.
+    *
+    * Scale shape: identical to the production cap — the counts frame
+    * is ≤C rows (broadcast), the sub rides the JOIN KEY so capped-away
+    * residents are never emitted, and the scanned mass is bounded at
+    * probers·probe·~cap on any geometry. */
+  def s15FlatScanCap(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cent = centroids(e)
+    val cells = cellAssignedAgainst(cent, e)
+      .select(col("vec_id"), col("cell"))
+    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("c_n"))
+      .withColumn("k_scan", expr(s"(c_n + $S15Cap - 1) div $S15Cap"))
+    val cellsSub = cells.join(broadcast(counts), Seq("cell"))
+      .withColumn("sub", pmod(idMix(col("vec_id")), col("k_scan")))
+      .select(col("cell"), col("sub"), col("vec_id"))
+    val wP = Window.partitionBy(col("q_id"))
+      .orderBy(col("p_cos").desc, col("c_id").asc)
+    val probes = querySet(e).join(broadcast(cent), lit(true))
+      .withColumn("p_cos", round(cosine_sim(col("q_emb"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= ProbeCells)
+      .select(col("q_id"), col("c_id").as("cell"))
+    probes.join(broadcast(counts), Seq("cell"))
+      .withColumn("sub", pmod(
+        idMix(col("q_id").bitwiseXOR(idMix(col("cell")))), col("k_scan")))
+      .join(cellsSub, Seq("cell", "sub"), "left")
+      .groupBy(col("q_id"), col("cell"), col("c_n"), col("k_scan"),
+        col("sub"))
+      .agg(count(col("vec_id")).as("n_scanned"))
+      .orderBy(col("q_id"), col("cell"))
+  }
+
   def s9LshAssign(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
     val cent = centroids(e)
@@ -1941,6 +1997,7 @@ object Similarity {
     "s9_lsh_assign" -> s9LshAssign _,
     "s13_lshcap_assign" -> s13LshCapAssign _,
     "s14_flat_assign" -> s14FlatAssign _,
+    "s15_flat_scan_cap" -> s15FlatScanCap _,
     "s10_probe_sweep" -> s10ProbeSweep _,
     "s4_ann_pq"    -> s4AnnPq _,
     "s5_ann_truncated" -> s5AnnTruncated _,
@@ -2244,6 +2301,43 @@ object Similarity {
     * 7-bit plane set is cross-checked by the SQL-computed bucket_bits
     * column, so a corpus where the adaptive width would NOT be 7
     * hash-fails loudly instead of silently diverging. */
+  /** Replays the whole s15 construction: exact cells (the proven d13
+    * CTEs), counts → k_scan at the pinned tight cap, the resident sub
+    * hash, the s2 probe rule, and the prober's pre-mixed-XOR sub
+    * choice — every integer of the r17 scan cap, DuckDB-side. */
+  private def s15OracleSql: String =
+    s"""WITH $commonCtes,
+       |$cellsOracleCtes,
+       |counts AS (
+       |  SELECT cell, count(*) AS c_n,
+       |         (count(*) + $S15Cap - 1) // $S15Cap AS k_scan
+       |  FROM cells GROUP BY cell
+       |),
+       |subs AS (
+       |  SELECT s.cell, ${mixSql("s.vec_id")} % cc.k_scan AS sub, s.vec_id
+       |  FROM cells s JOIN counts cc USING (cell)
+       |),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT qn.q_id, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY qn.q_id
+       |             ORDER BY ${cosSql("qn.q_emb", "qn.q_nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |                      c.c_id ASC) AS rn
+       |    FROM qn CROSS JOIN cent c
+       |  ) WHERE rn <= $ProbeCells
+       |),
+       |psub AS (
+       |  SELECT p.q_id, p.cell, cc.c_n, cc.k_scan,
+       |         ${mixSql(s"xor(p.q_id, ${mixSql("p.cell")})")} % cc.k_scan
+       |           AS sub
+       |  FROM probes p JOIN counts cc USING (cell)
+       |)
+       |SELECT p.q_id, p.cell, p.c_n, p.k_scan, p.sub,
+       |       count(s.vec_id) AS n_scanned
+       |FROM psub p LEFT JOIN subs s ON s.cell = p.cell AND s.sub = p.sub
+       |GROUP BY 1, 2, 3, 4, 5
+       |ORDER BY p.q_id, p.cell""".stripMargin
+
   private def s14OracleSql: String = {
     val S14Bits = 7 // = max(5, ceil(log2(ceil(500/4)/1))) on the harness corpora
     val cb = (0 until NumTables).map { t =>
@@ -2573,6 +2667,7 @@ object Similarity {
     "s9_lsh_assign" -> s9OracleSql,
     "s13_lshcap_assign" -> s13OracleSql,
     "s14_flat_assign" -> s14OracleSql,
+    "s15_flat_scan_cap" -> s15OracleSql,
     "s10_probe_sweep" -> s10OracleSql,
     "s4_ann_pq"  -> s4OracleSql,
     "s5_ann_truncated" -> s5OracleSql,

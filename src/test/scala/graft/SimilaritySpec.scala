@@ -335,6 +335,29 @@ class SimilaritySpec extends SparkSpec {
     info(s"cap=1: ${tight.length}/${exactIds.size} sources matched")
   }
 
+  test("s15 scan-cap gate: the tight cap BINDS at harness SF (k_scan " +
+       "> 1 somewhere), k_scan is exactly ceil(c_n/cap), the chosen sub " +
+       "is in range, and the scanned count never exceeds the cell") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.s15FlatScanCap(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cn, k, sub, n) = (r.getAs[Long]("c_n"), r.getAs[Long]("k_scan"),
+        r.getAs[Long]("sub"), r.getAs[Long]("n_scanned"))
+      assert(k == (cn + Similarity.S15Cap - 1) / Similarity.S15Cap,
+        s"k_scan $k != ceil($cn/${Similarity.S15Cap})")
+      assert(sub >= 0 && sub < k, s"sub $sub out of [0, $k)")
+      assert(n <= cn, s"scanned $n exceeds cell population $cn")
+    }
+    assert(rows.exists(_.getAs[Long]("k_scan") > 1L),
+      "tight cap never bound — the gate is re-testing a no-op")
+    val bound = rows.count(r =>
+      r.getAs[Long]("n_scanned") <= 2L * Similarity.S15Cap)
+    info(s"s15: ${rows.length} probed cells, " +
+      s"${rows.count(_.getAs[Long]("k_scan") > 1L)} with k_scan>1, " +
+      s"$bound/${rows.length} scans within 2x cap")
+  }
+
   test("s11 depth differential (r17): with sampling off and via=ivf, " +
        "s11Differential reproduces s11b's per-source agreement columns " +
        "exactly; a strided sample is a subset of the unsampled rows") {
