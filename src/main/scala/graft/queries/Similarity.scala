@@ -708,6 +708,13 @@ object Similarity {
         idMix(col("s_id").bitwiseXOR(idMix(col("cell")))),
         col("k_scan")))
       .drop("k_scan")
+    // Measured and REVERTED (r17): a shuffle_hash hint on the probe
+    // side (the q5 lesson — the pair SMJ's (cell, sub) sorts feed a
+    // window that re-sorts by (s_id, cell) anyway) read 38.0 s
+    // min-of-3 at skew sf30 against this SMJ shape's 26.5 on the same
+    // harness: the per-partition hash build over the probe rows costs
+    // more than the two sorts it saves on this pair distribution, and
+    // the SMJ shape is what the 0.83-tail depth rows were measured on.
     s11CellPairs(probesSub, cellsSub, Seq("cell", "sub"))
   }
 

@@ -383,4 +383,28 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("*("), s"no codegen spans in:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("s11 via=flat (r17): the pair join carries the scan-cap sub in " +
+       "its KEY (capped-away residents are never emitted), the brute " +
+       "nested-loop shape is gone, and the shortlist's WindowGroupLimit " +
+       "survives the capped join") {
+    System.setProperty("graft.s11.via", "flat")
+    val p = try plan(Similarity.s11BitextMargin(spark, sfDir))
+      finally System.clearProperty("graft.s11.via")
+    // via=flat must actually leave the exact tier's broadcast
+    // nested-loop src x tgt matrix
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      s"flat tier still plans the brute pair matrix in:\n$p")
+    // the r17 cap lives in the join key: the pair join keys on BOTH
+    // cell and sub on each side (equi-join — SMJ or hash, never a
+    // post-join filter that would emit capped-away residents first)
+    val subKeyedJoin = p.linesIterator.exists(l =>
+      l.contains("Join") &&
+        "cell#\\d+L?, sub#\\d+L?".r.findAllIn(l).size >= 2)
+    assert(subKeyedJoin,
+      s"no equi-join keyed on (cell, sub) — the scan cap left the join key in:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-(source, cell) shortlist lost its WindowGroupLimit in:\n$p")
+  }
 }
