@@ -60,6 +60,18 @@ object S11Probe {
       max(col("via")).as("via_resolved")).head()
     val sec = (System.nanoTime() - t0) / 1e9
     val n = r.getAs[Long]("n_src")
+    // Empty sample (empty lang slice or over-strided sampleTarget):
+    // every avg/percentile aggregate is null and the getAs[Double]
+    // unboxing below would NPE (ADVICE r17) — print an explicit
+    // empty-sample line instead of a stack trace.
+    if (n == 0L) {
+      println(
+        s"""{"metric":"s11_differential","dir":"$dir","via":"$via",""" +
+        s""""sample_target":$target,"n_src":0,"empty_sample":true,""" +
+        s""""sec":${"%.4f".formatLocal(java.util.Locale.ROOT, sec)}}""")
+      spark.stop()
+      return
+    }
     val agree = r.getAs[Long]("agree")
     def f(v: Double): String =
       "%.4f".formatLocal(java.util.Locale.ROOT, v)

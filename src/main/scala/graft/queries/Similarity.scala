@@ -526,12 +526,17 @@ object Similarity {
 
   /** The shared candidate-scoring + shortlist tail of every blocked s11
     * tier: join probes to cell members, score c4, keep each
-    * (source, probed cell)'s top-[[S11ShortlistK]] (see [[s11IvfPairs]]
-    * — a WindowGroupLimit with no exchange below it, the cell join's
-    * partitioning already clusters the group key). The flat tier joins
-    * on (cell, sub) — its per-(source, cell) scan cap (r17) lives in
-    * the JOIN KEY, so capped-away residents are never emitted by the
-    * hash join, not generated-then-filtered. */
+    * (source, probed cell)'s top-[[S11ShortlistK]]. On the CELL-KEYED
+    * tiers (ivf/lsh/twolevel — see [[s11IvfPairs]]) the shortlist's
+    * WindowGroupLimit needs no exchange below it: the cell join's
+    * partitioning already clusters the (s_id, cell) group key. The
+    * flat tier joins on (cell, sub) — its per-(source, cell) scan cap
+    * (r17) lives in the JOIN KEY, so capped-away residents are never
+    * emitted by the hash join, not generated-then-filtered — and that
+    * key does NOT cluster (s_id, cell), so the flat tier pays one
+    * extra (s_id, cell) exchange + sort above the capped join (the
+    * price the r17 shuffle-hash A/B measured and accepted; see the
+    * [[s11FlatPairs]] note). */
   private def s11CellPairs(probes: DataFrame, cells: DataFrame,
       keys: Seq[String] = Seq("cell")): DataFrame = {
     val wShort = Window.partitionBy(col("s_id"), col("cell"))
@@ -700,12 +705,16 @@ object Similarity {
     // are keyed by centroid vec_ids, so the cappedCodebook-style
     // `cell * prime` operand overflows idMix's ANSI-safe ±8e9 contract
     // at scale-corpus ids (measured: every via=flat run at sf30+ threw
-    // ARITHMETIC_OVERFLOW). XOR with the mixed cell decorrelates
-    // co-probing sources nonlinearly — addition of a constant would
-    // shift, never reorder (the affine-mix pitfall).
+    // ARITHMETIC_OVERFLOW). BOTH operands are pre-mixed into [0, 2³¹)
+    // before the XOR (r18, ADVICE r17): XOR with an unmixed s_id can
+    // raise the outer operand by up to 2³¹−1, silently narrowing the
+    // documented ±8e9 id contract to ~6.2e9 — pre-mixing keeps the
+    // outer idMix input below 2³¹ for ANY source id. XOR (not
+    // addition) decorrelates co-probing sources nonlinearly — adding
+    // a constant would shift, never reorder (the affine-mix pitfall).
     val probesSub = probes.join(broadcast(scanK), Seq("cell"))
       .withColumn("sub", pmod(
-        idMix(col("s_id").bitwiseXOR(idMix(col("cell")))),
+        idMix(idMix(col("s_id")).bitwiseXOR(idMix(col("cell")))),
         col("k_scan")))
       .drop("k_scan")
     // Measured and REVERTED (r17): a shuffle_hash hint on the probe
@@ -859,14 +868,21 @@ object Similarity {
     // tie-dominated — at 10⁵-scale target slices the top-1 by quantized
     // cosine has many near-ties, so a blocked tier picking a different
     // member of the same near-tie family is not a recall loss. A missed
-    // source (no candidates) keeps regret = exact_cosine (the full
-    // loss), never a silent null.
+    // source (no candidates) takes the explicit missed-row form
+    // greatest(exact_cosine, 0): the full loss when the foregone best
+    // was a genuine (positive-cosine) match, zero when even the exact
+    // best was negative — missing a worse-than-nothing match is not a
+    // loss, and the earlier coalesce(cosine, 0) form let such rows go
+    // NEGATIVE, breaking the documented ≥0 invariant and deflating
+    // regret_mean (ADVICE r17).
     exactBest.join(blocked, Seq("s_id"), "left")
       .select(col("s_id"), col("exact_match"), col("exact_accepted"),
         coalesce(col("match_id"), lit(-1L)).as("match_id"),
         coalesce(col("accepted"), lit(false)).as("accepted"),
         col("margin"),
-        round(col("exact_cosine") - coalesce(col("cosine"), lit(0.0)), 4)
+        round(when(col("match_id").isNull,
+            greatest(col("exact_cosine"), lit(0.0)))
+          .otherwise(col("exact_cosine") - col("cosine")), 4)
           .as("regret"),
         coalesce(col("match_id") === col("exact_match"), lit(false))
           .as("agree"),
@@ -1650,10 +1666,12 @@ object Similarity {
     * to proven CTEs), each cell's residents hash into
     * k_scan = ceil(|cell| / [[S15Cap]]) sub-cells by their own idMix,
     * and each of the s2 query set's [[ProbeCells]] probed cells gets
-    * the prober's OWN sub choice — idMix(q_id XOR idMix(cell)), the
-    * cell PRE-MIXED into [0, 2³¹) so the outer affine mix never leaves
-    * its ANSI-safe range (the r17 overflow lesson, now oracle-replayed
-    * bit for bit including the XOR). One row per (q_id, probed cell):
+    * the prober's OWN sub choice — idMix(idMix(q_id) XOR idMix(cell)),
+    * BOTH operands pre-mixed into [0, 2³¹) so the outer affine mix
+    * never leaves its ANSI-safe range for any id (the r17 overflow
+    * lesson, tightened r18: an unmixed q_id XOR'd with a mixed cell
+    * narrows the id bound to ~6.2e9 — now oracle-replayed bit for bit
+    * including both inner mixes). One row per (q_id, probed cell):
     * the cell population, k_scan, the chosen sub, and the number of
     * residents actually scanned — an empty chosen sub is a visible
     * n_scanned = 0 row, never an absent one.
@@ -1681,7 +1699,8 @@ object Similarity {
       .select(col("q_id"), col("c_id").as("cell"))
     probes.join(broadcast(counts), Seq("cell"))
       .withColumn("sub", pmod(
-        idMix(col("q_id").bitwiseXOR(idMix(col("cell")))), col("k_scan")))
+        idMix(idMix(col("q_id")).bitwiseXOR(idMix(col("cell")))),
+        col("k_scan")))
       .join(cellsSub, Seq("cell", "sub"), "left")
       .groupBy(col("q_id"), col("cell"), col("c_n"), col("k_scan"),
         col("sub"))
@@ -2335,8 +2354,8 @@ object Similarity {
        |),
        |psub AS (
        |  SELECT p.q_id, p.cell, cc.c_n, cc.k_scan,
-       |         ${mixSql(s"xor(p.q_id, ${mixSql("p.cell")})")} % cc.k_scan
-       |           AS sub
+       |         ${mixSql(s"xor(${mixSql("p.q_id")}, ${mixSql("p.cell")})")}
+       |           % cc.k_scan AS sub
        |  FROM probes p JOIN counts cc USING (cell)
        |)
        |SELECT p.q_id, p.cell, p.c_n, p.k_scan, p.sub,
