@@ -32,7 +32,16 @@ import graft.queries.Similarity
   * the output). Run on the skew (clustered) and main ScaleGen corpora
   * at sf30+; results land in SCALING.md's round-17 differential table.
   * sampleTarget <= 0 keeps every source (the verbatim s11b shape —
-  * only feasible at harness SFs). */
+  * only feasible at harness SFs).
+  *
+  * `runMain graft.S11Probe <dir> <via> [sampleTarget] sweep` (r18,
+  * VERDICT r17 #2) instead runs [[Similarity.s16SweepDifferential]] —
+  * the margin-threshold ACCEPTANCE sweep under the same strided-source
+  * convention — and prints one JSON line per threshold: per-tier
+  * accepted counts, accepted-set overlap (any / same match), and the
+  * mean cosine regret over the blocked-accepted set. This is the
+  * instrument that CHOOSES the mining tier's operating point at depth;
+  * the decision row lands in SCALING.md. */
 object S11Probe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -42,6 +51,34 @@ object S11Probe {
     val target = args.lift(2).map(_.toLong).getOrElse(500L)
     val spark =
       BenchSupport.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+
+    if (args.lift(3).contains("sweep")) {
+      val t0 = System.nanoTime()
+      val rows = Similarity.s16SweepDifferential(spark, dir, via, target)
+        .collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      def fm(v: Any): String = v match {
+        case null      => "null"
+        case d: Double => "%.4f".formatLocal(java.util.Locale.ROOT, d)
+        case x         => x.toString
+      }
+      rows.foreach { r =>
+        println(
+          s"""{"metric":"s16_margin_sweep","dir":"$dir","via":"$via",""" +
+          s""""via_resolved":"${r.getAs[String]("via")}",""" +
+          s""""sample_target":$target,"thr":${fm(r.getAs[Any]("thr"))},""" +
+          s""""n_src":${r.getAs[Long]("n_src")},""" +
+          s""""exact_accepted":${r.getAs[Long]("exact_accepted")},""" +
+          s""""blocked_accepted":${r.getAs[Long]("blocked_accepted")},""" +
+          s""""overlap_any":${r.getAs[Long]("overlap_any")},""" +
+          s""""overlap_same":${r.getAs[Long]("overlap_same")},""" +
+          s""""mean_acc_regret":${fm(r.getAs[Any]("mean_acc_regret"))},""" +
+          s""""sec":${"%.4f".formatLocal(java.util.Locale.ROOT, sec)}}""")
+      }
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val d = Similarity.s11Differential(spark, dir, via, target)
     val r = d.agg(

@@ -46,6 +46,11 @@ object SparkEntry {
       // the blocked tier's own cost is measured via the
       // SPARK_GRAFT_S11_VIA=ivf ScaleBench row instead
       "s11b_bitext_blocked",
+      // s16 is the threshold-sweep differential over the same two tiers
+      // (exact + blocked margin cores run once, then a 4-way explode) —
+      // benching it would triple-charge s11's pipelines for what is one
+      // aggregation of arithmetic on top of them
+      "s16_margin_sweep",
       // s14 is the flat-construction gate fixture: its knobs are pinned
       // TIGHT (cell target 4 -> a k=N/4 codebook) so the adaptive math
       // binds at harness SF, and it carries an exact-argmax reference

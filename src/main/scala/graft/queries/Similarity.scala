@@ -889,6 +889,117 @@ object Similarity {
         lit(resolved).as("via"))
   }
 
+  /** s16's threshold grid — brackets the CCMatrix operating band around
+    * [[S11Threshold]] (arXiv:1811.01136 mines at 1.05–1.06; lower
+    * recovers acceptance, higher buys precision). */
+  private[graft] val S16Thresholds = Seq(1.02, 1.05, 1.10, 1.15)
+
+  /** s16's blocked-tier seam — the s11b convention verbatim: default
+    * `ivf` so the DuckDB oracle replays the whole blocked chain from
+    * proven CTEs, while [[graft.S11Probe]]'s `sweep` mode re-runs the
+    * SAME aggregation under `flat` (+ the production scan cap) on the
+    * ScaleGen corpora, where the operating point is actually chosen. */
+  private def s16Via: String =
+    sys.props.get("graft.s16.via").orElse(sys.env.get("SPARK_GRAFT_S16_VIA"))
+      .getOrElse("ivf")
+
+  /** s16 — the margin-threshold ACCEPTANCE sweep (r18, VERDICT r17 #2):
+    * the s10 probe-sweep convention applied to s11's acceptance knob.
+    * The r17 regret differential priced match QUALITY, but for a
+    * CCMatrix-style user the ACCEPTED SET is the product, and on
+    * clustered geometry the blocked tier accepted 68 pairs where exact
+    * accepted 263 (SCALING.md r17) — at a threshold that was asserted,
+    * not chosen. This entry measures, at every threshold in
+    * [[S16Thresholds]], both tiers' accepted counts, the accepted-set
+    * overlap (any-match and same-match), and the cosine regret over the
+    * blocked-accepted set — the acceptance/quality trade as a CURVE, so
+    * the operating point is a decision with numbers behind it.
+    *
+    * Cost shape (the s10 one-explode rule): BOTH margin cores run ONCE —
+    * the threshold only gates the final `accepted` comparison — and the
+    * sweep is one 4-way explode + one aggregation over the joined
+    * differential, never a re-mine per threshold. Regret stays integer
+    * (ten-thousandth units, BIGINT sums; one final double division), so
+    * the DuckDB oracle replays every cell bit-for-bit. */
+  def s16MarginSweep(s: SparkSession, dir: String): DataFrame = {
+    val src = s11Side(s, dir, S11SrcLang, "s_id", "s_emb")
+    val tgt = s11Side(s, dir, S11TgtLang, "t_id", "t_emb")
+    val via = s16Via match {
+      case "auto" => s11AutoVia(dir, tgt)
+      case v      => v
+    }
+    s16SweepOver(
+      s11MarginCore(s11ExactPairs(src, tgt)),
+      s11MarginCore(s11PairsFor(via, src, tgt)))
+  }
+
+  /** The sweep aggregation over any (exact, blocked) margin-core pair —
+    * shared by the gated entry and [[graft.S11Probe]]'s depth sweep.
+    * Anchored on the exact side (every source row appears at every
+    * threshold); a missed source joins null margins and counts as
+    * not-accepted at every threshold — the s11b loud-miss convention
+    * folded into the aggregate. */
+  private[graft] def s16SweepOver(exact0: DataFrame,
+      blocked0: DataFrame): DataFrame = {
+    val exact = exact0.select(col("s_id"),
+      col("match_id").as("exact_match"),
+      col("cosine").as("exact_cosine"),
+      col("margin").as("exact_margin"))
+    val blocked = blocked0.select(col("s_id"), col("match_id"),
+      col("cosine"), col("margin"))
+    val eAcc = coalesce(col("exact_margin") >= col("thr"), lit(false))
+    val bAcc = coalesce(col("margin") >= col("thr"), lit(false))
+    // both cosines are the quantized c4/10⁴ doubles, so ×10⁴ + round(0)
+    // recovers the exact integer difference (blocked ⊆ exact pairs ⇒
+    // regret ≥ 0 on every matched row; an accepted row always has a
+    // match, so the when() never sees a null cosine)
+    val regret4 =
+      round((col("exact_cosine") - col("cosine")) * 10000, 0).cast("long")
+    exact.join(blocked, Seq("s_id"), "left")
+      .select(col("*"),
+        explode(array(S16Thresholds.map(lit(_)): _*)).as("thr"))
+      .groupBy(col("thr"))
+      .agg(
+        count(lit(1)).as("n_src"),
+        sum(when(eAcc, 1L).otherwise(0L)).as("exact_accepted"),
+        sum(when(bAcc, 1L).otherwise(0L)).as("blocked_accepted"),
+        sum(when(eAcc && bAcc, 1L).otherwise(0L)).as("overlap_any"),
+        sum(when(eAcc && bAcc &&
+            col("match_id") === col("exact_match"), 1L).otherwise(0L))
+          .as("overlap_same"),
+        sum(when(bAcc, regret4).otherwise(0L)).as("acc_regret4_sum"))
+      .withColumn("mean_acc_regret",
+        when(col("blocked_accepted") > 0,
+          round(col("acc_regret4_sum").cast("double")
+            / col("blocked_accepted") / 10000.0, 4)))
+      .orderBy(col("thr"))
+  }
+
+  /** [[s16MarginSweep]] at DEPTH (probe-only, never gated): the
+    * [[s11Differential]] sampling convention — an idMix-strided source
+    * sample mined by both margin cores against the FULL target slice —
+    * applied to the sweep. Consumed by [[graft.S11Probe]] `sweep`;
+    * the numbers land in SCALING.md's operating-point decision row. */
+  private[graft] def s16SweepDifferential(s: SparkSession, dir: String,
+      via: String, sampleTarget: Long): DataFrame = {
+    val src0 = s11Side(s, dir, S11SrcLang, "s_id", "s_emb")
+    val src =
+      if (sampleTarget <= 0L) src0
+      else {
+        val stride = math.max(1L, src0.count() / sampleTarget)
+        src0.filter(pmod(idMixOf(col("s_id")), lit(stride)) === 0)
+      }
+    val tgt = s11Side(s, dir, S11TgtLang, "t_id", "t_emb")
+    val resolved = via match {
+      case "auto" => s11AutoVia(dir, tgt)
+      case v      => v
+    }
+    s16SweepOver(
+      s11MarginCore(s11ExactPairs(src, tgt)),
+      s11MarginCore(s11PairsFor(resolved, src, tgt)))
+      .withColumn("via", lit(resolved))
+  }
+
   /** s3 — multi-table sign-random-projection LSH: each of the 6 tables
     * hashes a vector to a 5-bit bucket of hyperplane signs; a query
     * probes its exact bucket in every table and candidates are the union
@@ -2033,6 +2144,7 @@ object Similarity {
     "s11_bitext_margin" -> s11BitextMargin _,
     "s11b_bitext_blocked" -> s11bBitextBlocked _,
     "s12_assign_margin" -> s12AssignMargin _,
+    "s16_margin_sweep" -> s16MarginSweep _,
   )
 
   // ---- DuckDB oracle construction -----------------------------------
@@ -2896,6 +3008,163 @@ object Similarity {
          |       coalesce(bl.match_id = e.exact_match, false) AS agree
          |FROM ebest e LEFT JOIN blocked bl USING (s_id)
          |ORDER BY e.s_id""".stripMargin,
+    // s16: the threshold sweep replayed whole — the s11 exact chain WITH
+    // margins (not just the best match), the s11b blocked ivf chain, one
+    // unnest over the threshold grid, and the integer-regret aggregation.
+    // Both margin pipelines are the proven s11/s11b CTE texts verbatim;
+    // the sweep itself is pure arithmetic over their join.
+    "s16_margin_sweep" ->
+      s"""WITH $commonCtes,
+         |src AS (
+         |  SELECT e.vec_id AS s_id, e.embedding AS s_emb, e.nrm AS s_nrm
+         |  FROM en e JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang = '$S11SrcLang'
+         |),
+         |tgt AS (
+         |  SELECT e.vec_id AS t_id, e.embedding AS t_emb, e.nrm AS t_nrm
+         |  FROM en e JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang = '$S11TgtLang'
+         |),
+         |epairs AS (
+         |  SELECT s_id, t_id,
+         |         CAST(round(${dotSql("s_emb", "t_emb")}
+         |                    / (s_nrm * t_nrm) * 10000, 0) AS BIGINT) AS c4
+         |  FROM src JOIN tgt ON s_id <> t_id
+         |),
+         |erk AS (
+         |  SELECT s_id, t_id, c4,
+         |         row_number() OVER (PARTITION BY s_id
+         |           ORDER BY c4 DESC, t_id ASC) AS rs,
+         |         row_number() OVER (PARTITION BY t_id
+         |           ORDER BY c4 DESC, s_id ASC) AS rt
+         |  FROM epairs
+         |),
+         |ea AS (
+         |  SELECT s_id, CAST(sum(c4) AS BIGINT) AS sa4, count(*) AS na
+         |  FROM erk WHERE rs <= $S11MarginK GROUP BY 1
+         |),
+         |eb AS (
+         |  SELECT t_id, CAST(sum(c4) AS BIGINT) AS sb4, count(*) AS nb
+         |  FROM erk WHERE rt <= $S11MarginK GROUP BY 1
+         |),
+         |ebest AS (
+         |  SELECT s_id, t_id, c4 FROM erk WHERE rs = 1
+         |),
+         |escored AS (
+         |  SELECT ebest.s_id, ebest.t_id AS exact_match,
+         |         round(CAST(c4 AS DOUBLE) / 10000, 4) AS exact_cosine,
+         |         CASE WHEN sa4 * nb + sb4 * na > 0 THEN
+         |           round(CAST(2 * c4 * na * nb AS DOUBLE)
+         |                 / (sa4 * nb + sb4 * na), 4) END AS exact_margin
+         |  FROM ebest
+         |  JOIN ea USING (s_id)
+         |  JOIN eb ON eb.t_id = ebest.t_id
+         |),
+         |cent AS (
+         |  SELECT c_id, c_emb, c_nrm FROM (
+         |    SELECT t_id AS c_id, t_emb AS c_emb, t_nrm AS c_nrm,
+         |           row_number() OVER (
+         |             ORDER BY (t_id * $MixA + $MixB) % $MixM, t_id) AS crn
+         |    FROM tgt
+         |  ) WHERE crn <= greatest($NumCentroids,
+         |      CAST(ceil(sqrt(CAST((SELECT count(*) FROM tgt) AS DOUBLE)
+         |                     / $CentroidDivisor)) AS BIGINT))
+         |),
+         |cells AS (
+         |  SELECT t_id, t_emb, t_nrm, cell FROM (
+         |    SELECT t.t_id, t.t_emb, t.t_nrm, c.c_id AS cell,
+         |           row_number() OVER (PARTITION BY t.t_id
+         |             ORDER BY ${cosSql("t.t_emb", "t.t_nrm", "c.c_emb", "c.c_nrm")} DESC,
+         |                      c.c_id ASC) AS rn
+         |    FROM tgt t CROSS JOIN cent c
+         |  ) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT s_id, s_emb, s_nrm, cell FROM (
+         |    SELECT s.s_id, s.s_emb, s.s_nrm, c.c_id AS cell,
+         |           row_number() OVER (PARTITION BY s.s_id
+         |             ORDER BY ${cosSql("s.s_emb", "s.s_nrm", "c.c_emb", "c.c_nrm")} DESC,
+         |                      c.c_id ASC) AS rn
+         |    FROM src s CROSS JOIN cent c
+         |  ) WHERE rn <= $S11bProbe
+         |),
+         |cand AS (
+         |  SELECT p.s_id, a.cell, a.t_id,
+         |         CAST(round(${dotSql("p.s_emb", "a.t_emb")}
+         |                    / (p.s_nrm * a.t_nrm) * 10000, 0) AS BIGINT) AS c4
+         |  FROM probes p JOIN cells a USING (cell)
+         |),
+         |short AS (
+         |  SELECT s_id, t_id, c4 FROM (
+         |    SELECT s_id, t_id, c4,
+         |           row_number() OVER (PARTITION BY s_id, cell
+         |             ORDER BY c4 DESC, t_id ASC) AS sr
+         |    FROM cand
+         |  ) WHERE sr <= $S11ShortlistK
+         |),
+         |rk AS (
+         |  SELECT s_id, t_id, c4,
+         |         row_number() OVER (PARTITION BY s_id
+         |           ORDER BY c4 DESC, t_id ASC) AS rs,
+         |         row_number() OVER (PARTITION BY t_id
+         |           ORDER BY c4 DESC, s_id ASC) AS rt
+         |  FROM short
+         |),
+         |a AS (
+         |  SELECT s_id, CAST(sum(c4) AS BIGINT) AS sa4, count(*) AS na
+         |  FROM rk WHERE rs <= $S11MarginK GROUP BY 1
+         |),
+         |b AS (
+         |  SELECT t_id, CAST(sum(c4) AS BIGINT) AS sb4, count(*) AS nb
+         |  FROM rk WHERE rt <= $S11MarginK GROUP BY 1
+         |),
+         |best AS (
+         |  SELECT s_id, t_id, c4 FROM rk WHERE rs = 1
+         |),
+         |blocked AS (
+         |  SELECT best.s_id, best.t_id AS match_id,
+         |         round(CAST(c4 AS DOUBLE) / 10000, 4) AS cosine,
+         |         CASE WHEN sa4 * nb + sb4 * na > 0 THEN
+         |           round(CAST(2 * c4 * na * nb AS DOUBLE)
+         |                 / (sa4 * nb + sb4 * na), 4) END AS margin
+         |  FROM best
+         |  JOIN a USING (s_id)
+         |  JOIN b ON b.t_id = best.t_id
+         |),
+         |j AS (
+         |  SELECT e.s_id, e.exact_match, e.exact_cosine, e.exact_margin,
+         |         bl.match_id, bl.cosine, bl.margin
+         |  FROM escored e LEFT JOIN blocked bl USING (s_id)
+         |),
+         |grid AS (SELECT unnest([${S16Thresholds.mkString(", ")}]) AS thr)
+         |SELECT g.thr,
+         |       count(*) AS n_src,
+         |       CAST(sum(CASE WHEN coalesce(j.exact_margin >= g.thr, false)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS exact_accepted,
+         |       CAST(sum(CASE WHEN coalesce(j.margin >= g.thr, false)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS blocked_accepted,
+         |       CAST(sum(CASE WHEN coalesce(j.exact_margin >= g.thr, false)
+         |                 AND coalesce(j.margin >= g.thr, false)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS overlap_any,
+         |       CAST(sum(CASE WHEN coalesce(j.exact_margin >= g.thr, false)
+         |                 AND coalesce(j.margin >= g.thr, false)
+         |                 AND j.match_id = j.exact_match
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS overlap_same,
+         |       CAST(sum(CASE WHEN coalesce(j.margin >= g.thr, false)
+         |                THEN CAST(round((j.exact_cosine - j.cosine) * 10000,
+         |                               0) AS BIGINT)
+         |                ELSE 0 END) AS BIGINT) AS acc_regret4_sum,
+         |       CASE WHEN sum(CASE WHEN coalesce(j.margin >= g.thr, false)
+         |                     THEN 1 ELSE 0 END) > 0 THEN
+         |         round(CAST(sum(CASE WHEN coalesce(j.margin >= g.thr, false)
+         |                    THEN CAST(round((j.exact_cosine - j.cosine)
+         |                                    * 10000, 0) AS BIGINT)
+         |                    ELSE 0 END) AS DOUBLE)
+         |               / sum(CASE WHEN coalesce(j.margin >= g.thr, false)
+         |                     THEN 1 ELSE 0 END) / 10000.0, 4)
+         |       END AS mean_acc_regret
+         |FROM j CROSS JOIN grid g
+         |GROUP BY g.thr ORDER BY g.thr""".stripMargin,
     // s12: the assignVia pre-flight replayed whole — idMix stride
     // sample, real codebook, integer ten-thousandth cosines (exact
     // BIGINT sums), top-2 per vector, and the proven

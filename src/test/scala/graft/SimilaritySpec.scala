@@ -437,6 +437,48 @@ class SimilaritySpec extends SparkSpec {
     } finally System.clearProperty("graft.s11.via")
   }
 
+  test("s16 margin sweep (r18): one row per threshold, counts monotone " +
+       "non-increasing in the threshold, overlaps bounded, and the " +
+       "1.05 row consistent with s11/s11b's fixed-threshold accepted sets") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.s16MarginSweep(spark, dir).collect()
+    assert(rows.map(_.getAs[Double]("thr")).toSeq == Similarity.S16Thresholds)
+    assert(rows.map(_.getAs[Long]("n_src")).distinct.length == 1,
+      "n_src must be the same exact-anchored count in every row")
+    def seq(c: String) = rows.map(_.getAs[Long](c)).toSeq
+    for (c <- Seq("exact_accepted", "blocked_accepted", "overlap_any",
+        "overlap_same")) {
+      val v = seq(c)
+      assert(v.zip(v.tail).forall { case (a, b) => a >= b },
+        s"$c not monotone non-increasing over thresholds: $v")
+    }
+    rows.foreach { r =>
+      val e = r.getAs[Long]("exact_accepted")
+      val b = r.getAs[Long]("blocked_accepted")
+      val any = r.getAs[Long]("overlap_any")
+      val same = r.getAs[Long]("overlap_same")
+      assert(same <= any && any <= math.min(e, b),
+        s"overlap bounds violated at thr ${r.getAs[Double]("thr")}")
+      // blocked candidates are a subset of the exact pair matrix, so the
+      // regret of any accepted pick is >= 0 (and so is the sum/mean)
+      assert(r.getAs[Long]("acc_regret4_sum") >= 0L)
+      if (b == 0L) assert(r.isNullAt(r.fieldIndex("mean_acc_regret")))
+      else assert(r.getAs[Double]("mean_acc_regret") >= 0.0)
+    }
+    // the 1.05 row IS the fixed-threshold regime: blocked_accepted equals
+    // s11b's accepted count (same ivf tier), exact_accepted equals s11's
+    val at105 = rows.find(
+      _.getAs[Double]("thr") == Similarity.S11Threshold).get
+    val s11bAcc = Similarity.s11bBitextBlocked(spark, dir).collect()
+      .count(_.getAs[Boolean]("accepted"))
+    assert(at105.getAs[Long]("blocked_accepted") == s11bAcc,
+      "sweep's 1.05 blocked count diverged from the gated s11b")
+    val s11Acc = Similarity.s11BitextMargin(spark, dir).collect()
+      .count(_.getAs[Boolean]("accepted"))
+    assert(at105.getAs[Long]("exact_accepted") == s11Acc,
+      "sweep's 1.05 exact count diverged from the gated s11")
+  }
+
   test("d13 assignVia=lshcap: cap >= C is bit-identical to lsh; a tight " +
        "cap keeps the per-bucket bound, stays a subset of the uncapped " +
        "codebook, and still assigns every vector") {
