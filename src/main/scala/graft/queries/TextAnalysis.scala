@@ -1040,6 +1040,87 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t24's merge-round count: four rounds is enough that later rounds
+    * merge symbols EARLIER rounds produced (the part of BPE training a
+    * single pair count cannot exercise). */
+  private[graft] val T24Rounds = 4
+
+  /** One greedy BPE merge of the winning pair (l, r) applied to a symbol
+    * sequence — the canonical left-to-right rule (Sennrich et al. 2016,
+    * arXiv:1508.07909 §3.2): scan the sequence once; whenever the last
+    * emitted symbol is `l` and the current one is `r`, replace the pair
+    * with the merged token. A fold is exactly that scan, and it cannot
+    * over-merge: after a merge the last emitted symbol is `l || r`,
+    * which can never equal `l` again (r is non-empty), so overlapping
+    * occurrences — possible only for l = r runs — resolve to the
+    * canonical alternating pattern (aaaa → [aa, aa]). The lambda
+    * branches through nested `when`s (evaluated lazily in order) so
+    * `element_at(acc, -1)` is never touched on the empty accumulator —
+    * ANSI mode would throw on it. */
+  private def bpeMergeFold(syms: Column, l: Column, r: Column): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, t) =>
+        when(size(acc) === 0, concat(acc, array(t)))
+          .otherwise(when(element_at(acc, -1) === l && t === r,
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(l, r))))
+            .otherwise(concat(acc, array(t)))))
+
+  /** t24 — BPE tokenizer-training merge steps (the primitive under every
+    * subword vocabulary): [[T24Rounds]] rounds of (adjacent-pair count →
+    * winning pair → greedy merge) over the corpus, reported as the merge
+    * TABLE — per round the merged pair, its corpus pair count at merge
+    * time, and the symbol-vocabulary size after the merge. Words start
+    * as character sequences (no end-of-word marker — merges are
+    * word-internal, the whitespace pre-tokenization split of t1); the
+    * winner is the max-count pair with a (left, right) lexicographic
+    * tie-break so both engines pick identically.
+    *
+    * Scale shape: ONE corpus scan builds the (word, freq) table — the
+    * same vocab-bounded state t20/t21 ship (the pair explode, the merge
+    * fold, and every subsequent round run over DISTINCT WORDS, so round
+    * cost is corpus-size-INDEPENDENT); each round is one map-side-
+    * combined pair aggregation, a 1-row TakeOrdered winner broadcast
+    * back onto the vocab table, and a per-word fold (no explode of the
+    * corpus, no shuffle of text). The per-round tables are
+    * [[graft.Materialize]]d: round k+1's counts consume round k's merge
+    * output, and the final union must not re-fold earlier rounds once
+    * per branch. The DuckDB oracle replays the greedy rule positionally
+    * (occurrence runs → alternating keeps — the same sequences the fold
+    * produces), so all four merge rows gate bit-for-bit. */
+  def t24BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words0 = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // char symbols via 1-based substring — the exact arithmetic the
+      // oracle's substr() replays (split(word, '') would append Java's
+      // trailing empty match as a phantom symbol)
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    var syms = graft.Materialize(words0)
+    val rows = (1 to T24Rounds).map { r =>
+      val win = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> struct(syms[i] AS lsym, syms[i+1] AS rsym))")).as("p"))
+        .groupBy(col("p.lsym").as("lsym"), col("p.rsym").as("rsym"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lsym"), col("rsym"))
+        .limit(1)
+      syms = graft.Materialize(
+        syms.crossJoin(broadcast(win))
+          .select(col("word"), col("freq"),
+            bpeMergeFold(col("syms"), col("lsym"), col("rsym")).as("syms")))
+      val vocab = syms.select(explode(col("syms")).as("sym"))
+        .agg(countDistinct(col("sym")).as("vocab_size"))
+      win.crossJoin(broadcast(vocab))
+        .select(lit(r).as("round"), col("lsym"), col("rsym"),
+          col("pair_count"), col("vocab_size"))
+    }
+    rows.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -1066,7 +1147,91 @@ object TextAnalysis {
     "t21_vocab_growth"      -> t21VocabGrowth _,
     "t22_dup_ngrams"        -> t22DupNgrams _,
     "t23_dsir_importance"   -> t23DsirImportance _,
+    "t24_bpe_merges"        -> t24BpeMerges _,
   )
+
+  /** The t24 oracle, built per round: DuckDB replays the greedy merge
+    * POSITIONALLY — pair-occurrence positions, maximal consecutive runs
+    * (overlaps exist only for l = r), alternating keeps within each run
+    * (exactly the sequence the left-to-right fold emits), then the list
+    * is rebuilt with kept positions merged and their successors dropped.
+    * Sums are cast back to BIGINT (DuckDB sums integers into HUGEINT). */
+  private def t24OracleSql: String = {
+    def round(r: Int): String = {
+      val prev = s"syms${r - 1}"
+      s"""pos$r AS (
+         |  SELECT word, freq, syms,
+         |         unnest(generate_series(1, len(syms))) AS i
+         |  FROM $prev
+         |),
+         |posx$r AS (
+         |  SELECT word, freq, i, syms[i] AS s,
+         |         lead(syms[i]) OVER (PARTITION BY word ORDER BY i) AS nxt
+         |  FROM pos$r
+         |),
+         |win$r AS (
+         |  SELECT s AS lsym, nxt AS rsym,
+         |         CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM posx$r WHERE nxt IS NOT NULL
+         |  GROUP BY 1, 2
+         |  ORDER BY pair_count DESC, lsym, rsym LIMIT 1
+         |),
+         |occ$r AS (
+         |  SELECT x.word, x.i FROM posx$r x, win$r w
+         |  WHERE x.s = w.lsym AND x.nxt = w.rsym
+         |),
+         |keep$r AS (
+         |  SELECT word, i FROM (
+         |    SELECT word, i,
+         |           row_number() OVER (PARTITION BY word, grp
+         |                              ORDER BY i) AS rn
+         |    FROM (
+         |      SELECT word, i,
+         |             i - row_number() OVER (PARTITION BY word
+         |                                    ORDER BY i) AS grp
+         |      FROM occ$r
+         |    )
+         |  ) WHERE rn % 2 = 1
+         |),
+         |syms$r AS (
+         |  SELECT p.word, max(p.freq) AS freq,
+         |         list(CASE WHEN k1.i IS NOT NULL THEN w.lsym || w.rsym
+         |                   ELSE p.s END ORDER BY p.i) AS syms
+         |  FROM posx$r p
+         |  CROSS JOIN win$r w
+         |  LEFT JOIN keep$r k1 ON k1.word = p.word AND k1.i = p.i
+         |  LEFT JOIN keep$r k2 ON k2.word = p.word AND k2.i = p.i - 1
+         |  WHERE k2.word IS NULL
+         |  GROUP BY p.word
+         |),
+         |vocab$r AS (
+         |  SELECT count(DISTINCT sym) AS vocab_size
+         |  FROM (SELECT unnest(syms) AS sym FROM syms$r)
+         |)""".stripMargin
+    }
+    val rounds = (1 to T24Rounds).map(round).mkString(",\n")
+    val out = (1 to T24Rounds).map { r =>
+      s"""SELECT $r AS round, lsym, rsym, pair_count,
+         |       (SELECT vocab_size FROM vocab$r) AS vocab_size
+         |FROM win$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> ''
+       |  GROUP BY word
+       |),
+       |syms0 AS (
+       |  SELECT word, freq,
+       |         list_transform(generate_series(1, len(word)),
+       |                        i -> substr(word, i, 1)) AS syms
+       |  FROM wf
+       |),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_count" ->
@@ -1604,5 +1769,6 @@ object TextAnalysis {
          |         AS bits_per_bigram,
          |       score_bits >= k AS selected
          |FROM scored, kth ORDER BY doc_id""".stripMargin,
+    "t24_bpe_merges" -> t24OracleSql,
   )
 }

@@ -503,6 +503,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == exp)
   }
 
+  test("t24 BPE merges: every round matches an independent greedy-BPE " +
+       "reference on the harness corpus, and the fold handles overlapping " +
+       "runs + multi-char remerges on a planted corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // independent reference: canonical BPE (count ALL adjacent pairs,
+    // merge the winner greedily left-to-right) over a (word -> freq) map
+    def refBpe(words: Map[String, Long], rounds: Int)
+        : Seq[(String, String, Long, Long)] = {
+      var syms: Map[List[String], Long] =
+        words.map { case (w, f) => (w.map(_.toString).toList, f) }
+      (1 to rounds).map { _ =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        syms.foreach { case (s, f) =>
+          s.zip(s.drop(1)).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + f)
+        }
+        val ((l, r), c) = counts.toSeq
+          .minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        def merge(s: List[String]): List[String] = s match {
+          case a :: b :: rest if a == l && b == r => (a + b) :: merge(rest)
+          case a :: rest                          => a :: merge(rest)
+          case Nil                                => Nil
+        }
+        syms = syms.map { case (s, f) => (merge(s), f) }
+        (l, r, c, syms.keysIterator.flatten.toSet.size.toLong)
+      }
+    }
+    def engineRows(dir: String) =
+      TextAnalysis.t24BpeMerges(spark, dir).collect().toSeq
+        .map(r => (r.getAs[String]("lsym"), r.getAs[String]("rsym"),
+          r.getAs[Long]("pair_count"), r.getAs[Long]("vocab_size")))
+    // 1. harness corpus
+    val words = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+    assert(engineRows(sfDir) == refBpe(words, TextAnalysis.T24Rounds),
+      "harness merge table diverged from the canonical reference")
+    // 2. planted corpus: 'aaaa' exercises run alternation (aaaa -> [aa,
+    // aa], not [aa, a, a]); round 2+ merges tokens round 1 PRODUCED
+    // (aa+aa), which the harness vocabulary never triggers
+    val planted = Seq(
+      (0L, "aaaa aaaa aaaa baca", "en", "s0", 19L),
+      (1L, "aaaa aaa baca baca", "en", "s0", 18L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-t24").toString
+    planted.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val plantedWords = planted.flatMap(_._2.split(" "))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+    val exp = refBpe(plantedWords, TextAnalysis.T24Rounds)
+    assert(engineRows(dir) == exp,
+      s"planted merge table diverged: expected $exp")
+    // the planted corpus must actually exercise a multi-char remerge
+    assert(exp.exists { case (l, r, _, _) => l.length > 1 || r.length > 1 },
+      "planted corpus failed to trigger a multi-char merge")
+  }
+
   test("bigram_poly_buckets == the transform+aggregate built-in fold, " +
        "element for element (edge cases + real harness docs)") {
     import spark.implicits._
