@@ -382,6 +382,30 @@ object Similarity {
     * CCMatrix-era mining uses margins around 1.05–1.06. */
   private[graft] val S11MarginK = 4
   private[graft] val S11Threshold = 1.05
+
+  /** The BLOCKED tiers' acceptance threshold (r18, VERDICT r17 #2 — the
+    * operating point CHOSEN by the s16 sweep, not asserted): blocked
+    * margins are systematically ATTENUATED relative to exact ones — the
+    * t-side neighborhood is defined over the per-(source, cell)
+    * shortlist, whose top-k is drawn from already-high-cosine
+    * candidates, so the margin's denominator is relatively larger and
+    * the same numeric threshold under-accepts. The s16 depth sweep
+    * (S11Probe sweep, via=flat + production cap, sf30, both geometries
+    * — SCALING.md r18) measured the recovery: at 1.02 the blocked tier
+    * accepts 209/263 of exact's accepted sources on clustered geometry
+    * (vs 68/263 at 1.05) and 415/550 on near-uniform (vs 133/550), the
+    * blocked-accepted set is a strict SUBSET of the exact-accepted set
+    * in every measured row (overlap_any == blocked_accepted — no
+    * spurious acceptances at source granularity), and mean regret over
+    * the accepted set stays bounded (0.066–0.068 vs 0.042–0.046). The
+    * exact tier keeps [[S11Threshold]] — its margins are unattenuated.
+    * Seam `graft.s11.blockedThreshold` for deployments; the gated
+    * entries and their oracles pin the default. */
+  private[graft] val S11BlockedThresholdDefault = 1.02
+  private[graft] def S11BlockedThreshold: Double =
+    sys.props.get("graft.s11.blockedThreshold")
+      .orElse(sys.env.get("SPARK_GRAFT_S11_BLOCKED_THRESHOLD"))
+      .map(_.toDouble).getOrElse(S11BlockedThresholdDefault)
   private[graft] val S11SrcLang = "de"
   private[graft] val S11TgtLang = "en"
   /** Probed target cells per source vector in the blocked tier (s2's
@@ -437,8 +461,11 @@ object Similarity {
     * neighborhood)/2) — absolute cosine is a poor mining signal because
     * hub vectors are near everything; the margin asks "is y close to x
     * relative to how close ANYTHING is to either". Accepted = margin ≥
-    * [[S11Threshold]]. Languages come from the documents table over the
-    * m4 linkage (vec_id = doc_id).
+    * [[S11Threshold]] on the exact tier; the blocked tiers accept at
+    * [[S11BlockedThreshold]] — their margins are attenuated by the
+    * shortlisted neighborhood, and the s16 sweep chose their operating
+    * point (see the threshold docs). Languages come from the documents
+    * table over the m4 linkage (vec_id = doc_id).
     *
     * Determinism: cosines are quantized to integer ten-thousandths
     * (c4 = round(cos·10⁴)) at the pair level, so BOTH margin-sum
@@ -555,7 +582,8 @@ object Similarity {
     * best-match pick, one final double division. Returns one row per
     * s_id present in `pairs` with (s_id, match_id, cosine, margin,
     * accepted, n_cand). */
-  private def s11MarginCore(pairs0: DataFrame): DataFrame = {
+  private def s11MarginCore(pairs0: DataFrame,
+      threshold: Double = S11Threshold): DataFrame = {
     val pairs = graft.Materialize(pairs0)
     val wS = Window.partitionBy(col("s_id"))
       .orderBy(col("c4").desc, col("t_id").asc)
@@ -579,9 +607,15 @@ object Similarity {
       .select(col("s_id"), col("t_id").as("match_id"),
         round(col("c4") / 10000.0, 4).as("cosine"),
         col("margin"),
-        coalesce(col("margin") >= S11Threshold, lit(false)).as("accepted"),
+        coalesce(col("margin") >= threshold, lit(false)).as("accepted"),
         col("n_cand"))
   }
+
+  /** The acceptance threshold a given pair-source tier ships with:
+    * exact margins use [[S11Threshold]]; every blocked tier uses the
+    * sweep-chosen [[S11BlockedThreshold]] (see its doc). */
+  private def s11ThresholdFor(via: String): Double =
+    if (via == "exact") S11Threshold else S11BlockedThreshold
 
   /** The fully-linearized candidate source (`via=lsh`): both N·C terms
     * of [[s11IvfPairs]] go through the LSH-bucketed codebook — the
@@ -783,7 +817,7 @@ object Similarity {
       case "auto" => s11AutoVia(dir, tgt)
       case v      => v
     }
-    s11MarginCore(s11PairsFor(via, src, tgt))
+    s11MarginCore(s11PairsFor(via, src, tgt), s11ThresholdFor(via))
       .drop("n_cand").orderBy(col("s_id"))
   }
 
@@ -815,7 +849,8 @@ object Similarity {
     }
     val exactBest = s11MarginCore(s11ExactPairs(src, tgt))
       .select(col("s_id"), col("match_id").as("exact_match"))
-    val blocked = s11MarginCore(s11PairsFor(via, src, tgt))
+    val blocked =
+      s11MarginCore(s11PairsFor(via, src, tgt), s11ThresholdFor(via))
     exactBest.join(blocked, Seq("s_id"), "left")
       .select(col("s_id"),
         coalesce(col("match_id"), lit(-1L)).as("match_id"),
@@ -860,7 +895,9 @@ object Similarity {
       .select(col("s_id"), col("match_id").as("exact_match"),
         col("cosine").as("exact_cosine"),
         col("accepted").as("exact_accepted"))
-    val blocked = s11MarginCore(s11PairsFor(resolved, src, tgt))
+    val blocked =
+      s11MarginCore(s11PairsFor(resolved, src, tgt),
+        s11ThresholdFor(resolved))
     // `regret` = exact best cosine − the blocked pick's cosine (both the
     // quantized c4/10⁴ the margin stage ranks on): ≥ 0 by construction
     // (the exact best is the global argmax over the same target slice),
@@ -2899,6 +2936,10 @@ object Similarity {
     // balanced sqrt rule, argmax cell assignment, top-P probes per src,
     // the per-(src, cell) top-K shortlist (r15), margins over the
     // shortlisted pairs, agreement vs the exact best.
+    // acceptance at the BLOCKED threshold (1.02, the s16-sweep-chosen
+    // operating point — see S11BlockedThreshold): blocked margins are
+    // attenuated by the shortlisted t-side neighborhood, so the exact
+    // tier's 1.05 under-accepts here by design, not by measurement.
     "s11b_bitext_blocked" ->
       s"""WITH $commonCtes,
          |src AS (
@@ -3003,7 +3044,8 @@ object Similarity {
          |SELECT e.s_id,
          |       coalesce(bl.match_id, -1) AS match_id,
          |       bl.cosine, bl.margin,
-         |       coalesce(bl.margin >= $S11Threshold, false) AS accepted,
+         |       coalesce(bl.margin >= $S11BlockedThresholdDefault, false)
+         |         AS accepted,
          |       coalesce(bl.n_cand, 0) AS n_cand,
          |       coalesce(bl.match_id = e.exact_match, false) AS agree
          |FROM ebest e LEFT JOIN blocked bl USING (s_id)

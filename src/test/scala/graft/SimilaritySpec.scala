@@ -465,14 +465,17 @@ class SimilaritySpec extends SparkSpec {
       if (b == 0L) assert(r.isNullAt(r.fieldIndex("mean_acc_regret")))
       else assert(r.getAs[Double]("mean_acc_regret") >= 0.0)
     }
-    // the 1.05 row IS the fixed-threshold regime: blocked_accepted equals
-    // s11b's accepted count (same ivf tier), exact_accepted equals s11's
-    val at105 = rows.find(
-      _.getAs[Double]("thr") == Similarity.S11Threshold).get
+    // the shipped operating points ARE sweep rows: s11b (blocked, ivf)
+    // accepts at S11BlockedThreshold = the 1.02 row's blocked count;
+    // s11 (exact) accepts at S11Threshold = the 1.05 row's exact count
+    val at102 = rows.find(
+      _.getAs[Double]("thr") == Similarity.S11BlockedThresholdDefault).get
     val s11bAcc = Similarity.s11bBitextBlocked(spark, dir).collect()
       .count(_.getAs[Boolean]("accepted"))
-    assert(at105.getAs[Long]("blocked_accepted") == s11bAcc,
-      "sweep's 1.05 blocked count diverged from the gated s11b")
+    assert(at102.getAs[Long]("blocked_accepted") == s11bAcc,
+      "sweep's 1.02 blocked count diverged from the gated s11b")
+    val at105 = rows.find(
+      _.getAs[Double]("thr") == Similarity.S11Threshold).get
     val s11Acc = Similarity.s11BitextMargin(spark, dir).collect()
       .count(_.getAs[Boolean]("accepted"))
     assert(at105.getAs[Long]("exact_accepted") == s11Acc,
