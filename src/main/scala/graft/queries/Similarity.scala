@@ -280,13 +280,18 @@ object Similarity {
     * oracles pin them. */
   private[queries] def sharedCells(s: SparkSession, dir: String): DataFrame = {
     val via = Dedup.resolveAssignVia(s, dir)
-    val key = via match {
+    // the refine seam changes the lshflat codebook, so it must be part
+    // of the memo key — a mid-session toggle must never serve the other
+    // path's artifact (the r17 probe-cache lesson)
+    val refineSuffix =
+      if (codebookRefineIters > 0) s"_refine$codebookRefineIters" else ""
+    val key = (via match {
       case "lsh"      => "s2_cells_lsh"
       case "lshcap"   => "s2_cells_lshcap"
       case "lshflat"  => "s2_cells_lshflat"
       case "twolevel" => "s2_cells_twolevel"
       case _          => "s2_cells"
-    }
+    }) + refineSuffix
     graft.SharedStage.getOrCompute(s, dir, key) {
       val e = embeddings(s, dir)
       via match {
@@ -308,8 +313,16 @@ object Similarity {
     * assignment and probe choices bit-for-bit. */
   def s2AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val cent = centroids(e)
-    val cells = cellAssigned(e)
+    s2CoreWith(e, centroids(e))
+  }
+
+  /** The s2 pipeline against an EXPLICIT codebook — probe ranking, probed
+    * cells only, recall vs brute. Shared by s2 (seed codebook) and s17
+    * (one-Lloyd-iteration refined codebook), so the two entries differ
+    * in nothing but the centroid table and their recall deltas are
+    * attributable to codebook quality alone. */
+  private def s2CoreWith(e: DataFrame, cent: DataFrame): DataFrame = {
+    val cells = cellAssignedAgainst(cent, e)
     // probe list: nearest cells per query
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("c_id").asc)
@@ -331,6 +344,91 @@ object Similarity {
     recallVsBrute(e, approx, Seq(lit(ProbeCells).as("probed_cells")))
   }
 
+  /** The embedding dimensionality of the harness/ScaleGen corpora (the
+    * sign planes and the PQ subspace slicing already pin it). */
+  private val EmbDim = 64
+
+  /** One Lloyd refinement iteration over an explicit codebook (r18,
+    * VERDICT r17 #3 — the cheapest quality lever left in the similarity
+    * stack: every IVF-family tier builds on idMix-strided SEED vectors,
+    * which are corpus samples, not cluster centers): assign every
+    * vector to its max-cosine centroid (the existing exact argmax),
+    * replace each centroid with its cell's INTEGER-QUANTIZED mean —
+    * per dimension, sum of round(x·10⁴) as BIGINT, one double division
+    * by n·10⁴, cast to float — and keep the seed embedding for any cell
+    * the argmax left empty (possible only when duplicate embeddings
+    * seed two centroids; the c_id set is PRESERVED, so downstream
+    * determinism contracts keyed on c_id are unchanged). Exact
+    * arithmetic end to end: the DuckDB oracle replays the refined
+    * codebook bit-for-bit, float cast included (IEEE round-to-nearest
+    * in both engines).
+    *
+    * Scale shape: the assignment is the same N·C pass the IVF build
+    * already pays (map-side max_by, nothing but (vec_id, cell) rows
+    * cross); the mean is ONE groupBy(cell) carrying 64 map-side-combined
+    * integer sums — no explode, the corpus never leaves its scan
+    * partition — with a ≤C-row output. A second iteration is the same
+    * two stages again; recall-vs-cost says one is the knee (SCALING.md
+    * r18). */
+  private[graft] def refineCentroids(cent: DataFrame,
+      e: DataFrame): DataFrame =
+    refinedFrom(cent, cellAssignedAgainst(cent, e))
+
+  /** The mean-and-replace half of a Lloyd step, over ANY
+    * (vec_id, embedding, cell) assignment — shared by the exact-argmax
+    * refine ([[refineCentroids]]) and the flat tier's bucketed refine
+    * ([[lshFlatCellAssigned]] under the seam), which differ only in how
+    * the assignment was produced. */
+  private def refinedFrom(cent: DataFrame, cells: DataFrame): DataFrame = {
+    val sums = (0 until EmbDim).map { i =>
+      sum(round(element_at(col("embedding"), i + 1).cast("double")
+        * 10000, 0).cast("long")).as(s"s$i")
+    }
+    val means = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cell"),
+        array((0 until EmbDim).map(i =>
+          (col(s"s$i").cast("double") / (col("n") * lit(10000.0)))
+            .cast("float")): _*).as("m_emb"))
+    cent.join(means, cent("c_id") === means("cell"), "left")
+      .select(col("c_id"), coalesce(col("m_emb"), col("c_emb")).as("c_emb"))
+  }
+
+  /** The codebook-refinement seam: 0 (default) = seed codebooks
+    * everywhere, every gated oracle pinned to the seed path; N ≥ 1 = N
+    * Lloyd iterations applied to the FLAT tier's codebook inside
+    * [[lshFlatCellAssigned]] — through the bucketed assignment, so the
+    * refine pass stays linear (the capped-bucket join, never the N·C
+    * argmax). Probe-only: [[graft.D13LshProbe]] measures the drop-recall
+    * delta under the seam; the sqrt-codebook refine ships as its own
+    * gated entry (s17) instead of a seam because its extra N·C
+    * assignment pass is a real cost the default path must not silently
+    * acquire. */
+  private[graft] def codebookRefineIters: Int =
+    sys.props.get("graft.codebook.refine")
+      .orElse(sys.env.get("SPARK_GRAFT_CODEBOOK_REFINE"))
+      .map(_.toInt).getOrElse(0)
+
+  /** s17 — s2's IVF search over a ONE-Lloyd-iteration refined codebook:
+    * identical schema and probe budget, so the recall@10 delta vs s2 is
+    * the measured value of the refinement (seed recall 0.54 mean at
+    * harness SF — s10's curve endpoint; SCALING.md r18 records the
+    * refined numbers at harness and ScaleGen depths). Opt-in by entry:
+    * every existing oracle pin stays on the seed path. */
+  def s17IvfRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    s2CoreWith(e, refineCentroids(centroids(e), e))
+  }
+
+  /** [[s10ProbeSweep]] over the refined codebook (probe-only, never
+    * gated): the full recall-vs-probe-budget curve under one Lloyd
+    * iteration, for [[graft.RefineProbe]]'s seed-vs-refined delta. */
+  private[graft] def s10ProbeSweepRefined(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    s10CoreWith(e, refineCentroids(centroids(e), e))
+  }
+
   /** s10 — the IVF probe-budget TUNING CURVE: recall@10 at EVERY probe
     * count 1..[[ProbeCells]] in one query — the measurement that picks
     * s2's operating point (each extra probed cell buys recall with a
@@ -342,8 +440,14 @@ object Similarity {
     * per query per budget. */
   def s10ProbeSweep(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val cent = centroids(e)
-    val cells = cellAssigned(e)
+    s10CoreWith(e, centroids(e))
+  }
+
+  /** The s10 probe-budget curve against an explicit codebook — the
+    * recall-vs-scan instrument [[graft.RefineProbe]] runs on both the
+    * seed and the refined codebooks. */
+  private[graft] def s10CoreWith(e: DataFrame, cent: DataFrame): DataFrame = {
+    val cells = cellAssignedAgainst(cent, e)
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("c_id").asc)
     val probes = querySet(e).join(broadcast(cent), lit(true))
@@ -1340,8 +1444,19 @@ object Similarity {
   private[graft] def lshFlatCellAssigned(e: DataFrame): DataFrame = {
     val k = flatCodebookSize(e)
     val bits = flatBits(k)
-    lshAssignCoreN(
-      cappedCodebookN(centroidsFlatK(e, k), LshBucketCap, bits), e, bits)
+    // optional Lloyd refinement (r18, [[codebookRefineIters]]): each
+    // iteration re-assigns through the CAPPED BUCKETS (linear, the same
+    // join the final assignment pays) and replaces centroids with their
+    // cells' integer-quantized means; sentinel (miss) rows are excluded
+    // from the means, and the re-bucketing after each step re-derives
+    // sign buckets from the refined embeddings
+    val cent = (1 to codebookRefineIters).foldLeft(
+        centroidsFlatK(e, k)) { (c, _) =>
+      refinedFrom(c,
+        lshAssignCoreN(cappedCodebookN(c, LshBucketCap, bits), e, bits)
+          .filter(col("cell") >= 0))
+    }
+    lshAssignCoreN(cappedCodebookN(cent, LshBucketCap, bits), e, bits)
   }
 
   /** Super-cells probed per vector in the two-level assignment: 2 keeps
@@ -2182,6 +2297,7 @@ object Similarity {
     "s11b_bitext_blocked" -> s11bBitextBlocked _,
     "s12_assign_margin" -> s12AssignMargin _,
     "s16_margin_sweep" -> s16MarginSweep _,
+    "s17_ivf_refined" -> s17IvfRefined _,
   )
 
   // ---- DuckDB oracle construction -----------------------------------
@@ -2318,6 +2434,69 @@ object Similarity {
 
   private def bucketsSql(emb: String, t: Int): String =
     bucketsSqlN(emb, t, BitsPerTable)
+
+  /** The s17 oracle: the s2 replay with the refinement spliced between
+    * the seed assignment and the search — per-(cell, dim) BIGINT sums of
+    * round(x·10⁴), one double division, REAL cast (IEEE round-to-nearest
+    * in both engines), empty cells coalesced back to their seeds —
+    * then probes/cells/recall re-derived against the refined codebook. */
+  private def s17OracleSql: String =
+    s"""WITH $commonCtes,
+       |$cellsOracleCtes,
+       |msum AS (
+       |  SELECT cell, i,
+       |         CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000,
+       |                             0) AS BIGINT)) AS BIGINT) AS s4,
+       |         count(*) AS n
+       |  FROM (SELECT cell, embedding,
+       |               unnest(generate_series(1, $EmbDim)) AS i
+       |        FROM cells)
+       |  GROUP BY cell, i
+       |),
+       |mcent AS (
+       |  SELECT cell,
+       |         list(CAST(CAST(s4 AS DOUBLE) / (n * 10000.0) AS REAL)
+       |              ORDER BY i) AS m_emb
+       |  FROM msum GROUP BY cell
+       |),
+       |rcent AS (
+       |  SELECT c.c_id, coalesce(m.m_emb, c.c_emb) AS c_emb
+       |  FROM cent c LEFT JOIN mcent m ON m.cell = c.c_id
+       |),
+       |rcn AS (
+       |  SELECT c_id, c_emb,
+       |         sqrt(list_sum(list_transform(c_emb,
+       |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS c_nrm
+       |  FROM rcent
+       |),
+       |rcells AS (
+       |  SELECT vec_id, embedding, nrm, cell FROM (
+       |    SELECT en.vec_id, en.embedding, en.nrm, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY en.vec_id
+       |             ORDER BY ${cosSql("en.embedding", "en.nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |                      c.c_id ASC) AS rn
+       |    FROM en CROSS JOIN rcn c
+       |  ) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT q_id, q_emb, q_nrm, cell FROM (
+       |    SELECT qn.q_id, qn.q_emb, qn.q_nrm, c.c_id AS cell,
+       |           row_number() OVER (PARTITION BY qn.q_id
+       |             ORDER BY ${cosSql("qn.q_emb", "qn.q_nrm", "c.c_emb", "c.c_nrm")} DESC,
+       |                      c.c_id ASC) AS rn
+       |    FROM qn CROSS JOIN rcn c
+       |  ) WHERE rn <= $ProbeCells
+       |),
+       |approx AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT p.q_id, a.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY p.q_id
+       |             ORDER BY ${cosSql("p.q_emb", "p.q_nrm", "a.embedding", "a.nrm")} DESC,
+       |                      a.vec_id ASC) AS rank
+       |    FROM probes p JOIN rcells a ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |  ) WHERE rank <= $K
+       |)
+       |${recallSql(s"CAST($ProbeCells AS INTEGER) AS probed_cells")}""".stripMargin
 
   private def s3OracleSql: String = {
     val eb = (0 until NumTables).map { t =>
@@ -2844,6 +3023,7 @@ object Similarity {
     "s14_flat_assign" -> s14OracleSql,
     "s15_flat_scan_cap" -> s15OracleSql,
     "s10_probe_sweep" -> s10OracleSql,
+    "s17_ivf_refined" -> s17OracleSql,
     "s4_ann_pq"  -> s4OracleSql,
     "s5_ann_truncated" -> s5OracleSql,
     "s7_ann_ivfpq" -> s7OracleSql,

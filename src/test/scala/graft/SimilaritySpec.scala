@@ -437,6 +437,77 @@ class SimilaritySpec extends SparkSpec {
     } finally System.clearProperty("graft.s11.via")
   }
 
+  test("s17 codebook refine (r18): one Lloyd step moves an explicit " +
+       "codebook to exact integer-quantized cell means (hand-computed), " +
+       "preserves the c_id set, and the gated entry keeps s2's schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // planted corpus: two clean clusters on orthogonal axes, seeds are
+    // deliberately OFF-CENTER members (the idMix-sample pathology the
+    // refinement exists to correct)
+    def v(axis: Int, main: Float, off: Float): Seq[Float] =
+      (0 until 64).map(d =>
+        if (d == axis) main else if (d == (axis + 1) % 64) off else 0f)
+    val cluster0 = Seq( // axis 0, varying off-axis leakage
+      (0L, v(0, 1f, 0.0f)), (1L, v(0, 1f, 0.4f)), (2L, v(0, 1f, 0.8f)))
+    val cluster1 = Seq(
+      (10L, v(8, 1f, 0.0f)), (11L, v(8, 1f, 0.6f)))
+    val e = (cluster0 ++ cluster1).toDF("vec_id", "embedding")
+    val cent = Seq((2L, v(0, 1f, 0.8f)), (11L, v(8, 1f, 0.6f)))
+      .toDF("c_id", "c_emb") // the worst member of each cluster
+    val got = Similarity.refineCentroids(cent, e).collect()
+      .map(r => (r.getAs[Long]("c_id"),
+        r.getAs[scala.collection.Seq[Float]]("c_emb").toSeq))
+      .toMap
+    assert(got.keySet == Set(2L, 11L), "c_id set not preserved")
+    // independent reference: exact argmax assignment, then the quantized
+    // mean with the engine's own arithmetic (round(x*1e4) BIGINT sums,
+    // one double division, float cast)
+    def refMean(members: Seq[Seq[Float]]): Seq[Float] =
+      (0 until 64).map { d =>
+        val s4 = members.map(m => math.round(m(d).toDouble * 10000)).sum
+        (s4.toDouble / (members.length * 10000.0)).toFloat
+      }
+    // cosine(x, c) is maximal for each cluster's own centroid here
+    // (orthogonal axes), so the assignment is the cluster split
+    assert(got(2L) == refMean(cluster0.map(_._2)),
+      "cluster-0 centroid is not the quantized cell mean")
+    assert(got(11L) == refMean(cluster1.map(_._2)),
+      "cluster-1 centroid is not the quantized cell mean")
+    // the gated entry: s2's schema and anchoring, recalls well-formed
+    val s2 = Similarity.s2AnnIvf(spark, sfDir)
+    val s17 = Similarity.s17IvfRefined(spark, sfDir)
+    assert(s17.schema == s2.schema, "s17 changed s2's schema")
+    val rows = s17.collect()
+    assert(rows.length == 5, "one row per query")
+    assert(rows.forall { r =>
+      val rec = r.getAs[Double]("recall_at_10"); rec >= 0.0 && rec <= 1.0
+    })
+  }
+
+  test("lshflat refine seam (r18): refine=0 is the default path " +
+       "bit-for-bit; refine=1 still assigns every vector with misses " +
+       "visible, and changes no vector's EXISTENCE, only its cell") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = Similarity.lshFlatCellAssigned(e).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toMap
+    System.setProperty("graft.codebook.refine", "0")
+    val zero = try Similarity.lshFlatCellAssigned(e).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toMap
+      finally System.clearProperty("graft.codebook.refine")
+    assert(zero == base, "refine=0 diverged from the unset default")
+    System.setProperty("graft.codebook.refine", "1")
+    val one = try Similarity.lshFlatCellAssigned(e).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toMap
+      finally System.clearProperty("graft.codebook.refine")
+    assert(one.keySet == base.keySet,
+      "refine changed which vectors exist in the assignment")
+    val moved = one.count { case (id, c) => base(id) != c }
+    info(s"lshflat refine=1: $moved/${base.size} vectors changed cell")
+  }
+
   test("s16 margin sweep (r18): one row per threshold, counts monotone " +
        "non-increasing in the threshold, overlaps bounded, and the " +
        "1.05 row consistent with s11/s11b's fixed-threshold accepted sets") {
