@@ -368,8 +368,11 @@ object Similarity {
     * cross); the mean is ONE groupBy(cell) carrying 64 map-side-combined
     * integer sums — no explode, the corpus never leaves its scan
     * partition — with a ≤C-row output. A second iteration is the same
-    * two stages again; recall-vs-cost says one is the knee (SCALING.md
-    * r18). */
+    * two stages again ([[codebookRefineIters]] iterates the flat tier);
+    * SCALING.md r18 records where even ONE pays (d13 drop recall +1.4
+    * to +1.5 points on both geometries, clustered probe search) and
+    * where it does not (deep near-uniform probe search, −0.02 — random
+    * near-orthogonal vectors have no cluster centers to find). */
   private[graft] def refineCentroids(cent: DataFrame,
       e: DataFrame): DataFrame =
     refinedFrom(cent, cellAssignedAgainst(cent, e))
