@@ -274,6 +274,18 @@ object RelationalQueries {
     // sort over a 600 k-row scan), not a plan defect — on the 100 TB
     // target those fixed stage boundaries amortize to nothing, which
     // is the regime this engine optimizes for.
+    //
+    // COROLLARY, measured r18: BECAUSE the residual is ladder overhead,
+    // it does not scale with CPU-kernel speed, so the calibration-
+    // NORMALIZED reading anti-correlates with host turbo. Two
+    // back-to-back steady 5/5 captures on the same tree: raw
+    // 0.423/0.379 (flat), adjacent-kernel calib 0.041/0.040-0.056,
+    // norm 0.616 vs 0.359 — a ±50 % normalized swing with a stable
+    // raw. q4's r17 "2.59x normalized" reading was the same artifact
+    // (AbQ4's pool-min convention traced it). Bar verdicts for the
+    // ladder-dominated queries (q4/q6) should read RAW alongside norm:
+    // raw sits at 1.5x (q6 0.379-0.423 vs 0.2531) and 1.3-1.4x (q4
+    // 0.39-0.42 vs 0.2968) across every r17/r18 capture.
     li.join(midParts, col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"), col("l_suppkey"))
       .distinct()
