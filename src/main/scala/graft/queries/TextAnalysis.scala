@@ -1088,7 +1088,16 @@ object TextAnalysis {
     * per branch. The DuckDB oracle replays the greedy rule positionally
     * (occurrence runs → alternating keeps — the same sequences the fold
     * produces), so all four merge rows gate bit-for-bit. */
-  def t24BpeMerges(s: SparkSession, dir: String): DataFrame = {
+  def t24BpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeRounds(s, dir)._1.reduce(_ unionAll _).orderBy(col("round"))
+
+  /** The shared BPE training loop: [[T24Rounds]] count→win→merge rounds
+    * over the distinct-word table. Returns the per-round winner rows
+    * (t24's merge table) and the FINAL per-word symbol table (t25's
+    * tokenizer — a word's token count under the learned vocabulary is
+    * the length of its final symbol sequence). */
+  private def bpeRounds(s: SparkSession,
+      dir: String): (Seq[DataFrame], DataFrame) = {
     val words0 = Tables.documents(s, dir)
       .select(explode(words(col("text"))).as("word"))
       .filter(col("word") =!= "")
@@ -1118,7 +1127,38 @@ object TextAnalysis {
         .select(lit(r).as("round"), col("lsym"), col("rsym"),
           col("pair_count"), col("vocab_size"))
     }
-    rows.reduce(_ unionAll _).orderBy(col("round"))
+    (rows, syms)
+  }
+
+  /** t25 — BPE tokenizer APPLICATION (the other half of the t24 loop,
+    * and what a pipeline actually runs at corpus scale): encode every
+    * document under the vocabulary the [[T24Rounds]] learned merges
+    * produce, reporting per doc the word count, the alphabetic character
+    * mass, the BPE token count, and chars-per-token (the compression
+    * ratio that decides a tokenizer's effective context budget).
+    *
+    * Scale shape: the trained word → token-count table is VOCAB-BOUNDED
+    * (distinct words with their final symbol-sequence LENGTH — the
+    * symbols themselves never leave the training loop), broadcast onto
+    * one corpus scan; per-doc counts are one map-side-combined
+    * aggregation. No per-document re-merging: a word's encoding is a
+    * pure function of the word, so tokenizing N documents costs one
+    * dictionary join, not N fold evaluations. */
+  def t25BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val trained = bpeRounds(s, dir)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_sym"),
+        length(col("word")).cast("long").as("n_char"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(trained), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_char")).as("n_chars_alpha"),
+        sum(col("n_sym")).as("n_tokens_bpe"))
+      .withColumn("chars_per_token",
+        round(col("n_chars_alpha").cast("double") / col("n_tokens_bpe"), 4))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1148,6 +1188,7 @@ object TextAnalysis {
     "t22_dup_ngrams"        -> t22DupNgrams _,
     "t23_dsir_importance"   -> t23DsirImportance _,
     "t24_bpe_merges"        -> t24BpeMerges _,
+    "t25_bpe_encode"        -> t25BpeEncode _,
   )
 
   /** The t24 oracle, built per round: DuckDB replays the greedy merge
@@ -1157,7 +1198,20 @@ object TextAnalysis {
     * is rebuilt with kept positions merged and their successors dropped.
     * Sums are cast back to BIGINT (DuckDB sums integers into HUGEINT). */
   private def t24OracleSql: String = {
-    def round(r: Int): String = {
+    val rounds = (1 to T24Rounds).map(bpeRoundCte).mkString(",\n")
+    val out = (1 to T24Rounds).map { r =>
+      s"""SELECT $r AS round, lsym, rsym, pair_count,
+         |       (SELECT vocab_size FROM vocab$r) AS vocab_size
+         |FROM win$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeOracleCtes(rounds)}
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
+  /** One positional merge round of the BPE oracle (see [[t24OracleSql]]'s
+    * map entry comment for the greedy-rule replay). */
+  private def bpeRoundCte(r: Int): String = {
       val prev = s"syms${r - 1}"
       s"""pos$r AS (
          |  SELECT word, freq, syms,
@@ -1208,14 +1262,37 @@ object TextAnalysis {
          |  SELECT count(DISTINCT sym) AS vocab_size
          |  FROM (SELECT unnest(syms) AS sym FROM syms$r)
          |)""".stripMargin
-    }
-    val rounds = (1 to T24Rounds).map(round).mkString(",\n")
-    val out = (1 to T24Rounds).map { r =>
-      s"""SELECT $r AS round, lsym, rsym, pair_count,
-         |       (SELECT vocab_size FROM vocab$r) AS vocab_size
-         |FROM win$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH wf AS (
+  }
+
+  /** The t25 oracle: the same training rounds, then the dictionary join —
+    * per-word final symbol count onto one pass over the documents. */
+  private def t25OracleSql: String = {
+    val rounds = (1 to T24Rounds).map(bpeRoundCte).mkString(",\n")
+    s"""WITH ${bpeOracleCtes(rounds)},
+       |wordlen AS (
+       |  SELECT word, len(syms) AS n_sym, len(word) AS n_char
+       |  FROM syms$T24Rounds
+       |),
+       |docw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents
+       |)
+       |SELECT d.doc_id,
+       |       count(*) AS n_words,
+       |       CAST(sum(w.n_char) AS BIGINT) AS n_chars_alpha,
+       |       CAST(sum(w.n_sym) AS BIGINT) AS n_tokens_bpe,
+       |       round(CAST(sum(w.n_char) AS DOUBLE) / sum(w.n_sym), 4)
+       |         AS chars_per_token
+       |FROM docw d JOIN wordlen w USING (word)
+       |WHERE d.word <> ''
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The shared WITH-body of the BPE oracles: word frequencies, char
+    * split, and the [[T24Rounds]] positional merge rounds (built by
+    * [[t24OracleSql]]'s per-round text). */
+  private def bpeOracleCtes(rounds: String): String =
+    s"""wf AS (
        |  SELECT word, count(*) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
        |        FROM documents)
@@ -1228,10 +1305,7 @@ object TextAnalysis {
        |                        i -> substr(word, i, 1)) AS syms
        |  FROM wf
        |),
-       |$rounds
-       |$out
-       |ORDER BY round""".stripMargin
-  }
+       |$rounds""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_count" ->
@@ -1770,5 +1844,6 @@ object TextAnalysis {
          |       score_bits >= k AS selected
          |FROM scored, kth ORDER BY doc_id""".stripMargin,
     "t24_bpe_merges" -> t24OracleSql,
+    "t25_bpe_encode" -> t25OracleSql,
   )
 }

@@ -560,6 +560,34 @@ class TextAnalysisSpec extends SparkSpec {
     // the planted corpus must actually exercise a multi-char remerge
     assert(exp.exists { case (l, r, _, _) => l.length > 1 || r.length > 1 },
       "planted corpus failed to trigger a multi-char merge")
+    // t25: encoding under the learned merges — replay the reference
+    // merges per word and compare per-doc token counts exactly
+    var refSyms: Map[String, List[String]] =
+      plantedWords.keys.map(w => (w, w.map(_.toString).toList)).toMap
+    exp.foreach { case (l, r, _, _) =>
+      def merge(s: List[String]): List[String] = s match {
+        case a :: b :: rest if a == l && b == r => (a + b) :: merge(rest)
+        case a :: rest                          => a :: merge(rest)
+        case Nil                                => Nil
+      }
+      refSyms = refSyms.map { case (w, s) => (w, merge(s)) }
+    }
+    val expDocs = planted.map { case (id, text, _, _, _) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => refSyms(w).length.toLong).sum)
+    }
+    val gotDocs = TextAnalysis.t25BpeEncode(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars_alpha"), r.getAs[Long]("n_tokens_bpe")))
+    assert(gotDocs.toSeq == expDocs,
+      s"planted encoding diverged: expected $expDocs got ${gotDocs.toSeq}")
+    // harness invariants: every doc encoded, tokens never exceed chars
+    // (merges only shrink), compression ratio >= 1 whenever merges bind
+    val harness = TextAnalysis.t25BpeEncode(spark, sfDir).collect()
+    assert(harness.forall(r =>
+      r.getAs[Long]("n_tokens_bpe") <= r.getAs[Long]("n_chars_alpha")))
+    assert(harness.forall(r => r.getAs[Double]("chars_per_token") >= 1.0))
   }
 
   test("bigram_poly_buckets == the transform+aggregate built-in fold, " +
