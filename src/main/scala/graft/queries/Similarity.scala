@@ -811,7 +811,10 @@ object Similarity {
       col("t_emb").as("embedding"))
     val k = flatCodebookSize(tgtE)
     val bits = flatBits(k)
-    val cb = cappedCodebookN(centroidsFlatK(tgtE, k), LshBucketCap, bits)
+    // the codebook honors the same refine seam as d13's lshflat path
+    // (r18): default 0 iterations = the pinned seed construction
+    val cb = cappedCodebookN(
+      refineFlat(centroidsFlatK(tgtE, k), tgtE, bits), LshBucketCap, bits)
     val cells = lshAssignCoreN(cb, tgtE, bits)
       .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
         col("cell"))
@@ -1447,20 +1450,28 @@ object Similarity {
   private[graft] def lshFlatCellAssigned(e: DataFrame): DataFrame = {
     val k = flatCodebookSize(e)
     val bits = flatBits(k)
-    // optional Lloyd refinement (r18, [[codebookRefineIters]]): each
-    // iteration re-assigns through the CAPPED BUCKETS (linear, the same
-    // join the final assignment pays) and replaces centroids with their
-    // cells' integer-quantized means; sentinel (miss) rows are excluded
-    // from the means, and the re-bucketing after each step re-derives
-    // sign buckets from the refined embeddings
-    val cent = (1 to codebookRefineIters).foldLeft(
-        centroidsFlatK(e, k)) { (c, _) =>
+    val cent = refineFlat(centroidsFlatK(e, k), e, bits)
+    lshAssignCoreN(cappedCodebookN(cent, LshBucketCap, bits), e, bits)
+  }
+
+  /** [[codebookRefineIters]] Lloyd steps over a FLAT codebook (r18):
+    * each iteration re-assigns through the CAPPED BUCKETS (linear, the
+    * same join the final assignment pays) and replaces centroids with
+    * their cells' integer-quantized means; sentinel (miss) rows are
+    * excluded from the means, and the re-bucketing after each step
+    * re-derives sign buckets from the refined embeddings. A no-op at
+    * the default 0 iterations — shared by d13's lshflat assignment and
+    * s11's flat mining tier, so one seam refines both consumers.
+    * Measured (measurements/r18/D13_REFINE.jsonl): drop recall
+    * +1.5 pt / +1.4 pt (main30/skew30) at iteration 1, +0.7 pt more at
+    * iteration 2. */
+  private def refineFlat(cent0: DataFrame, e: DataFrame,
+      bits: Int): DataFrame =
+    (1 to codebookRefineIters).foldLeft(cent0) { (c, _) =>
       refinedFrom(c,
         lshAssignCoreN(cappedCodebookN(c, LshBucketCap, bits), e, bits)
           .filter(col("cell") >= 0))
     }
-    lshAssignCoreN(cappedCodebookN(cent, LshBucketCap, bits), e, bits)
-  }
 
   /** Super-cells probed per vector in the two-level assignment: 2 keeps
     * the cost at ~3·sqrt(C) scored centroids per vector while covering
