@@ -508,6 +508,30 @@ class SimilaritySpec extends SparkSpec {
     info(s"lshflat refine=1: $moved/${base.size} vectors changed cell")
   }
 
+  test("s11 via=flat under the refine seam (r18): refine=1 still mines " +
+       "a deduped subset of exact sources with the schema unchanged — " +
+       "the mining tier's codebook honors the same seam as d13's") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Similarity.s11BitextMargin(spark, dir)
+    val exactIds = exact.collect().map(_.getAs[Long]("s_id")).toSet
+    System.setProperty("graft.s11.via", "flat")
+    System.setProperty("graft.codebook.refine", "1")
+    try {
+      val fl = Similarity.s11BitextMargin(spark, dir)
+      assert(fl.schema == exact.schema, "refined flat tier changed schema")
+      val rows = fl.collect()
+      assert(rows.nonEmpty, "refined flat tier mined nothing")
+      val ids = rows.map(_.getAs[Long]("s_id"))
+      assert(ids.distinct.length == ids.length, "duplicate source rows")
+      assert(ids.forall(exactIds.contains),
+        "refined flat tier produced a source the exact tier does not know")
+      info(s"flat+refine: ${rows.length}/${exactIds.size} sources matched")
+    } finally {
+      System.clearProperty("graft.codebook.refine")
+      System.clearProperty("graft.s11.via")
+    }
+  }
+
   test("s16 margin sweep (r18): one row per threshold, counts monotone " +
        "non-increasing in the threshold, overlaps bounded, and the " +
        "1.05 row consistent with s11/s11b's fixed-threshold accepted sets") {
