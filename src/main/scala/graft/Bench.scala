@@ -343,6 +343,46 @@ object Bench {
           "q5_composite_key_join,q6_semijoin_having_distinct")
       .split(",").map(_.trim).filter(names.contains).toSeq
     val abRounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "5").toInt
+
+    // THE PINNED BAR CONVENTION (r19, VERDICT r18 #1): each A/B row now
+    // carries an explicit `bar` verdict object — metric, seconds,
+    // baseline, ratio, pass — so the artifact itself decides the bar
+    // instead of leaving raw-vs-norm to the reader. The convention:
+    //
+    //   - q4/q6 are graded on RAW. Both queries are LADDER-DOMINATED
+    //     (their irreducibility pins in RelationalQueries.scala
+    //     decompose the cost into stage/scheduler constants that do NOT
+    //     scale with deliverable CPU), so dividing by the adjacent
+    //     CPU-kernel calibration OVER-corrects whenever the host runs
+    //     turbo: the r18 same-tree back-to-back experiment (SCALING.md
+    //     r18, "what two of them in a row measure") read q6 at 2.43x vs
+    //     1.42x NORMALIZED across two captures of the SAME code while
+    //     its raw stayed 1.3-1.5x — raw is the stable estimator for
+    //     these two, and the steady-regime gate already bounds how much
+    //     host regime a committed raw number can carry (<= 1.15x the
+    //     pinned kernel level).
+    //   - q1/q2/q3/q5 are graded on NORM (kernel-dominated: their cost
+    //     tracks deliverable compute, so scaling to the pinned
+    //     reference level is the honest cross-capture comparison).
+    //   - ungated runs (no calibration reference) fall back to raw for
+    //     every row — visibly, via the metric field.
+    //
+    // Baselines are BASELINE.md's sqldf medians (the reference's own
+    // oracle timings, RDataFramesSQL.html), valid ONLY at the sf0.1
+    // harness scale — at any other SF the bar object is omitted rather
+    // than ratioed against the wrong data size.
+    val barBaseline = Map(
+      "q1_argmax_per_year"          -> 1.331,
+      "q2_top10_multiagg"           -> 0.3159,
+      "q3_join_groupcount"          -> 0.2106,
+      "q4_derived_diff_filter"      -> 0.2968,
+      "q5_composite_key_join"       -> 0.5342,
+      "q6_semijoin_having_distinct" -> 0.2531)
+    val ladderDominated =
+      Set("q4_derived_diff_filter", "q6_semijoin_having_distinct")
+    val atBarSf = sfDir.stripSuffix("/").endsWith("sf0.1")
+    val barOver = Vector.newBuilder[String]
+
     val abJson = abNames.map { n =>
       val pairs = (1 to abRounds).map { _ =>
         val c = gatedCalibrate()
@@ -367,17 +407,32 @@ object Bench {
         // the same pool's min-norm estimate. Symmetric, not a flattery
         // knob: a min-raw pair with a slow calib reads LOWER than
         // min-norm under the old convention (q6's 0.068 pair did).
-        val norm =
-          if (gated) s""","norm":${f4(pool.map(p => p._2 * calibRef / p._1).min)}"""
-          else ""
+        val normOpt =
+          if (gated) Some(pool.map(p => p._2 * calibRef / p._1).min)
+          else None
+        val norm = normOpt.map(v => s""","norm":${f4(v)}""").getOrElse("")
+        // the pinned bar verdict (see the convention block above)
+        val bar = barBaseline.get(n).filter(_ => atBarSf).map { b =>
+          val metric =
+            if (ladderDominated(n) || normOpt.isEmpty) "raw" else "norm"
+          val sec = if (metric == "raw") t else normOpt.get
+          val ratio = sec / b
+          if (ratio > 2.0) barOver += n
+          s""","bar":{"metric":"$metric","sec":${f4(sec)},"baseline":${f4(b)},"ratio":${f4(ratio)},"pass":${ratio <= 2.0}}"""
+        }.getOrElse("")
         // ungated runs emit steady/n_steady as null (ADVICE r16): an
         // uncalibrated row must stay distinguishable from one whose
         // every pair actually drifted
         val steady = if (gated) (c <= steadyLevel).toString else "null"
         val nSteady = if (gated) steadyPairs.size.toString else "null"
-        "\"" + n + s"""":{"raw":${f4(t)},"calib":${f(c)}$norm,"steady":$steady,"n_steady":$nSteady,"n_pairs":${pairs.size}}"""
+        "\"" + n + s"""":{"raw":${f4(t)},"calib":${f(c)}$norm$bar,"steady":$steady,"n_steady":$nSteady,"n_pairs":${pairs.size}}"""
       }
     }.mkString("{", ",", "}")
+    // the compact whole-capture verdict: which bar queries (if any)
+    // exceeded 2x their baseline ON THE PINNED METRIC — inside any
+    // plausible stdout tail window, like the other verdict fields
+    val barOverJson = barOver.result()
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
 
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
@@ -407,7 +462,7 @@ object Bench {
     // spread map goes FIRST and the bar-query tail of `queries` plus the
     // small verdict-bearing fields (ab, calibration, regime, suspect,
     // regressions) go last, inside any plausible tail window
-    val json = s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","runs":${passCalib.size},"profile":"$profileJson","spread":$spreadJson,"queries":$qs,"ab":$abJson,"calibration":$calibJson,"regime":"$regime","suspect":$suspect,"failures":$failJson,"prev":$prevJson,"regressions":$regJson}"""
+    val json = s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","runs":${passCalib.size},"profile":"$profileJson","spread":$spreadJson,"queries":$qs,"ab":$abJson,"bar_over":$barOverJson,"calibration":$calibJson,"regime":"$regime","suspect":$suspect,"failures":$failJson,"prev":$prevJson,"regressions":$regJson}"""
     println(json)
     writeSelf(json, selfFile)
     spark.stop()

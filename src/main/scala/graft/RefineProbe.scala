@@ -20,10 +20,108 @@ import graft.queries.Similarity
   * SPARK_GRAFT_CODEBOOK_REFINE=1 (drop recall/precision vs the exact
   * path — the d13 deliverable). */
 object RefineProbe {
+
+  /** Runs `body` with the refine seam pinned to `n` iterations,
+    * restoring the prior value after — the probe's only mutation. */
+  private def withRefine[T](n: Int)(body: => T): T = {
+    val prev = sys.props.get("graft.codebook.refine")
+    System.setProperty("graft.codebook.refine", n.toString)
+    try body
+    finally prev match {
+      case Some(v) => System.setProperty("graft.codebook.refine", v)
+      case None    => System.clearProperty("graft.codebook.refine")
+    }
+  }
+
+  /** `runMain graft.RefineProbe <dir> sqrt` (r19, VERDICT r18 #5):
+    * measures what the seam buys on the SQRT-codebook consumers it now
+    * reaches —
+    *
+    *   - s7 (IVF-PQ) mean recall@10, seed vs one exact-Lloyd iteration
+    *     of its fixed codebook;
+    *   - the d13 `exact` tier's drop set, seed vs refined: counts,
+    *     intersection, and (when the corpus is small enough for the
+    *     N² reference) drop recall/precision of EACH against the
+    *     UNBLOCKED brute drop set (a vector drops iff it has a
+    *     lower-id neighbor at cosine ≥ D13Threshold, no cell
+    *     blocking) — the ideal the blocking approximates, so the
+    *     refine delta is read against ground truth, not just as a
+    *     set shift.
+    *
+    * Prints one JSON line; rows land in measurements/r19/. */
+  private def sqrtMode(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import graft.queries.Dedup
+    import graft.functions.VectorFunctions.cosine_sim
+    import graft.sources.Tables
+    val t0 = System.nanoTime()
+    def meanRecall(n: Int): Double = withRefine(n) {
+      Similarity.queries("s7_ann_ivfpq")(spark, dir)
+        .agg(avg(col("recall_at_10"))).head().getDouble(0)
+    }
+    val s7Seed = meanRecall(0)
+    val s7Ref = meanRecall(1)
+    def d13Drops(n: Int): Set[Long] = withRefine(n) {
+      Dedup.d13SemanticDedup(spark, dir)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    }
+    val seedDrops = d13Drops(0)
+    val refDrops = d13Drops(1)
+    val common = (seedDrops & refDrops).size
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    // N² reference only where it is computable (the harness corpora;
+    // ScaleGen depths report the set shift alone — loudly null, never
+    // a silently skipped field)
+    val brute: Option[Set[Long]] =
+      if (n > 30000L) None
+      else Some {
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .filter(round(cosine_sim(col("a_emb"), col("b_emb")), 4)
+            >= Dedup.D13Threshold)
+          .select(col("b_id")).distinct()
+          .collect().map(_.getLong(0)).toSet
+      }
+    val sec = (System.nanoTime() - t0) / 1e9
+    def f(v: Double): String =
+      "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    def rec(drops: Set[Long]): String = brute match {
+      case Some(bd) if bd.nonEmpty =>
+        f((bd & drops).size.toDouble / bd.size)
+      case Some(_) => f(1.0)
+      case None    => "null"
+    }
+    def prec(drops: Set[Long]): String = brute match {
+      case Some(bd) =>
+        if (drops.isEmpty) f(1.0) else f((bd & drops).size.toDouble / drops.size)
+      case None => "null"
+    }
+    println(
+      s"""{"metric":"codebook_refine_sqrt","dir":"$dir","vectors":$n,""" +
+      s""""s7_seed_recall":${f(s7Seed)},"s7_refined_recall":${f(s7Ref)},""" +
+      s""""d13_exact_drops_seed":${seedDrops.size},""" +
+      s""""d13_exact_drops_refined":${refDrops.size},""" +
+      s""""drops_common":$common,""" +
+      s""""brute_drops":${brute.map(_.size.toString).getOrElse("null")},""" +
+      s""""drop_recall_seed":${rec(seedDrops)},""" +
+      s""""drop_recall_refined":${rec(refDrops)},""" +
+      s""""drop_precision_seed":${prec(seedDrops)},""" +
+      s""""drop_precision_refined":${prec(refDrops)},""" +
+      s""""sec":${f(sec)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark =
       BenchSupport.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    if (args.lift(1).contains("sqrt")) {
+      sqrtMode(spark, dir)
+      spark.stop()
+      return
+    }
     val t0 = System.nanoTime()
     def mean(df: DataFrame): Double =
       df.agg(avg(col("recall_at_10"))).head().getDouble(0)

@@ -62,6 +62,11 @@ object S11Probe {
         case d: Double => "%.4f".formatLocal(java.util.Locale.ROOT, d)
         case x         => x.toString
       }
+      // total_sec, not sec (ADVICE r18): the sweep computes every
+      // threshold's row in ONE collect, so the wall-clock is a property
+      // of the whole sweep — a field named like per-row timing read as
+      // four identical per-threshold measurements in the committed
+      // S16_DEPTH_SWEEP rows
       rows.foreach { r =>
         println(
           s"""{"metric":"s16_margin_sweep","dir":"$dir","via":"$via",""" +
@@ -73,7 +78,7 @@ object S11Probe {
           s""""overlap_any":${r.getAs[Long]("overlap_any")},""" +
           s""""overlap_same":${r.getAs[Long]("overlap_same")},""" +
           s""""mean_acc_regret":${fm(r.getAs[Any]("mean_acc_regret"))},""" +
-          s""""sec":${"%.4f".formatLocal(java.util.Locale.ROOT, sec)}}""")
+          s""""total_sec":${"%.4f".formatLocal(java.util.Locale.ROOT, sec)}}""")
       }
       spark.stop()
       return

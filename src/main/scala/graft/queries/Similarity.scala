@@ -228,7 +228,7 @@ object Similarity {
     * bit-for-bit). Shared by s2/s7's IVF probe path and
     * [[Dedup.d13SemanticDedup]]'s cluster blocking. */
   private[graft] def cellAssigned(e: DataFrame): DataFrame =
-    cellAssignedAgainst(centroids(e), e)
+    cellAssignedAgainst(centroidsSeamed(e), e)
 
   /** [[cellAssigned]] against an explicit centroid table (d13b assigns an
     * augmented corpus to cells seeded from the organic one).
@@ -383,11 +383,23 @@ object Similarity {
     * ([[lshFlatCellAssigned]] under the seam), which differ only in how
     * the assignment was produced. */
   private def refinedFrom(cent: DataFrame, cells: DataFrame): DataFrame = {
+    // Loud dim guard (ADVICE r18): the per-dimension sum columns below
+    // are generated from the STATIC [[EmbDim]], while the rest of the
+    // stack derives dimensionality from the data — on a corpus with a
+    // different embedding dim the refined centroids would be silently
+    // truncated (dim > EmbDim) or built over null element_at lookups
+    // (dim < EmbDim), yielding wrong cosines downstream with no error.
+    // raise_error makes the mismatch fail at the first executed row.
+    val guarded = cells.withColumn("embedding",
+      when(size(col("embedding")) === EmbDim, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit(s"codebook refine: expected ${EmbDim}-dim embeddings, got "),
+          size(col("embedding")).cast("string")))))
     val sums = (0 until EmbDim).map { i =>
       sum(round(element_at(col("embedding"), i + 1).cast("double")
         * 10000, 0).cast("long")).as(s"s$i")
     }
-    val means = cells.groupBy(col("cell"))
+    val means = guarded.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("cell"),
         array((0 until EmbDim).map(i =>
@@ -399,18 +411,57 @@ object Similarity {
 
   /** The codebook-refinement seam: 0 (default) = seed codebooks
     * everywhere, every gated oracle pinned to the seed path; N ≥ 1 = N
-    * Lloyd iterations applied to the FLAT tier's codebook inside
-    * [[lshFlatCellAssigned]] — through the bucketed assignment, so the
-    * refine pass stays linear (the capped-bucket join, never the N·C
-    * argmax). Probe-only: [[graft.D13LshProbe]] measures the drop-recall
-    * delta under the seam; the sqrt-codebook refine ships as its own
-    * gated entry (s17) instead of a seam because its extra N·C
-    * assignment pass is a real cost the default path must not silently
-    * acquire. */
+    * Lloyd iterations, resolving PER TIER (r19, VERDICT r18 #5 — one
+    * seam, every codebook consumer):
+    *
+    *   - flat / lsh / lshcap / twolevel: refined through the BUCKETED
+    *     assignment ([[refineFlat]] at the tier's bit width) — the
+    *     capped-bucket join, never the N·C argmax, so no linear tier
+    *     silently acquires a superlinear build step;
+    *   - exact sqrt consumers (the d13 `exact` tier via
+    *     [[cellAssigned]], s9/s13's shared codebook, s7's fixed
+    *     IVF-PQ codebook): refined through the EXACT argmax
+    *     ([[refineSeamed]]) — the same N·C pass those paths already
+    *     pay per assignment, Materialized so multi-branch consumers
+    *     pay it once.
+    *
+    * Opt-in stays the rule: the default path must not silently acquire
+    * the extra pass, and s17 remains the always-on gated entry that
+    * prices the exact refine against s2. Deltas measured by
+    * [[graft.D13LshProbe]] (flat drop recall, r18) and
+    * [[graft.RefineProbe]] `sqrt` mode (s7 recall@10 + d13-exact drop
+    * agreement, measurements/r19/). */
   private[graft] def codebookRefineIters: Int =
     sys.props.get("graft.codebook.refine")
       .orElse(sys.env.get("SPARK_GRAFT_CODEBOOK_REFINE"))
       .map(_.toInt).getOrElse(0)
+
+  /** [[codebookRefineIters]] EXACT Lloyd steps over an explicit
+    * codebook (r19, VERDICT r18 #5 — the seam now resolves for the
+    * sqrt-codebook consumers too, not just the flat tier): a no-op at
+    * the default 0 iterations, so every gated oracle stays pinned to
+    * the seed path; at N ≥ 1 the refined ≤C-row table is Materialized
+    * so multi-branch consumers (s7's cells + probes + codes + LUT,
+    * s9/s13's approximate and exact sides) pay the N·C refine
+    * assignment once, not per branch. The refine pass here is the
+    * EXACT argmax (the s17 posture) — the right tool for consumers
+    * that already pay an exact N·C assignment (the d13 `exact` tier,
+    * s7's IVF build, s9/s13's reference sides); tiers whose point is
+    * to LINEARIZE assignment (lsh/lshcap/lshflat/twolevel) refine
+    * through the bucketed pass ([[refineFlat]]) instead, so no linear
+    * tier silently acquires a superlinear build step. Deltas measured
+    * in measurements/r19/ (s7 recall@10, d13-exact drop agreement). */
+  private[graft] def refineSeamed(cent0: DataFrame, e: DataFrame): DataFrame = {
+    val it = codebookRefineIters
+    if (it == 0) cent0
+    else graft.Materialize(
+      (1 to it).foldLeft(cent0)((c, _) => refineCentroids(c, e)))
+  }
+
+  /** [[centroids]] under the refine seam — the sqrt-codebook twin of
+    * the flat tier's seamed constructor. */
+  private[graft] def centroidsSeamed(e: DataFrame): DataFrame =
+    refineSeamed(centroids(e), e)
 
   /** s17 — s2's IVF search over a ONE-Lloyd-iteration refined codebook:
     * identical schema and probe budget, so the recall@10 delta vs s2 is
@@ -1285,9 +1336,12 @@ object Similarity {
   }
 
   /** [[lshCellAssignedAgainst]] with self-seeded centroids — the drop-in
-    * alternative to [[cellAssigned]]. */
+    * alternative to [[cellAssigned]]. Under the refine seam the sqrt
+    * codebook is refined through the BUCKETED pass ([[refineFlat]] at
+    * this tier's bit width) — linear, so the tier's cost posture
+    * survives the seam. */
   private[graft] def lshCellAssigned(e: DataFrame): DataFrame =
-    lshCellAssignedAgainst(centroids(e), e)
+    lshCellAssignedAgainst(refineFlat(centroids(e), e, BitsPerTable), e)
 
   /** Residents kept per sign-LSH bucket in the `lshcap` tier
     * (`graft.d13.lsh.bucketCap`, env fallback for forked ScaleBench
@@ -1371,9 +1425,10 @@ object Similarity {
       .select(col("bucket"), col("r.c_id").as("c_id"),
         col("r.c_emb").as("c_emb"))
 
-  /** [[lshCapCellAssignedAgainst]] with self-seeded centroids. */
+  /** [[lshCapCellAssignedAgainst]] with self-seeded centroids (bucketed
+    * refine under the seam — see [[lshCellAssigned]]). */
   private[graft] def lshCapCellAssigned(e: DataFrame): DataFrame =
-    lshCapCellAssignedAgainst(centroids(e), e)
+    lshCapCellAssignedAgainst(refineFlat(centroids(e), e, BitsPerTable), e)
 
   /** Target cell population of the `lshflat` tier's codebook
     * (`graft.d13.flatCellTarget`, env fallback for forked ScaleBench
@@ -1583,9 +1638,11 @@ object Similarity {
   }
 
   /** [[twoLevelCellAssignedAgainst]] with self-seeded centroids — the
-    * third drop-in behind the d13 assignment seam. */
+    * third drop-in behind the d13 assignment seam (bucketed refine
+    * under the seam, preserving the tier's N^1.25 posture — see
+    * [[lshCellAssigned]]). */
   private[graft] def twoLevelCellAssigned(e: DataFrame): DataFrame =
-    twoLevelCellAssignedAgainst(centroids(e), e)
+    twoLevelCellAssignedAgainst(refineFlat(centroids(e), e, BitsPerTable), e)
 
   /** Sampled top1−top2 assignment-margin statistic (r15, VERDICT r14
     * #3 — make `assignVia` selection measured, not manual): one cheap
@@ -1818,7 +1875,8 @@ object Similarity {
     * both picks and the exact argmax bit-for-bit. */
   def s13LshCapAssign(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val cent = centroids(e)
+    // seamed (r19): same shared-codebook rule as s9
+    val cent = centroidsSeamed(e)
     def picked(cb: DataFrame, cell: String, n: String): DataFrame =
       e.select(col("vec_id"), col("embedding"),
           explode(tableBuckets(col("embedding"))).as("bucket"))
@@ -1833,7 +1891,8 @@ object Similarity {
           count(lit(1)).as(n))
     val capPick = picked(cappedCodebook(cent, S13Cap), "cell_cap", "n_cand_cap")
     val lshPick = picked(bucketedCodebook(cent), "cell_lsh", "n_cand_lsh")
-    cellAssigned(e).select(col("vec_id"), col("cell").as("cell_exact"))
+    cellAssignedAgainst(cent, e)
+      .select(col("vec_id"), col("cell").as("cell_exact"))
       .join(capPick, Seq("vec_id"), "left")
       .join(lshPick, Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -1987,7 +2046,11 @@ object Similarity {
 
   def s9LshAssign(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val cent = centroids(e)
+    // seamed (r19): both the LSH side and the exact reference side
+    // below assign against the SAME (possibly refined) codebook, so
+    // the agreement statistic stays a property of the assignment
+    // mechanism, never of codebook drift between the two sides
+    val cent = centroidsSeamed(e)
     val cb = cent.select(col("c_id"), col("c_emb"),
       explode(tableBuckets(col("c_emb"))).as("bucket"))
     val vb = e.select(col("vec_id"), col("embedding"),
@@ -2001,7 +2064,8 @@ object Similarity {
       .withColumn("rn", row_number().over(wA))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id").as("cell_lsh"), col("n_cand"))
-    cellAssigned(e).select(col("vec_id"), col("cell").as("cell_exact"))
+    cellAssignedAgainst(cent, e)
+      .select(col("vec_id"), col("cell").as("cell_exact"))
       .join(approx, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cell_lsh"), lit(-1L)).as("cell_lsh"),
@@ -2195,9 +2259,18 @@ object Similarity {
     * replays the full pipeline. */
   def s7AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val cent = e.orderBy(idMix(col("vec_id")), col("vec_id"))
-      .limit(NumCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // refineSeamed (r19, VERDICT r18 #5): the seam refines s7's fixed
+    // NumCentroids codebook, which serves BOTH halves — the IVF coarse
+    // quantizer (cells + probes) and, sliced per subspace, the PQ
+    // sub-centroid tables (full-dim Lloyd refines each 16-dim slice
+    // toward its cells' slice means — not per-subspace k-means, but a
+    // strict consistency: codes and cells quantize against the same
+    // table). Default 0 keeps the gated oracle's seed path bit-for-bit;
+    // the measured recall@10 delta lands in measurements/r19/.
+    val cent = refineSeamed(
+      e.orderBy(idMix(col("vec_id")), col("vec_id"))
+        .limit(NumCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), e)
     // IVF half: cell assignment + per-query probe list (s2's machinery;
     // the argmax is the map-side max_by shape of cellAssignedAgainst —
     // same (rounded cosine, -c_id) ordering, N rows across the exchange

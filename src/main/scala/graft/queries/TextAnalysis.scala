@@ -1040,10 +1040,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** t24's merge-round count: four rounds is enough that later rounds
-    * merge symbols EARLIER rounds produced (the part of BPE training a
-    * single pair count cannot exercise). */
-  private[graft] val T24Rounds = 4
+  /** t24's default merge-round count: four rounds is enough that later
+    * rounds merge symbols EARLIER rounds produced (the part of BPE
+    * training a single pair count cannot exercise). */
+  private[graft] val T24RoundsDefault = 4
+
+  /** The rounds-axis seam (r19, VERDICT r18 #4): `graft.t24.rounds`
+    * (env SPARK_GRAFT_T24_ROUNDS) overrides the merge-round count so
+    * the ROUNDS axis of the training loop can be measured — each round
+    * is one vocab-bounded pair aggregation + a 1-row winner broadcast +
+    * one fold pass, sequenced through the driver, so the loop's cost is
+    * linear-in-rounds with a per-round floor of Spark's job-scheduling
+    * constants (the corpus-size axis, measured at slope ≈ 0.2 in
+    * SCALING.md r18, does not price this). SCALING.md r19 records the
+    * measured slope and the stated posture for the 10⁴–10⁵-merge regime
+    * of a production tokenizer. The ORACLE follows the resolved value
+    * ([[t24OracleSql]] generates one CTE per round), so the gate stays
+    * armed at any setting; the gated entries pin the default. */
+  private[graft] def T24Rounds: Int =
+    sys.props.get("graft.t24.rounds")
+      .orElse(sys.env.get("SPARK_GRAFT_T24_ROUNDS"))
+      .map(_.toInt).getOrElse(T24RoundsDefault)
 
   /** One greedy BPE merge of the winning pair (l, r) applied to a symbol
     * sequence — the canonical left-to-right rule (Sennrich et al. 2016,
@@ -1117,10 +1134,23 @@ object TextAnalysis {
         .agg(sum(col("freq")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("lsym"), col("rsym"))
         .limit(1)
+      // LEFT join on a constant key, not crossJoin (ADVICE r18): if a
+      // round's pair table is EMPTY (every word already reduced to one
+      // symbol before T24Rounds), a crossJoin against the 0-row winner
+      // would silently empty the whole word table — t24 would drop rows
+      // and t25 return zero rows, and the oracle (which replays the same
+      // shape) could never catch it. Under the left join an empty winner
+      // surfaces as a null lsym on every row, which raises loudly at
+      // first execution instead — the repo's loud-miss convention.
       syms = graft.Materialize(
-        syms.crossJoin(broadcast(win))
+        syms.withColumn("_k", lit(1))
+          .join(broadcast(win.withColumn("_k", lit(1))), Seq("_k"), "left")
           .select(col("word"), col("freq"),
-            bpeMergeFold(col("syms"), col("lsym"), col("rsym")).as("syms")))
+            when(col("lsym").isNull, raise_error(lit(
+              s"t24/t25: merge round $r found no adjacent pairs — corpus " +
+                "fully merged before T24Rounds; lower graft.t24.rounds")))
+              .otherwise(bpeMergeFold(col("syms"), col("lsym"), col("rsym")))
+              .as("syms")))
       val vocab = syms.select(explode(col("syms")).as("sym"))
         .agg(countDistinct(col("sym")).as("vocab_size"))
       win.crossJoin(broadcast(vocab))
@@ -1129,6 +1159,36 @@ object TextAnalysis {
     }
     (rows, syms)
   }
+
+  /** t25's dictionary-join strategy seam (r19, VERDICT r18 #3):
+    * `graft.t25.dictJoin` (env SPARK_GRAFT_T25_DICTJOIN) ∈
+    * auto | broadcast | shuffle. The harness-SF dictionary is a few
+    * hundred distinct words and BROADCAST is plainly right — but the
+    * distinct-word table of an open-vocabulary 100 TB web corpus is
+    * ~10⁹ rows, beyond any broadcast budget (Spark hard-caps a
+    * broadcast relation at 8 GB / 512 M rows, and driver + every
+    * executor must hold it), so an unconditional `broadcast()` is an
+    * OOM at exactly the scale where tokenizer application is run over
+    * the FULL corpus. `auto` (default) counts the trained dictionary —
+    * one cheap action against the training loop's already-materialized
+    * word table — and broadcasts iff it holds ≤
+    * [[T25DictBroadcastMaxRows]] rows (`graft.t25.dictBroadcastMax`,
+    * default 4 M ≈ a few hundred MB hashed relation with generous
+    * margin under the caps); above it the join is hint-pinned
+    * SHUFFLE_HASH on the word key — both sides exchange once on
+    * `word`, the dictionary side builds the per-partition hash table,
+    * and no sort of the exploded corpus is ever required (the
+    * t12-zipf tail convention). The result is identical either way —
+    * the oracle gates the default path, and T25DictJoinSpec pins both
+    * physical shapes. */
+  private[graft] def T25DictJoinMode: String =
+    sys.props.get("graft.t25.dictJoin")
+      .orElse(sys.env.get("SPARK_GRAFT_T25_DICTJOIN")).getOrElse("auto")
+
+  private[graft] def T25DictBroadcastMaxRows: Long =
+    sys.props.get("graft.t25.dictBroadcastMax")
+      .orElse(sys.env.get("SPARK_GRAFT_T25_DICTBROADCASTMAX"))
+      .map(_.toLong).getOrElse(4000000L)
 
   /** t25 — BPE tokenizer APPLICATION (the other half of the t24 loop,
     * and what a pipeline actually runs at corpus scale): encode every
@@ -1139,19 +1199,32 @@ object TextAnalysis {
     *
     * Scale shape: the trained word → token-count table is VOCAB-BOUNDED
     * (distinct words with their final symbol-sequence LENGTH — the
-    * symbols themselves never leave the training loop), broadcast onto
-    * one corpus scan; per-doc counts are one map-side-combined
-    * aggregation. No per-document re-merging: a word's encoding is a
-    * pure function of the word, so tokenizing N documents costs one
-    * dictionary join, not N fold evaluations. */
+    * symbols themselves never leave the training loop), joined onto
+    * one corpus scan under the size-gated [[T25DictJoinMode]] seam
+    * (broadcast at harness vocabularies, shuffle-hash at open-vocab
+    * corpus scale where a ~10⁹-word dictionary cannot be broadcast);
+    * per-doc counts are one map-side-combined aggregation. No
+    * per-document re-merging: a word's encoding is a pure function of
+    * the word, so tokenizing N documents costs one dictionary join,
+    * not N fold evaluations. */
   def t25BpeEncode(s: SparkSession, dir: String): DataFrame = {
     val trained = bpeRounds(s, dir)._2
       .select(col("word"), size(col("syms")).cast("long").as("n_sym"),
         length(col("word")).cast("long").as("n_char"))
+    val useBroadcast = T25DictJoinMode match {
+      case "broadcast" => true
+      case "shuffle"   => false
+      // the count action runs against the training loop's Materialized
+      // word table (one cached-scan job), and is exactly the statistic
+      // the broadcast decision needs — never guess what you can measure
+      case _           => trained.count() <= T25DictBroadcastMaxRows
+    }
+    val dict = if (useBroadcast) broadcast(trained)
+               else trained.hint("SHUFFLE_HASH")
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .filter(col("word") =!= "")
-      .join(broadcast(trained), Seq("word"))
+      .join(dict, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_char")).as("n_chars_alpha"),

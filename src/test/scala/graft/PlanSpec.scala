@@ -182,6 +182,22 @@ class PlanSpec extends SparkSpec {
       s"tail vocab join lost its shuffle shape in:\n$p")
   }
 
+  test("t25: the harness-vocab dictionary joins by BROADCAST under the " +
+       "size gate; pinned shuffle mode plans a ShuffledHashJoin with no " +
+       "sort of the exploded corpus (the open-vocab 10⁹-word shape)") {
+    val p = plan(TextAnalysis.t25BpeEncode(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"harness dictionary not broadcast-joined in:\n$p")
+    System.setProperty("graft.t25.dictJoin", "shuffle")
+    try {
+      val ps = plan(TextAnalysis.t25BpeEncode(spark, sfDir))
+      assert(ps.contains("ShuffledHashJoin"),
+        s"shuffle mode lost its hash-join shape in:\n$ps")
+      assert(!ps.contains("SortMergeJoin"),
+        s"dictionary join degraded to sort-merge in:\n$ps")
+    } finally System.clearProperty("graft.t25.dictJoin")
+  }
+
   test("t15: the 20-row sampling plan reaches the scan by BROADCAST — " +
        "the corpus is never shuffled to meet its own thresholds") {
     val p = plan(TextAnalysis.t15MixtureSample(spark, sfDir))

@@ -508,6 +508,47 @@ class SimilaritySpec extends SparkSpec {
     info(s"lshflat refine=1: $moved/${base.size} vectors changed cell")
   }
 
+  test("sqrt-consumer refine seam (r19): refine=0 is the default path " +
+       "bit-for-bit for d13-exact / s7 / s13; refine=1 runs all three " +
+       "with schemas unchanged and every vector still assigned") {
+    import org.apache.spark.sql.functions.col
+    def d13Drops = graft.queries.Dedup.d13SemanticDedup(spark, sfDir)
+    def s7 = Similarity.queries("s7_ann_ivfpq")(spark, sfDir)
+    def s13 = Similarity.queries("s13_lshcap_assign")(spark, sfDir)
+    val baseDrops = d13Drops.collect().map(_.getAs[Long]("vec_id")).toSeq
+    val baseS7 = s7.collect().map(_.toSeq).toSeq
+    val baseS13 = s13.collect().map(_.toSeq).toSeq
+    System.setProperty("graft.codebook.refine", "0")
+    try {
+      assert(d13Drops.collect().map(_.getAs[Long]("vec_id")).toSeq
+        == baseDrops, "d13 refine=0 diverged from the unset default")
+      assert(s7.collect().map(_.toSeq).toSeq == baseS7,
+        "s7 refine=0 diverged from the unset default")
+      assert(s13.collect().map(_.toSeq).toSeq == baseS13,
+        "s13 refine=0 diverged from the unset default")
+    } finally System.clearProperty("graft.codebook.refine")
+    System.setProperty("graft.codebook.refine", "1")
+    try {
+      val drops1 = d13Drops
+      assert(drops1.schema == graft.queries.Dedup
+        .d13SemanticDedup(spark, sfDir).schema)
+      assert(drops1.collect().nonEmpty, "refined d13-exact dropped nothing")
+      val s7r = s7
+      val s7rows = s7r.collect()
+      assert(s7rows.length == baseS7.length,
+        "refined s7 changed the query-set cardinality")
+      assert(s7rows.forall(r => r.getAs[Double]("recall_at_10") >= 0.0))
+      val s13r = s13.collect()
+      assert(s13r.length == baseS13.length,
+        "refined s13 lost vectors from the assignment")
+      // the exact reference column must still assign every vector to a
+      // REAL cell (never the lsh sentinel) under the refined codebook
+      assert(s13r.forall(_.getAs[Long]("cell_exact") >= 0L))
+      info(s"refine=1: d13-exact drops ${drops1.collect().length} vs " +
+        s"seed ${baseDrops.length}")
+    } finally System.clearProperty("graft.codebook.refine")
+  }
+
   test("s11 via=flat under the refine seam (r18): refine=1 still mines " +
        "a deduped subset of exact sources with the schema unchanged — " +
        "the mining tier's codebook honors the same seam as d13's") {

@@ -503,34 +503,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == exp)
   }
 
+  // independent reference: canonical BPE (count ALL adjacent pairs,
+  // merge the winner greedily left-to-right) over a (word -> freq) map —
+  // shared by the t24 golden test and the rounds-seam test
+  private def refBpe(words: Map[String, Long], rounds: Int)
+      : Seq[(String, String, Long, Long)] = {
+    var syms: Map[List[String], Long] =
+      words.map { case (w, f) => (w.map(_.toString).toList, f) }
+    (1 to rounds).map { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      syms.foreach { case (s, f) =>
+        s.zip(s.drop(1)).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((l, r), c) = counts.toSeq
+        .minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+      def merge(s: List[String]): List[String] = s match {
+        case a :: b :: rest if a == l && b == r => (a + b) :: merge(rest)
+        case a :: rest                          => a :: merge(rest)
+        case Nil                                => Nil
+      }
+      syms = syms.map { case (s, f) => (merge(s), f) }
+      (l, r, c, syms.keysIterator.flatten.toSet.size.toLong)
+    }
+  }
+
   test("t24 BPE merges: every round matches an independent greedy-BPE " +
        "reference on the harness corpus, and the fold handles overlapping " +
        "runs + multi-char remerges on a planted corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // independent reference: canonical BPE (count ALL adjacent pairs,
-    // merge the winner greedily left-to-right) over a (word -> freq) map
-    def refBpe(words: Map[String, Long], rounds: Int)
-        : Seq[(String, String, Long, Long)] = {
-      var syms: Map[List[String], Long] =
-        words.map { case (w, f) => (w.map(_.toString).toList, f) }
-      (1 to rounds).map { _ =>
-        val counts = scala.collection.mutable.Map[(String, String), Long]()
-        syms.foreach { case (s, f) =>
-          s.zip(s.drop(1)).foreach(p =>
-            counts(p) = counts.getOrElse(p, 0L) + f)
-        }
-        val ((l, r), c) = counts.toSeq
-          .minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
-        def merge(s: List[String]): List[String] = s match {
-          case a :: b :: rest if a == l && b == r => (a + b) :: merge(rest)
-          case a :: rest                          => a :: merge(rest)
-          case Nil                                => Nil
-        }
-        syms = syms.map { case (s, f) => (merge(s), f) }
-        (l, r, c, syms.keysIterator.flatten.toSet.size.toLong)
-      }
-    }
     def engineRows(dir: String) =
       TextAnalysis.t24BpeMerges(spark, dir).collect().toSeq
         .map(r => (r.getAs[String]("lsym"), r.getAs[String]("rsym"),
@@ -588,6 +590,62 @@ class TextAnalysisSpec extends SparkSpec {
     assert(harness.forall(r =>
       r.getAs[Long]("n_tokens_bpe") <= r.getAs[Long]("n_chars_alpha")))
     assert(harness.forall(r => r.getAs[Double]("chars_per_token") >= 1.0))
+  }
+
+  test("t24 rounds seam: graft.t24.rounds=6 matches the 6-round reference " +
+       "on the planted corpus, and a corpus that runs out of pairs fails " +
+       "LOUDLY instead of silently emptying the word table") {
+    import spark.implicits._
+    val planted = Seq(
+      (0L, "aaaa aaaa aaaa baca", "en", "s0", 19L),
+      (1L, "aaaa aaa baca baca", "en", "s0", 18L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-t24r").toString
+    planted.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val plantedWords = planted.flatMap(_._2.split(" "))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+    System.setProperty("graft.t24.rounds", "6")
+    try {
+      val got = TextAnalysis.t24BpeMerges(spark, dir).collect().toSeq
+        .map(r => (r.getAs[String]("lsym"), r.getAs[String]("rsym"),
+          r.getAs[Long]("pair_count"), r.getAs[Long]("vocab_size")))
+      assert(got == refBpe(plantedWords, 6),
+        "6-round merge table diverged from the reference")
+      // round 7 on this corpus has exactly one degenerate state left
+      // after round 6 consumed the last pair family — requesting more
+      // rounds than the corpus can supply must raise, not drop rows
+      // (ADVICE r18: the old crossJoin shape silently emptied the table)
+      System.setProperty("graft.t24.rounds", "8")
+      val ex = intercept[Exception] {
+        TextAnalysis.t24BpeMerges(spark, dir).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("no adjacent pairs")),
+        s"expected the loud no-pairs error, got: $ex")
+    } finally System.clearProperty("graft.t24.rounds")
+  }
+
+  test("t25 dict-join seam: the shuffle path returns rows identical to " +
+       "the broadcast path, and auto resolves to shuffle when the " +
+       "dictionary exceeds the broadcast cap") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val base = rows(TextAnalysis.t25BpeEncode(spark, sfDir))
+    assert(base.nonEmpty)
+    System.setProperty("graft.t25.dictJoin", "shuffle")
+    try assert(rows(TextAnalysis.t25BpeEncode(spark, sfDir)) == base,
+      "shuffle-join path diverged from the broadcast path")
+    finally System.clearProperty("graft.t25.dictJoin")
+    // auto + a 1-row cap: the count-gated decision must take the
+    // shuffle branch (same rows again) — exercises the gate itself,
+    // not just the pinned modes
+    System.setProperty("graft.t25.dictBroadcastMax", "1")
+    try assert(rows(TextAnalysis.t25BpeEncode(spark, sfDir)) == base,
+      "auto-over-cap path diverged")
+    finally System.clearProperty("graft.t25.dictBroadcastMax")
   }
 
   test("bigram_poly_buckets == the transform+aggregate built-in fold, " +
