@@ -1099,10 +1099,12 @@ object TextAnalysis {
     * cost is corpus-size-INDEPENDENT); each round is one map-side-
     * combined pair aggregation, a 1-row TakeOrdered winner broadcast
     * back onto the vocab table, and a per-word fold (no explode of the
-    * corpus, no shuffle of text). The per-round tables are
-    * [[graft.Materialize]]d: round k+1's counts consume round k's merge
-    * output, and the final union must not re-fold earlier rounds once
-    * per branch. The DuckDB oracle replays the greedy rule positionally
+    * corpus, no shuffle of text). The per-round tables are lazily
+    * `localCheckpoint`ed (the d6 iterative convention — see the note in
+    * [[bpeRounds]]): round k+1's counts consume round k's merge output
+    * without re-folding earlier rounds, and the lineage truncation
+    * keeps analysis cost linear in the round count rather than
+    * exponential. The DuckDB oracle replays the greedy rule positionally
     * (occurrence runs → alternating keeps — the same sequences the fold
     * produces), so all four merge rows gate bit-for-bit. */
   def t24BpeMerges(s: SparkSession, dir: String): DataFrame =
@@ -1124,7 +1126,19 @@ object TextAnalysis {
       // trailing empty match as a phantom symbol)
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-    var syms = graft.Materialize(words0)
+    // Per-round LAZY localCheckpoint, not Materialize (r19, VERDICT r18
+    // #4): round r's word table references round r-1 TWICE — through
+    // the winner aggregate AND through the merge join — so without
+    // lineage truncation the logical tree doubles per round and
+    // analysis cost grows exponentially in the round count (the d6
+    // connected-components scaladoc names this exact failure mode;
+    // measured here: rounds=16 under cache-based materialization never
+    // finished planning, while checkpointed rounds time linearly —
+    // SCALING.md r19 has the rounds-axis table). Checkpoints stay
+    // un-released: every round's winner row is part of t24's OUTPUT,
+    // so earlier rounds' blocks must survive until the final union
+    // materializes (unlike d6, which only keeps the converged edges).
+    var syms = words0.localCheckpoint(false)
     val rows = (1 to T24Rounds).map { r =>
       val win = syms.filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
@@ -1142,15 +1156,15 @@ object TextAnalysis {
       // shape) could never catch it. Under the left join an empty winner
       // surfaces as a null lsym on every row, which raises loudly at
       // first execution instead — the repo's loud-miss convention.
-      syms = graft.Materialize(
-        syms.withColumn("_k", lit(1))
-          .join(broadcast(win.withColumn("_k", lit(1))), Seq("_k"), "left")
-          .select(col("word"), col("freq"),
-            when(col("lsym").isNull, raise_error(lit(
-              s"t24/t25: merge round $r found no adjacent pairs — corpus " +
-                "fully merged before T24Rounds; lower graft.t24.rounds")))
-              .otherwise(bpeMergeFold(col("syms"), col("lsym"), col("rsym")))
-              .as("syms")))
+      syms = syms.withColumn("_k", lit(1))
+        .join(broadcast(win.withColumn("_k", lit(1))), Seq("_k"), "left")
+        .select(col("word"), col("freq"),
+          when(col("lsym").isNull, raise_error(lit(
+            s"t24/t25: merge round $r found no adjacent pairs — corpus " +
+              "fully merged before T24Rounds; lower graft.t24.rounds")))
+            .otherwise(bpeMergeFold(col("syms"), col("lsym"), col("rsym")))
+            .as("syms"))
+        .localCheckpoint(false)
       val vocab = syms.select(explode(col("syms")).as("sym"))
         .agg(countDistinct(col("sym")).as("vocab_size"))
       win.crossJoin(broadcast(vocab))
@@ -1214,8 +1228,8 @@ object TextAnalysis {
     val useBroadcast = T25DictJoinMode match {
       case "broadcast" => true
       case "shuffle"   => false
-      // the count action runs against the training loop's Materialized
-      // word table (one cached-scan job), and is exactly the statistic
+      // the count action runs against the training loop's checkpointed
+      // word table (one block-scan job), and is exactly the statistic
       // the broadcast decision needs — never guess what you can measure
       case _           => trained.count() <= T25DictBroadcastMaxRows
     }
