@@ -1115,17 +1115,23 @@ object TextAnalysis {
     * (t24's merge table) and the FINAL per-word symbol table (t25's
     * tokenizer — a word's token count under the learned vocabulary is
     * the length of its final symbol sequence). */
-  private def bpeRounds(s: SparkSession,
-      dir: String): (Seq[DataFrame], DataFrame) = {
-    val words0 = Tables.documents(s, dir)
+  /** The (word, freq, char-symbols) table every BPE entry trains on —
+    * char symbols via 1-based substring, the exact arithmetic the
+    * oracle's substr() replays (split(word, '') would append Java's
+    * trailing empty match as a phantom symbol). Shared by the
+    * single-merge loop ([[bpeRounds]]) and the batched one
+    * ([[t26BpeBatchMerges]]). */
+  private def bpeWords0(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(explode(words(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      // char symbols via 1-based substring — the exact arithmetic the
-      // oracle's substr() replays (split(word, '') would append Java's
-      // trailing empty match as a phantom symbol)
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  private def bpeRounds(s: SparkSession,
+      dir: String): (Seq[DataFrame], DataFrame) = {
+    val words0 = bpeWords0(s, dir)
     // Per-round LAZY localCheckpoint, not Materialize (r19, VERDICT r18
     // #4): round r's word table references round r-1 TWICE — through
     // the winner aggregate AND through the merge join — so without
@@ -1248,6 +1254,128 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t26's knobs: 2 rounds exercises batching over symbols earlier
+    * BATCHES produced; pool 16 bounds the ranked candidate table the
+    * conflict anti-join runs on; batch 4 is wide enough that multiple
+    * non-conflicting pairs are selected per round on the harness
+    * corpus (spec-asserted). The oracle generates [[T26Batch]]
+    * positional sub-steps per round, so these are compile-time
+    * constants, not seams. */
+  private[graft] val T26Rounds = 2
+  private[graft] val T26Pool = 16
+  private[graft] val T26Batch = 4
+
+  /** One left-to-right scan applying EVERY pair of a (rank-sorted,
+    * mutually non-conflicting) merge batch: like [[bpeMergeFold]] but
+    * the merge test is membership in the batch array instead of one
+    * (l, r). Correct as a single pass exactly BECAUSE of the batch
+    * selection invariant: selected pairs share no symbol and no
+    * pair's concatenation equals another's component, so one pair's
+    * merge can neither create nor destroy another's occurrences
+    * (a merge replaces two adjacent symbols by one — it never makes
+    * two OTHER symbols newly adjacent), and the post-merge
+    * accumulator tail (l || r) can never match any batch lsym. A
+    * sequential per-pair application in any order — what the DuckDB
+    * oracle replays, one positional sub-step per batch rank — is
+    * therefore identical to this simultaneous scan. */
+  private def bpeBatchFold(syms: Column, batch: Column): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, t) =>
+        when(size(acc) === 0, concat(acc, array(t)))
+          .otherwise {
+            val hit = filter(batch, p =>
+              p.getField("lsym") === element_at(acc, -1) &&
+                p.getField("rsym") === t)
+            when(size(hit) > 0,
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(hit, 1).getField("lsym"),
+                  element_at(hit, 1).getField("rsym")))))
+              .otherwise(concat(acc, array(t)))
+          })
+
+  /** t26 — BATCHED BPE merge rounds (r19, the production answer to the
+    * 30k-merge posture in SCALING.md round-19): per round, rank all
+    * adjacent pairs by (count desc, lsym, rsym), keep the top
+    * [[T26Pool]] candidates, select up to [[T26Batch]] of them that
+    * conflict with NO higher-ranked candidate, and merge the whole
+    * batch in ONE per-word scan. Two pairs conflict when they share a
+    * symbol or one pair's concatenation equals a component of the
+    * other — the invariant that makes batch application
+    * order-independent (see [[bpeBatchFold]]). The selection rule is
+    * deliberately one-pass ("no conflict with any higher-ranked
+    * CANDIDATE", an anti-join) rather than greedy-over-selected: the
+    * greedy rule needs a sequential scan over the ranked list, while
+    * the anti-join is a bounded self-join DuckDB replays verbatim —
+    * and it is conservative only when a high-ranked candidate was
+    * itself excluded, costing batch width, never correctness.
+    *
+    * Output: one row per selected pair — (round, batch_rank, lsym,
+    * rsym, pair count at round start, vocab size after the round).
+    *
+    * Scale shape: identical per-round cost family to t24 (one
+    * map-side-combined pair aggregation over DISTINCT WORDS, a
+    * ≤[[T26Pool]]-row TakeOrdered, a ≤Pool²-row broadcast anti-join,
+    * one fold pass, per-round lineage truncation) — but the
+    * vocabulary advances [[T26Batch]] merges per round, so the
+    * driver-scheduling bound measured on t24's rounds axis
+    * (~0.32 s/round, SCALING.md r19) divides by the batch width: the
+    * 3·10⁴-merge regime drops from ~30 000 sequential rounds to
+    * 30 000 / B. Real tokenizer trainers batch exactly this way;
+    * width 4 here is a gate-sized pin, not a ceiling — the
+    * construction is O(pool²) in the width only through the
+    * anti-join. A round with no pairs left raises loudly (the t24
+    * convention). */
+  def t26BpeBatchMerges(s: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.orderBy(col("pair_count").desc, col("lsym"), col("rsym"))
+    var syms = bpeWords0(s, dir).localCheckpoint(false)
+    val rows = (1 to T26Rounds).map { r =>
+      val cand = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> struct(syms[i] AS lsym, syms[i+1] AS rsym))")).as("p"))
+        .groupBy(col("p.lsym").as("lsym"), col("p.rsym").as("rsym"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lsym"), col("rsym"))
+        .limit(T26Pool)
+        .withColumn("rn", row_number().over(wRank))
+      val h = cand.select(col("rn").as("h_rn"), col("lsym").as("h_l"),
+        col("rsym").as("h_r"))
+      val conflict = col("h_rn") < col("rn") && (
+        col("h_l") === col("lsym") || col("h_l") === col("rsym") ||
+        col("h_r") === col("lsym") || col("h_r") === col("rsym") ||
+        concat(col("h_l"), col("h_r")) === col("lsym") ||
+        concat(col("h_l"), col("h_r")) === col("rsym") ||
+        concat(col("lsym"), col("rsym")) === col("h_l") ||
+        concat(col("lsym"), col("rsym")) === col("h_r"))
+      val sel = cand.join(broadcast(h), conflict, "left_anti")
+        .orderBy(col("rn")).limit(T26Batch)
+        .withColumn("k", row_number().over(wRank))
+        .localCheckpoint(false)
+      // rank-sorted batch as ONE array row: array_sort on (k, l, r)
+      // structs orders by k first, so the fold sees rank order
+      val batchAgg = sel
+        .agg(array_sort(collect_list(
+          struct(col("k"), col("lsym"), col("rsym")))).as("ks"))
+        .select(transform(col("ks"), p =>
+          struct(p.getField("lsym").as("lsym"),
+            p.getField("rsym").as("rsym"))).as("batch"))
+      syms = syms.crossJoin(broadcast(batchAgg))
+        .select(col("word"), col("freq"),
+          when(size(col("batch")) === 0, raise_error(lit(
+            s"t26: batch round $r found no adjacent pairs — corpus " +
+              "fully merged before T26Rounds")))
+            .otherwise(bpeBatchFold(col("syms"), col("batch")))
+            .as("syms"))
+        .localCheckpoint(false)
+      val vocab = syms.select(explode(col("syms")).as("sym"))
+        .agg(countDistinct(col("sym")).as("vocab_size"))
+      sel.crossJoin(broadcast(vocab))
+        .select(lit(r).as("round"), col("k").cast("long").as("batch_rank"),
+          col("lsym"), col("rsym"), col("pair_count"), col("vocab_size"))
+    }
+    rows.reduce(_ unionAll _).orderBy(col("round"), col("batch_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count"   -> t1TokenCount _,
     "t2_quality_score" -> t2QualityScore _,
@@ -1276,6 +1404,7 @@ object TextAnalysis {
     "t23_dsir_importance"   -> t23DsirImportance _,
     "t24_bpe_merges"        -> t24BpeMerges _,
     "t25_bpe_encode"        -> t25BpeEncode _,
+    "t26_bpe_batch_merges"  -> t26BpeBatchMerges _,
   )
 
   /** The t24 oracle, built per round: DuckDB replays the greedy merge
@@ -1373,6 +1502,121 @@ object TextAnalysis {
        |FROM docw d JOIN wordlen w USING (word)
        |WHERE d.word <> ''
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The t26 oracle: per round, the ranked candidate pool, the
+    * no-conflict-with-any-higher-ranked anti-join selection, then
+    * [[T26Batch]] STATIC positional sub-steps — each the t24 merge
+    * replay conditioned on "the k-th selected pair exists" (an empty
+    * bw table makes its occ/keep sets empty, the scalar subqueries
+    * NULL, and the sub-step an exact pass-through), so the
+    * data-dependent batch width needs no recursion. Sequential
+    * sub-step application equals the engine's single batch scan by
+    * the non-conflict invariant (see [[bpeBatchFold]]).
+    *
+    * The per-step word tables and the selection are `AS MATERIALIZED`:
+    * DuckDB inlines plain CTEs once PER REFERENCE, and each sub-step
+    * references its predecessor ~3 ways (scan, occurrence, keep-chain)
+    * — the un-materialized expansion re-opened the documents parquet
+    * ~3^(rounds·batch) times ("too many open files" at 2×4 steps),
+    * the oracle-side twin of the engine's per-round localCheckpoint. */
+  private def t26RoundCte(r: Int): String = {
+    val prev = if (r == 1) "syms0" else s"b${r - 1}_$T26Batch"
+    val head =
+      s"""bpos$r AS MATERIALIZED (
+         |  SELECT word, freq, syms,
+         |         unnest(generate_series(1, len(syms))) AS i
+         |  FROM $prev
+         |),
+         |bposx$r AS MATERIALIZED (
+         |  SELECT word, freq, i, syms[i] AS s,
+         |         lead(syms[i]) OVER (PARTITION BY word ORDER BY i) AS nxt
+         |  FROM bpos$r
+         |),
+         |bcand$r AS MATERIALIZED (
+         |  SELECT lsym, rsym, pair_count,
+         |         row_number() OVER (ORDER BY pair_count DESC, lsym, rsym)
+         |           AS rn
+         |  FROM (SELECT s AS lsym, nxt AS rsym,
+         |               CAST(sum(freq) AS BIGINT) AS pair_count
+         |        FROM bposx$r WHERE nxt IS NOT NULL GROUP BY 1, 2)
+         |  ORDER BY rn LIMIT $T26Pool
+         |),
+         |bsel$r AS MATERIALIZED (
+         |  SELECT lsym, rsym, pair_count,
+         |         row_number() OVER (ORDER BY rn) AS k
+         |  FROM (SELECT c.* FROM bcand$r c
+         |        WHERE NOT EXISTS (
+         |          SELECT 1 FROM bcand$r h WHERE h.rn < c.rn AND (
+         |            h.lsym = c.lsym OR h.lsym = c.rsym OR
+         |            h.rsym = c.lsym OR h.rsym = c.rsym OR
+         |            h.lsym || h.rsym = c.lsym OR
+         |            h.lsym || h.rsym = c.rsym OR
+         |            c.lsym || c.rsym = h.lsym OR
+         |            c.lsym || c.rsym = h.rsym))
+         |        ORDER BY c.rn LIMIT $T26Batch)
+         |)""".stripMargin
+    val subs = (1 to T26Batch).map { k =>
+      val pv = if (k == 1) prev else s"b${r}_${k - 1}"
+      s"""bw${r}_$k AS (SELECT lsym, rsym FROM bsel$r WHERE k = $k),
+         |bp${r}_$k AS (
+         |  SELECT word, freq, syms,
+         |         unnest(generate_series(1, len(syms))) AS i
+         |  FROM $pv
+         |),
+         |bx${r}_$k AS MATERIALIZED (
+         |  SELECT word, freq, i, syms[i] AS s,
+         |         lead(syms[i]) OVER (PARTITION BY word ORDER BY i) AS nxt
+         |  FROM bp${r}_$k
+         |),
+         |bo${r}_$k AS (
+         |  SELECT x.word, x.i FROM bx${r}_$k x
+         |  WHERE x.s = (SELECT lsym FROM bw${r}_$k)
+         |    AND x.nxt = (SELECT rsym FROM bw${r}_$k)
+         |),
+         |bk${r}_$k AS (
+         |  SELECT word, i FROM (
+         |    SELECT word, i,
+         |           row_number() OVER (PARTITION BY word, grp
+         |                              ORDER BY i) AS rn
+         |    FROM (
+         |      SELECT word, i,
+         |             i - row_number() OVER (PARTITION BY word
+         |                                    ORDER BY i) AS grp
+         |      FROM bo${r}_$k
+         |    )
+         |  ) WHERE rn % 2 = 1
+         |),
+         |b${r}_$k AS MATERIALIZED (
+         |  SELECT p.word, max(p.freq) AS freq,
+         |         list(CASE WHEN k1.i IS NOT NULL
+         |                   THEN (SELECT lsym || rsym FROM bw${r}_$k)
+         |                   ELSE p.s END ORDER BY p.i) AS syms
+         |  FROM bx${r}_$k p
+         |  LEFT JOIN bk${r}_$k k1 ON k1.word = p.word AND k1.i = p.i
+         |  LEFT JOIN bk${r}_$k k2 ON k2.word = p.word AND k2.i = p.i - 1
+         |  WHERE k2.word IS NULL
+         |  GROUP BY p.word
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$subs,
+       |bvocab$r AS (
+       |  SELECT count(DISTINCT sym) AS vocab_size
+       |  FROM (SELECT unnest(syms) AS sym FROM b${r}_$T26Batch)
+       |)""".stripMargin
+  }
+
+  private def t26OracleSql: String = {
+    val rounds = (1 to T26Rounds).map(t26RoundCte).mkString(",\n")
+    val out = (1 to T26Rounds).map { r =>
+      s"""SELECT $r AS round, k AS batch_rank, lsym, rsym, pair_count,
+         |       (SELECT vocab_size FROM bvocab$r) AS vocab_size
+         |FROM bsel$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeOracleCtes(rounds)}
+       |$out
+       |ORDER BY round, batch_rank""".stripMargin
   }
 
   /** The shared WITH-body of the BPE oracles: word frequencies, char
@@ -1932,5 +2176,6 @@ object TextAnalysis {
          |FROM scored, kth ORDER BY doc_id""".stripMargin,
     "t24_bpe_merges" -> t24OracleSql,
     "t25_bpe_encode" -> t25OracleSql,
+    "t26_bpe_batch_merges" -> t26OracleSql,
   )
 }
