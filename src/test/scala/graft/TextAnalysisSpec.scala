@@ -714,6 +714,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r1.size > 1, "planted corpus selected only one pair")
   }
 
+  test("t26 loud empty round: a corpus of single-symbol words raises " +
+       "instead of silently emptying the table (the t24 convention)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t26e").toString
+    Seq((0L, "a b a b c", "en", "s0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val ex = intercept[Exception] {
+      TextAnalysis.t26BpeBatchMerges(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("no adjacent pairs")),
+      s"expected the loud no-pairs error, got: $ex")
+  }
+
   test("t25 dict-join seam: the shuffle path returns rows identical to " +
        "the broadcast path, and auto resolves to shuffle when the " +
        "dictionary exceeds the broadcast cap") {
