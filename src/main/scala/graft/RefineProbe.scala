@@ -40,13 +40,15 @@ object RefineProbe {
     *   - s7 (IVF-PQ) mean recall@10, seed vs one exact-Lloyd iteration
     *     of its fixed codebook;
     *   - the d13 `exact` tier's drop set, seed vs refined: counts,
-    *     intersection, and (when the corpus is small enough for the
-    *     N² reference) drop recall/precision of EACH against the
+    *     intersection, and drop recall/precision of EACH against the
     *     UNBLOCKED brute drop set (a vector drops iff it has a
     *     lower-id neighbor at cosine ≥ D13Threshold, no cell
     *     blocking) — the ideal the blocking approximates, so the
     *     refine delta is read against ground truth, not just as a
-    *     set shift.
+    *     set shift. Small corpora get the full N² reference; depth
+    *     corpora get an idMix-strided ~2000-vector sample scored
+    *     against the FULL corpus (linear in N), reported under the
+    *     sample_* fields.
     *
     * Prints one JSON line; rows land in measurements/r19/. */
   private def sqrtMode(spark: org.apache.spark.sql.SparkSession,
@@ -71,11 +73,19 @@ object RefineProbe {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val n = e.count()
-    // N² reference only where it is computable (the harness corpora;
-    // ScaleGen depths report the set shift alone — loudly null, never
-    // a silently skipped field)
+    // Full N² reference where computable (the harness corpora). At
+    // ScaleGen depths the truth is instead measured on an idMix-strided
+    // SAMPLE of ~2000 vectors against the FULL corpus (sample × N
+    // cosines — linear in N), so the depth rows carry a real sampled
+    // drop-recall instead of a bare set shift: for a sampled vector v,
+    // truth-drop(v) = exists u < v in the WHOLE corpus at cosine ≥
+    // threshold — exactly d13's unblocked rule restricted to S. Both
+    // fields are reported (the full one null at depth, the sampled one
+    // null at harness where the full reference supersedes it).
+    val SampleTarget = 2000L
+    val full = n <= 30000L
     val brute: Option[Set[Long]] =
-      if (n > 30000L) None
+      if (!full) None
       else Some {
         val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
         val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
@@ -85,19 +95,43 @@ object RefineProbe {
           .select(col("b_id")).distinct()
           .collect().map(_.getLong(0)).toSet
       }
+    val (sampleIds, bruteSample): (Option[Set[Long]], Option[Set[Long]]) =
+      if (full) (None, None)
+      else {
+        val s = e.orderBy(Similarity.idMixOf(col("vec_id")), col("vec_id"))
+          .limit(SampleTarget.toInt)
+          .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"))
+        val sIds = s.select(col("s_id")).collect().map(_.getLong(0)).toSet
+        val truth = broadcast(s)
+          .join(e, col("vec_id") < col("s_id"))
+          .filter(round(cosine_sim(col("s_emb"), col("embedding")), 4)
+            >= Dedup.D13Threshold)
+          .select(col("s_id")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        (Some(sIds), Some(truth))
+      }
     val sec = (System.nanoTime() - t0) / 1e9
     def f(v: Double): String =
       "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    def ratio(num: Int, den: Int): String =
+      if (den == 0) f(1.0) else f(num.toDouble / den)
     def rec(drops: Set[Long]): String = brute match {
-      case Some(bd) if bd.nonEmpty =>
-        f((bd & drops).size.toDouble / bd.size)
-      case Some(_) => f(1.0)
-      case None    => "null"
+      case Some(bd) => ratio((bd & drops).size, bd.size)
+      case None     => "null"
     }
     def prec(drops: Set[Long]): String = brute match {
-      case Some(bd) =>
-        if (drops.isEmpty) f(1.0) else f((bd & drops).size.toDouble / drops.size)
-      case None => "null"
+      case Some(bd) => ratio((bd & drops).size, drops.size)
+      case None     => "null"
+    }
+    def recS(drops: Set[Long]): String = bruteSample match {
+      case Some(bt) => ratio((bt & drops).size, bt.size)
+      case None     => "null"
+    }
+    // sampled precision: of the path's drops WITHIN the sample, how
+    // many are truth drops (path drops outside S have no truth bit)
+    def precS(drops: Set[Long]): String = (bruteSample, sampleIds) match {
+      case (Some(bt), Some(s)) => ratio((bt & drops).size, (drops & s).size)
+      case _                   => "null"
     }
     println(
       s"""{"metric":"codebook_refine_sqrt","dir":"$dir","vectors":$n,""" +
@@ -110,6 +144,12 @@ object RefineProbe {
       s""""drop_recall_refined":${rec(refDrops)},""" +
       s""""drop_precision_seed":${prec(seedDrops)},""" +
       s""""drop_precision_refined":${prec(refDrops)},""" +
+      s""""sample_n":${sampleIds.map(_.size.toString).getOrElse("null")},""" +
+      s""""brute_drops_sample":${bruteSample.map(_.size.toString).getOrElse("null")},""" +
+      s""""sample_drop_recall_seed":${recS(seedDrops)},""" +
+      s""""sample_drop_recall_refined":${recS(refDrops)},""" +
+      s""""sample_drop_precision_seed":${precS(seedDrops)},""" +
+      s""""sample_drop_precision_refined":${precS(refDrops)},""" +
       s""""sec":${f(sec)}}""")
   }
 

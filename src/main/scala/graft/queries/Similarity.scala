@@ -96,8 +96,9 @@ object Similarity {
     pmod(id * lit(MixA) + lit(MixB), lit(MixM))
 
   /** [[idMix]] for composing families (d13's bounded sub-cell split keys
-    * on it), plus its SQL text for their oracles. */
-  private[queries] def idMixOf(id: Column): Column = idMix(id)
+    * on it, RefineProbe's depth sample strides by it), plus its SQL text
+    * for their oracles. */
+  private[graft] def idMixOf(id: Column): Column = idMix(id)
   private[queries] def mixSql(c: String): String =
     s"(($c * $MixA + $MixB) % $MixM)"
 
