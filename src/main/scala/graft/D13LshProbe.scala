@@ -90,12 +90,30 @@ object D13LshProbe {
       if (exactDrops.isEmpty) 1.0 else common.toDouble / exactDrops.size
     val precision =
       if (apprDrops.isEmpty) 1.0 else common.toDouble / apprDrops.size
+    // r19: both paths additionally read against the sampled UNBLOCKED
+    // truth (RefineProbe.sampledUnblockedDrops — d13's rule with no
+    // cell blocking, an idMix-strided ~2000-vector sample against the
+    // full corpus), so the approximate tier's loss is measured against
+    // the IDEAL, not only against the exact-blocked path it chains
+    // through
+    val (sampleIds, truth) = RefineProbe.sampledUnblockedDrops(e, 2000)
+    def truthRecall(drops: Set[Long]): Double =
+      if (truth.isEmpty) 1.0 else (truth & drops).size.toDouble / truth.size
+    def truthPrec(drops: Set[Long]): Double = {
+      val inS = (drops & sampleIds).size
+      if (inS == 0) 1.0 else (truth & drops).size.toDouble / inS
+    }
     println(
       f"""{"metric":"d13_assign_probe","via":"$via","dir":"$dir","vectors":$n,""" +
       f""""assign_agree":$agree,"assign_miss":$miss,""" +
       f""""agree_pct":${100.0 * agree / n}%.1f,""" +
       f""""exact_drops":${exactDrops.size},"approx_drops":${apprDrops.size},""" +
-      f""""drop_recall":$recall%.4f,"drop_precision":$precision%.4f}""")
+      f""""drop_recall":$recall%.4f,"drop_precision":$precision%.4f,""" +
+      f""""sample_n":${sampleIds.size},"truth_drops_sample":${truth.size},""" +
+      f""""truth_recall_exact":${truthRecall(exactDrops)}%.4f,""" +
+      f""""truth_recall_approx":${truthRecall(apprDrops)}%.4f,""" +
+      f""""truth_precision_exact":${truthPrec(exactDrops)}%.4f,""" +
+      f""""truth_precision_approx":${truthPrec(apprDrops)}%.4f}""")
     spark.stop()
   }
 }

@@ -21,6 +21,31 @@ import graft.queries.Similarity
   * path — the d13 deliverable). */
 object RefineProbe {
 
+  /** Sampled UNBLOCKED drop truth (r19): an idMix-strided `target`-
+    * vector sample scored against the FULL corpus under exactly d13's
+    * unblocked rule — sampled vector v is a truth-drop iff some u < v
+    * anywhere in the corpus has rounded cosine ≥ D13Threshold. Sample
+    * × N cosines, linear in N; returns (sample ids, truth-drop ids ⊆
+    * sample). Shared with [[D13LshProbe]], which reads the production
+    * assignment tiers against the same truth. Probe-only (driver
+    * collects two small id sets). */
+  private[graft] def sampledUnblockedDrops(
+      e: org.apache.spark.sql.DataFrame, target: Int): (Set[Long], Set[Long]) = {
+    import graft.queries.{Dedup, Similarity}
+    import graft.functions.VectorFunctions.cosine_sim
+    val s = e.orderBy(Similarity.idMixOf(col("vec_id")), col("vec_id"))
+      .limit(target)
+      .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"))
+    val sIds = s.select(col("s_id")).collect().map(_.getLong(0)).toSet
+    val truth = broadcast(s)
+      .join(e, col("vec_id") < col("s_id"))
+      .filter(round(cosine_sim(col("s_emb"), col("embedding")), 4)
+        >= Dedup.D13Threshold)
+      .select(col("s_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    (sIds, truth)
+  }
+
   /** Runs `body` with the refine seam pinned to `n` iterations,
     * restoring the prior value after — the probe's only mutation. */
   private def withRefine[T](n: Int)(body: => T): T = {
@@ -98,17 +123,8 @@ object RefineProbe {
     val (sampleIds, bruteSample): (Option[Set[Long]], Option[Set[Long]]) =
       if (full) (None, None)
       else {
-        val s = e.orderBy(Similarity.idMixOf(col("vec_id")), col("vec_id"))
-          .limit(SampleTarget.toInt)
-          .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"))
-        val sIds = s.select(col("s_id")).collect().map(_.getLong(0)).toSet
-        val truth = broadcast(s)
-          .join(e, col("vec_id") < col("s_id"))
-          .filter(round(cosine_sim(col("s_emb"), col("embedding")), 4)
-            >= Dedup.D13Threshold)
-          .select(col("s_id")).distinct()
-          .collect().map(_.getLong(0)).toSet
-        (Some(sIds), Some(truth))
+        val (s, t) = sampledUnblockedDrops(e, SampleTarget.toInt)
+        (Some(s), Some(t))
       }
     val sec = (System.nanoTime() - t0) / 1e9
     def f(v: Double): String =
