@@ -1055,8 +1055,21 @@ object TextAnalysis {
     * SCALING.md r18, does not price this). SCALING.md r19 records the
     * measured slope and the stated posture for the 10⁴–10⁵-merge regime
     * of a production tokenizer. The ORACLE follows the resolved value
-    * ([[t24OracleSql]] generates one CTE per round), so the gate stays
-    * armed at any setting; the gated entries pin the default. */
+    * ([[t24OracleSql]] generates one CTE per round) and its multiply-
+    * referenced per-round CTEs are `AS MATERIALIZED` (r20, ADVICE r19 —
+    * the plain form inlined them once per reference and the replay went
+    * exponential in R, unarming the gate at exactly the elevated
+    * settings the seam exists for), so the gate stays armed at any
+    * setting; the gated entries pin the default.
+    *
+    * Early-stop divergence (ADVICE r19, documented not changed): when a
+    * merge round finds NO adjacent pairs (every word already one
+    * symbol), canonical BPE trainers (Sennrich et al.'s reference
+    * implementation) stop early and return fewer merges; this engine
+    * instead raise_errors with an instruction to lower
+    * `graft.t24.rounds` — the repo's loud-miss convention, chosen so a
+    * mis-sized rounds setting can never silently ship a shorter merge
+    * table than the operator configured. */
   private[graft] def T24Rounds: Int =
     sys.props.get("graft.t24.rounds")
       .orElse(sys.env.get("SPARK_GRAFT_T24_ROUNDS"))
@@ -1236,7 +1249,13 @@ object TextAnalysis {
       case "shuffle"   => false
       // the count action runs against the training loop's checkpointed
       // word table (one block-scan job), and is exactly the statistic
-      // the broadcast decision needs — never guess what you can measure
+      // the broadcast decision needs — never guess what you can measure.
+      // Known trade (ADVICE r19): this makes DataFrame CONSTRUCTION
+      // eager in auto mode — a plan-only caller (explain tooling) pays
+      // the training loop before any action. Accepted: the alternative
+      // (deciding at first action) would need a custom plan node, and
+      // the training loop is already eager through its per-round
+      // localCheckpoints — construction cost is the loop, not the count
       case _           => trained.count() <= T25DictBroadcastMaxRows
     }
     val dict = if (useBroadcast) broadcast(trained)
@@ -1426,7 +1445,17 @@ object TextAnalysis {
   }
 
   /** One positional merge round of the BPE oracle (see [[t24OracleSql]]'s
-    * map entry comment for the greedy-rule replay). */
+    * map entry comment for the greedy-rule replay). The multiply-
+    * referenced CTEs are `AS MATERIALIZED` (r20, ADVICE r19): DuckDB
+    * inlines plain CTEs once PER REFERENCE, and posx$r/win$r feed three
+    * consumers each while keep$r/syms$r feed two — so the plain form
+    * expanded the corpus-scan subtree ~3^R-fold and the elevated-rounds
+    * oracle replay hit the exact exponential failure t26's oracle
+    * documents (the engine-side twin is [[bpeRounds]]'s per-round
+    * localCheckpoint). With the materialization the rounds seam's
+    * "oracle stays armed at any setting" claim is actually true:
+    * replay cost is linear in R (measured at R=16 in the r20 self-
+    * check, where the plain form did not finish). */
   private def bpeRoundCte(r: Int): String = {
       val prev = s"syms${r - 1}"
       s"""pos$r AS (
@@ -1434,12 +1463,12 @@ object TextAnalysis {
          |         unnest(generate_series(1, len(syms))) AS i
          |  FROM $prev
          |),
-         |posx$r AS (
+         |posx$r AS MATERIALIZED (
          |  SELECT word, freq, i, syms[i] AS s,
          |         lead(syms[i]) OVER (PARTITION BY word ORDER BY i) AS nxt
          |  FROM pos$r
          |),
-         |win$r AS (
+         |win$r AS MATERIALIZED (
          |  SELECT s AS lsym, nxt AS rsym,
          |         CAST(sum(freq) AS BIGINT) AS pair_count
          |  FROM posx$r WHERE nxt IS NOT NULL
@@ -1450,7 +1479,7 @@ object TextAnalysis {
          |  SELECT x.word, x.i FROM posx$r x, win$r w
          |  WHERE x.s = w.lsym AND x.nxt = w.rsym
          |),
-         |keep$r AS (
+         |keep$r AS MATERIALIZED (
          |  SELECT word, i FROM (
          |    SELECT word, i,
          |           row_number() OVER (PARTITION BY word, grp
@@ -1463,7 +1492,7 @@ object TextAnalysis {
          |    )
          |  ) WHERE rn % 2 = 1
          |),
-         |syms$r AS (
+         |syms$r AS MATERIALIZED (
          |  SELECT p.word, max(p.freq) AS freq,
          |         list(CASE WHEN k1.i IS NOT NULL THEN w.lsym || w.rsym
          |                   ELSE p.s END ORDER BY p.i) AS syms
