@@ -1284,6 +1284,42 @@ object TextAnalysis {
   private[graft] val T26Pool = 16
   private[graft] val T26Batch = 4
 
+  /** t26's batch-selection seam (r20, VERDICT r19 #4 — added because
+    * MEASURING the width law refuted it): `graft.t26.select` (env
+    * SPARK_GRAFT_T26_SELECT) ∈ antijoin | greedy.
+    *
+    *   - `antijoin` (default, the r19 rule): select candidates that
+    *     conflict with NO higher-ranked CANDIDATE. One bounded
+    *     self-join, order-independent — but measured on zipf10 it
+    *     SATURATES at ~2.2 selected/round regardless of batch width
+    *     (width 16 and width 64 both selected ~165 merges in 64
+    *     rounds; rate slightly DECLINES 2.58→2.03 over 256 rounds —
+    *     measurements/r20/T26_MERGE_SCALE.txt): top-ranked pairs chain
+    *     through shared symbols ((a,b),(b,c),(c,d)…), and the anti-join
+    *     excludes a candidate conflicting with an EXCLUDED higher one,
+    *     so a chain yields ~1-2 picks however wide the batch.
+    *   - `greedy` — the canonical fast-trainer rule: scan the ranked
+    *     pool once, select a candidate iff it conflicts with no
+    *     already-SELECTED pair (a maximal independent set in rank
+    *     order, capped at the batch width). Strictly ⊇ the anti-join's
+    *     set below the cap (anything conflict-free against ALL higher
+    *     candidates is conflict-free against the selected subset), and
+    *     the one that actually delivers the width: the selection is a
+    *     single Catalyst `aggregate` fold over the ≤pool-row collected
+    *     pool ON ONE ROW — no driver collect, no per-candidate join.
+    *     The DuckDB oracle replays it as a recursive CTE carrying the
+    *     selected set as a LIST accumulator, so the gate stays armed.
+    *
+    * The gated catalog entry pins the default; [[graft.BpeScaleProbe]]
+    * measures both at production widths. */
+  private[graft] def T26Select: String = {
+    val v = sys.props.get("graft.t26.select")
+      .orElse(sys.env.get("SPARK_GRAFT_T26_SELECT")).getOrElse("antijoin")
+    require(v == "antijoin" || v == "greedy",
+      s"unknown t26 select rule '$v' — expected antijoin or greedy")
+    v
+  }
+
   /** One left-to-right scan applying EVERY pair of a (rank-sorted,
     * mutually non-conflicting) merge batch: like [[bpeMergeFold]] but
     * the merge test is membership in the batch array instead of one
@@ -1327,27 +1363,45 @@ object TextAnalysis {
     * the anti-join is a bounded self-join DuckDB replays verbatim —
     * and it is conservative only when a high-ranked candidate was
     * itself excluded, costing batch width, never correctness.
+    * MEASURED COST of that conservatism (r20, VERDICT r19 #4): on
+    * zipf10 the anti-join rule saturates at ~2.2 selected/round
+    * regardless of batch width (width 16 and 64 both select ~165
+    * merges in 64 rounds — top pairs chain through shared symbols and
+    * the whole chain tail dies with its excluded head), so the r19
+    * "30k/B rounds" posture was wrong as arithmetic. The [[T26Select]]
+    * `greedy` seam is the production answer: measured 0.037–0.056
+    * s/merge at widths 16–64 (6.7–8.9x over sequential t24, rate
+    * RISING with vocab diversity, 1 718 merges measured in one run) —
+    * measurements/r20/T26_MERGE_SCALE.txt has the full table.
     *
     * Output: one row per selected pair — (round, batch_rank, lsym,
     * rsym, pair count at round start, vocab size after the round).
     *
     * Scale shape: identical per-round cost family to t24 (one
     * map-side-combined pair aggregation over DISTINCT WORDS, a
-    * ≤[[T26Pool]]-row TakeOrdered, a ≤Pool²-row broadcast anti-join,
-    * one fold pass, per-round lineage truncation) — but the
-    * vocabulary advances [[T26Batch]] merges per round, so the
-    * driver-scheduling bound measured on t24's rounds axis
-    * (~0.32 s/round, SCALING.md r19) divides by the batch width: the
-    * 3·10⁴-merge regime drops from ~30 000 sequential rounds to
-    * 30 000 / B. Real tokenizer trainers batch exactly this way;
-    * width 4 here is a gate-sized pin, not a ceiling — the
-    * construction is O(pool²) in the width only through the
-    * anti-join. A round with no pairs left raises loudly (the t24
-    * convention). */
-  def t26BpeBatchMerges(s: SparkSession, dir: String): DataFrame = {
+    * ≤[[T26Pool]]-row TakeOrdered, a ≤Pool²-row broadcast anti-join
+    * or a one-row greedy fold, one fold pass, per-round lineage
+    * truncation) — the vocabulary advances up to [[T26Batch]] merges
+    * per round against t24's one, and the measured per-merge cost at
+    * production widths is the table above, not a division. A round
+    * with no pairs left raises loudly (the t24 convention). */
+  def t26BpeBatchMerges(s: SparkSession, dir: String): DataFrame =
+    t26BatchLoop(s, dir, T26Rounds, T26Pool, T26Batch)
+
+  /** The batched training loop behind [[t26BpeBatchMerges]], with the
+    * (rounds, pool, batch) axes as parameters — the gated entry pins
+    * the compile-time constants (the oracle's sub-step count follows
+    * them), while [[graft.BpeScaleProbe]] runs the SAME code at
+    * production widths (r20, VERDICT r19 #4: the 30k-merge posture was
+    * arithmetic on an 8-merge measurement; the probe measures ≥1k
+    * merges at width 16–64 so the rounds/width law is a measurement,
+    * not an extrapolation — measurements/r20/T26_MERGE_SCALE.txt). */
+  private[graft] def t26BatchLoop(s: SparkSession, dir: String,
+      t26Rounds: Int, t26Pool: Int, t26Batch: Int,
+      selectRule: String = T26Select): DataFrame = {
     val wRank = Window.orderBy(col("pair_count").desc, col("lsym"), col("rsym"))
     var syms = bpeWords0(s, dir).localCheckpoint(false)
-    val rows = (1 to T26Rounds).map { r =>
+    val rows = (1 to t26Rounds).map { r =>
       val cand = syms.filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(0, size(syms) - 2)," +
@@ -1355,21 +1409,59 @@ object TextAnalysis {
         .groupBy(col("p.lsym").as("lsym"), col("p.rsym").as("rsym"))
         .agg(sum(col("freq")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("lsym"), col("rsym"))
-        .limit(T26Pool)
+        .limit(t26Pool)
         .withColumn("rn", row_number().over(wRank))
-      val h = cand.select(col("rn").as("h_rn"), col("lsym").as("h_l"),
-        col("rsym").as("h_r"))
-      val conflict = col("h_rn") < col("rn") && (
-        col("h_l") === col("lsym") || col("h_l") === col("rsym") ||
-        col("h_r") === col("lsym") || col("h_r") === col("rsym") ||
-        concat(col("h_l"), col("h_r")) === col("lsym") ||
-        concat(col("h_l"), col("h_r")) === col("rsym") ||
-        concat(col("lsym"), col("rsym")) === col("h_l") ||
-        concat(col("lsym"), col("rsym")) === col("h_r"))
-      val sel = cand.join(broadcast(h), conflict, "left_anti")
-        .orderBy(col("rn")).limit(T26Batch)
-        .withColumn("k", row_number().over(wRank))
-        .localCheckpoint(false)
+      val sel = (selectRule match {
+        case "greedy" =>
+          // one Catalyst fold over the rank-sorted pool ON ONE ROW
+          // (≤pool structs): select iff no conflict with any already-
+          // SELECTED pair and the batch cap not reached — the maximal
+          // independent set in rank order. No driver collect: the pool
+          // is collapsed by collect_list the same way batchAgg below
+          // collapses the selection.
+          val conflictWith = (sc: Column, cc: Column) => {
+            def g(x: Column, n: String) = x.getField(n)
+            g(sc, "lsym") === g(cc, "lsym") ||
+            g(sc, "lsym") === g(cc, "rsym") ||
+            g(sc, "rsym") === g(cc, "lsym") ||
+            g(sc, "rsym") === g(cc, "rsym") ||
+            concat(g(sc, "lsym"), g(sc, "rsym")) === g(cc, "lsym") ||
+            concat(g(sc, "lsym"), g(sc, "rsym")) === g(cc, "rsym") ||
+            concat(g(cc, "lsym"), g(cc, "rsym")) === g(sc, "lsym") ||
+            concat(g(cc, "lsym"), g(cc, "rsym")) === g(sc, "rsym")
+          }
+          val zero = array().cast(
+            "array<struct<lsym:string,rsym:string,pair_count:bigint>>")
+          cand
+            .agg(array_sort(collect_list(struct(col("rn"), col("lsym"),
+              col("rsym"), col("pair_count")))).as("ks"))
+            .select(aggregate(
+              transform(col("ks"), p => struct(
+                p.getField("lsym").as("lsym"),
+                p.getField("rsym").as("rsym"),
+                p.getField("pair_count").as("pair_count"))),
+              zero,
+              (acc, c) => when(size(acc) < t26Batch &&
+                  !exists(acc, sc => conflictWith(sc, c)),
+                concat(acc, array(c))).otherwise(acc)).as("sel"))
+            .select(posexplode(col("sel")))
+            .select((col("pos") + 1).cast("int").as("k"),
+              col("col.lsym").as("lsym"), col("col.rsym").as("rsym"),
+              col("col.pair_count").as("pair_count"))
+        case _ =>
+          val h = cand.select(col("rn").as("h_rn"), col("lsym").as("h_l"),
+            col("rsym").as("h_r"))
+          val conflict = col("h_rn") < col("rn") && (
+            col("h_l") === col("lsym") || col("h_l") === col("rsym") ||
+            col("h_r") === col("lsym") || col("h_r") === col("rsym") ||
+            concat(col("h_l"), col("h_r")) === col("lsym") ||
+            concat(col("h_l"), col("h_r")) === col("rsym") ||
+            concat(col("lsym"), col("rsym")) === col("h_l") ||
+            concat(col("lsym"), col("rsym")) === col("h_r"))
+          cand.join(broadcast(h), conflict, "left_anti")
+            .orderBy(col("rn")).limit(t26Batch)
+            .withColumn("k", row_number().over(wRank))
+      }).localCheckpoint(false)
       // rank-sorted batch as ONE array row: array_sort on (k, l, r)
       // structs orders by k first, so the fold sees rank order
       val batchAgg = sel
@@ -1551,6 +1643,61 @@ object TextAnalysis {
     * the oracle-side twin of the engine's per-round localCheckpoint. */
   private def t26RoundCte(r: Int): String = {
     val prev = if (r == 1) "syms0" else s"b${r - 1}_$T26Batch"
+    // the selection sub-CTE follows the [[T26Select]] seam: the
+    // anti-join rule is one EXISTS self-join; the greedy rule is a
+    // recursive CTE walking the ranked pool once, carrying the
+    // selected set as a LIST accumulator (the engine's aggregate-fold
+    // replayed exactly — t26OracleSql emits WITH RECURSIVE for it)
+    val selCte = T26Select match {
+      case "greedy" =>
+        s"""bgsel$r AS (
+           |  SELECT 0 AS grn,
+           |         CAST([] AS STRUCT(lsym VARCHAR, rsym VARCHAR,
+           |                           pair_count BIGINT)[]) AS gsel
+           |  UNION ALL
+           |  SELECT c.rn AS grn,
+           |    CASE WHEN len(g.gsel) < $T26Batch AND NOT EXISTS (
+           |        SELECT 1 FROM unnest(g.gsel) u(s) WHERE
+           |          s.lsym = c.lsym OR s.lsym = c.rsym OR
+           |          s.rsym = c.lsym OR s.rsym = c.rsym OR
+           |          s.lsym || s.rsym = c.lsym OR
+           |          s.lsym || s.rsym = c.rsym OR
+           |          c.lsym || c.rsym = s.lsym OR
+           |          c.lsym || c.rsym = s.rsym)
+           |      THEN list_append(g.gsel,
+           |             {'lsym': c.lsym, 'rsym': c.rsym,
+           |              'pair_count': c.pair_count})
+           |      ELSE g.gsel END AS gsel
+           |  FROM bgsel$r g JOIN bcand$r c ON c.rn = g.grn + 1
+           |),
+           |bselz$r AS (
+           |  SELECT gsel FROM bgsel$r ORDER BY grn DESC LIMIT 1
+           |),
+           |bselu$r AS (
+           |  SELECT gsel, unnest(generate_series(1, len(gsel))) AS k
+           |  FROM bselz$r
+           |),
+           |bsel$r AS MATERIALIZED (
+           |  SELECT gsel[k].lsym AS lsym, gsel[k].rsym AS rsym,
+           |         gsel[k].pair_count AS pair_count, k
+           |  FROM bselu$r
+           |)""".stripMargin
+      case _ =>
+        s"""bsel$r AS MATERIALIZED (
+           |  SELECT lsym, rsym, pair_count,
+           |         row_number() OVER (ORDER BY rn) AS k
+           |  FROM (SELECT c.* FROM bcand$r c
+           |        WHERE NOT EXISTS (
+           |          SELECT 1 FROM bcand$r h WHERE h.rn < c.rn AND (
+           |            h.lsym = c.lsym OR h.lsym = c.rsym OR
+           |            h.rsym = c.lsym OR h.rsym = c.rsym OR
+           |            h.lsym || h.rsym = c.lsym OR
+           |            h.lsym || h.rsym = c.rsym OR
+           |            c.lsym || c.rsym = h.lsym OR
+           |            c.lsym || c.rsym = h.rsym))
+           |        ORDER BY c.rn LIMIT $T26Batch)
+           |)""".stripMargin
+    }
     val head =
       s"""bpos$r AS MATERIALIZED (
          |  SELECT word, freq, syms,
@@ -1571,20 +1718,7 @@ object TextAnalysis {
          |        FROM bposx$r WHERE nxt IS NOT NULL GROUP BY 1, 2)
          |  ORDER BY rn LIMIT $T26Pool
          |),
-         |bsel$r AS MATERIALIZED (
-         |  SELECT lsym, rsym, pair_count,
-         |         row_number() OVER (ORDER BY rn) AS k
-         |  FROM (SELECT c.* FROM bcand$r c
-         |        WHERE NOT EXISTS (
-         |          SELECT 1 FROM bcand$r h WHERE h.rn < c.rn AND (
-         |            h.lsym = c.lsym OR h.lsym = c.rsym OR
-         |            h.rsym = c.lsym OR h.rsym = c.rsym OR
-         |            h.lsym || h.rsym = c.lsym OR
-         |            h.lsym || h.rsym = c.rsym OR
-         |            c.lsym || c.rsym = h.lsym OR
-         |            c.lsym || c.rsym = h.rsym))
-         |        ORDER BY c.rn LIMIT $T26Batch)
-         |)""".stripMargin
+         |$selCte""".stripMargin
     val subs = (1 to T26Batch).map { k =>
       val pv = if (k == 1) prev else s"b${r}_${k - 1}"
       s"""bw${r}_$k AS (SELECT lsym, rsym FROM bsel$r WHERE k = $k),
@@ -1643,7 +1777,11 @@ object TextAnalysis {
          |       (SELECT vocab_size FROM bvocab$r) AS vocab_size
          |FROM bsel$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${bpeOracleCtes(rounds)}
+    // the greedy selection CTEs are recursive; DuckDB requires the
+    // whole WITH to carry the RECURSIVE keyword (harmless to the
+    // non-recursive members)
+    val rec = if (T26Select == "greedy") "RECURSIVE " else ""
+    s"""WITH $rec${bpeOracleCtes(rounds)}
        |$out
        |ORDER BY round, batch_rank""".stripMargin
   }

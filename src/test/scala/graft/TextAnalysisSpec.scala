@@ -634,7 +634,8 @@ class TextAnalysisSpec extends SparkSpec {
   // sequentially in rank order (the oracle's sub-step semantics — equal
   // to the engine's single scan by the non-conflict invariant)
   private def refBatchBpe(words: Map[String, Long], rounds: Int,
-      pool: Int, batch: Int): Seq[(Int, Long, String, String, Long, Long)] = {
+      pool: Int, batch: Int,
+      greedy: Boolean = false): Seq[(Int, Long, String, String, Long, Long)] = {
     var syms: Map[String, (List[String], Long)] =
       words.map { case (w, f) => (w, (w.map(_.toString).toList, f)) }
     (1 to rounds).flatMap { r =>
@@ -649,9 +650,20 @@ class TextAnalysisSpec extends SparkSpec {
         Set(al, ar).intersect(Set(bl, br)).nonEmpty ||
           al + ar == bl || al + ar == br || bl + br == al || bl + br == ar
       }
-      val sel = cand.zipWithIndex.filter { case ((p, _), idx) =>
-        !cand.take(idx).exists { case (hp, _) => confl(hp, p) }
-      }.take(batch).map(_._1)
+      // greedy: no conflict with any already-SELECTED pair (maximal
+      // independent set in rank order); antijoin: no conflict with any
+      // higher-ranked CANDIDATE (the r19 rule)
+      val sel =
+        if (greedy)
+          cand.foldLeft(Seq.empty[((String, String), Long)]) {
+            case (acc, (p, c)) =>
+              if (acc.size < batch &&
+                  !acc.exists { case (sp, _) => confl(sp, p) }) acc :+ (p, c)
+              else acc
+          }
+        else cand.zipWithIndex.filter { case ((p, _), idx) =>
+          !cand.take(idx).exists { case (hp, _) => confl(hp, p) }
+        }.take(batch).map(_._1)
       sel.foreach { case ((l, rr), _) =>
         def merge(s: List[String]): List[String] = s match {
           case a :: b :: rest if a == l && b == rr => (a + b) :: merge(rest)
@@ -712,6 +724,60 @@ class TextAnalysisSpec extends SparkSpec {
     // in round 1 while >1 pair IS selected
     val r1 = exp.filter(_._1 == 1)
     assert(r1.size > 1, "planted corpus selected only one pair")
+  }
+
+  test("t26 greedy selection seam: matches the independent greedy " +
+       "reference, strictly widens the anti-join selection on a chain " +
+       "corpus, and the anti-join set is always a subset") {
+    import spark.implicits._
+    // chain corpus: (a,b),(b,c),(c,d),(d,e) all tie at count 3 — the
+    // anti-join excludes (c,d) because it conflicts with the EXCLUDED
+    // candidate (b,c); greedy keeps it (no conflict with selected
+    // (a,b)). (x,y) is disjoint and co-selects under both rules.
+    val planted = Seq(
+      (0L, "abcde abcde abcde", "en", "s0", 17L),
+      (1L, "xy xy xy", "en", "s0", 8L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-t26g").toString
+    planted.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val plantedWords = planted.flatMap(_._2.split(" "))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+    def engineRows(d: String) =
+      TextAnalysis.t26BpeBatchMerges(spark, d).collect().toSeq
+        .map(r => (r.getAs[Int]("round"), r.getAs[Long]("batch_rank"),
+          r.getAs[String]("lsym"), r.getAs[String]("rsym"),
+          r.getAs[Long]("pair_count"), r.getAs[Long]("vocab_size")))
+    val anti = engineRows(dir)
+    System.setProperty("graft.t26.select", "greedy")
+    try {
+      val greedy = engineRows(dir)
+      assert(greedy == refBatchBpe(plantedWords, TextAnalysis.T26Rounds,
+        TextAnalysis.T26Pool, TextAnalysis.T26Batch, greedy = true),
+        "greedy merge table diverged from the independent reference")
+      def pairsOf(rows: Seq[(Int, Long, String, String, Long, Long)],
+          round: Int) =
+        rows.filter(_._1 == round).map(t => (t._3, t._4)).toSet
+      // the planted chain: greedy round 1 must pick (c,d) on top of the
+      // anti-join's picks
+      assert(pairsOf(anti, 1).subsetOf(pairsOf(greedy, 1)),
+        s"anti-join round-1 picks not a subset: ${pairsOf(anti, 1)} vs " +
+          s"${pairsOf(greedy, 1)}")
+      assert(pairsOf(greedy, 1).size > pairsOf(anti, 1).size,
+        "greedy did not widen the chain-corpus selection")
+      assert(pairsOf(greedy, 1).contains(("c", "d")),
+        s"greedy round 1 missing the chain pick: ${pairsOf(greedy, 1)}")
+      // harness corpus: subset invariant holds below the batch cap
+      val antiH = engineRows(sfDir)
+      System.setProperty("graft.t26.select", "greedy")
+      val greedyH = engineRows(sfDir)
+      val r1a = pairsOf(antiH, 1); val r1g = pairsOf(greedyH, 1)
+      assert(r1a.size < TextAnalysis.T26Batch || r1g.size == r1a.size,
+        "cap semantics changed")
+      if (r1a.size < TextAnalysis.T26Batch)
+        assert(r1a.subsetOf(r1g),
+          s"harness round-1 subset violated: $r1a vs $r1g")
+    } finally System.clearProperty("graft.t26.select")
   }
 
   test("t26 loud empty round: a corpus of single-symbol words raises " +
