@@ -41,7 +41,19 @@ import graft.queries.Similarity
   * accepted counts, accepted-set overlap (any / same match), and the
   * mean cosine regret over the blocked-accepted set. This is the
   * instrument that CHOOSES the mining tier's operating point at depth;
-  * the decision row lands in SCALING.md. */
+  * the decision row lands in SCALING.md.
+  *
+  * `runMain graft.S11Probe <dir> <via> [sampleTarget] truth` (r20,
+  * VERDICT r19 #5) runs [[Similarity.s11TruthDifferential]] — the
+  * sampled-UNBLOCKED-truth comparison (t-side margin statistics over
+  * the FULL source slice) — and prints one JSON line grading BOTH the
+  * within-sample exact reference and the blocked tier under `via`
+  * directly against truth acceptance: accepted-set recall/precision
+  * per tier, the chained blocked-vs-exact recall for comparison (the
+  * d13 lesson: chaining misstates a tier), the margin bias of the
+  * within-sample protocol, and a pick-mismatch consistency count
+  * (structurally 0). Rows land in
+  * measurements/r20/S11_TRUTH_PROBE.jsonl. */
 object S11Probe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -79,6 +91,109 @@ object S11Probe {
           s""""overlap_same":${r.getAs[Long]("overlap_same")},""" +
           s""""mean_acc_regret":${fm(r.getAs[Any]("mean_acc_regret"))},""" +
           s""""total_sec":${"%.4f".formatLocal(java.util.Locale.ROOT, sec)}}""")
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.lift(3).contains("truth")) {
+      // sampled-truth mode (r20, VERDICT r19 #5 — the d13 lesson at
+      // s11): grade BOTH the within-sample exact reference and the
+      // blocked tier directly against unblocked truth margins (t-side
+      // statistics over the FULL source slice), so the chained
+      // protocol's own bias is priced alongside the tier
+      val t0 = System.nanoTime()
+      val d = Similarity.s11TruthDifferential(spark, dir, via, target)
+      val r = d.agg(
+        count(lit(1)).as("n_src"),
+        sum(when(col("truth_accepted"), 1L).otherwise(0L)).as("truth_acc"),
+        sum(when(col("exact_accepted"), 1L).otherwise(0L)).as("exact_acc"),
+        sum(when(col("accepted"), 1L).otherwise(0L)).as("blocked_acc"),
+        sum(when(col("exact_accepted") && col("truth_accepted"), 1L)
+          .otherwise(0L)).as("exact_and_truth"),
+        sum(when(col("accepted") && col("truth_accepted"), 1L)
+          .otherwise(0L)).as("blocked_and_truth"),
+        sum(when(col("accepted") && col("exact_accepted"), 1L)
+          .otherwise(0L)).as("blocked_and_exact"),
+        sum(when(col("agree_truth"), 1L).otherwise(0L)).as("agree_truth"),
+        sum(when(col("match_id") === -1L, 1L).otherwise(0L)).as("missed"),
+        round(avg(col("exact_margin") - col("truth_margin")), 4)
+          .as("margin_bias_mean"),
+        round(expr(
+          "percentile(abs(exact_margin - truth_margin), 0.9D)"), 4)
+          .as("margin_bias_p90"),
+        sum(when(col("exact_match") =!= col("truth_match"), 1L)
+          .otherwise(0L)).as("pick_mismatch"),
+        max(col("via")).as("via_resolved")).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = r.getAs[Long]("n_src")
+      def f(v: Double): String =
+        "%.4f".formatLocal(java.util.Locale.ROOT, v)
+      if (n == 0L) {
+        // empty sample: the avg/percentile aggregates are null and the
+        // getAs[Double] unboxing would NPE (the r17 lesson, same as the
+        // differential mode)
+        println(
+          s"""{"metric":"s11_truth","dir":"$dir","via":"$via",""" +
+          s""""sample_target":$target,"n_src":0,"empty_sample":true,""" +
+          s""""sec":${f(sec)}}""")
+        spark.stop()
+        return
+      }
+      def rat(a: Long, b: Long): String =
+        f(if (b == 0L) 1.0 else a.toDouble / b)
+      val tA = r.getAs[Long]("truth_acc")
+      val eA = r.getAs[Long]("exact_acc")
+      val bA = r.getAs[Long]("blocked_acc")
+      println(
+        s"""{"metric":"s11_truth","dir":"$dir","via":"$via",""" +
+        s""""via_resolved":"${r.getAs[String]("via_resolved")}",""" +
+        s""""sample_target":$target,"n_src":$n,""" +
+        s""""truth_accepted":$tA,"exact_accepted":$eA,""" +
+        s""""blocked_accepted":$bA,""" +
+        s""""exact_truth_recall":${rat(r.getAs[Long]("exact_and_truth"), tA)},""" +
+        s""""exact_truth_precision":${rat(r.getAs[Long]("exact_and_truth"), eA)},""" +
+        s""""blocked_truth_recall":${rat(r.getAs[Long]("blocked_and_truth"), tA)},""" +
+        s""""blocked_truth_precision":${rat(r.getAs[Long]("blocked_and_truth"), bA)},""" +
+        s""""blocked_exact_recall":${rat(r.getAs[Long]("blocked_and_exact"), eA)},""" +
+        s""""agree_truth":${r.getAs[Long]("agree_truth")},""" +
+        s""""missed":${r.getAs[Long]("missed")},""" +
+        s""""margin_bias_mean":${f(r.getAs[Double]("margin_bias_mean"))},""" +
+        s""""margin_bias_p90":${f(r.getAs[Double]("margin_bias_p90"))},""" +
+        s""""pick_mismatch":${r.getAs[Long]("pick_mismatch")},""" +
+        s""""sec":${f(sec)}}""")
+      // TRUTH-ANCHORED operating-point sweep (the r18 s16 sweep chose
+      // the blocked 1.02 threshold against the within-sample exact
+      // reference, which this probe shows over-accepts wholesale at
+      // depth): per candidate threshold, the blocked tier's accepted
+      // set graded against TRUTH acceptance — recall, precision, F1 —
+      // so the operating point can be re-chosen against an unbiased
+      // anchor. One extra aggregation over the same differential rows.
+      val sw = d.select(col("truth_accepted"), col("blocked_margin"),
+          explode(array(Similarity.S16Thresholds.map(lit(_)): _*))
+            .as("thr"))
+        .withColumn("bacc",
+          coalesce(col("blocked_margin") >= col("thr"), lit(false)))
+        .groupBy(col("thr"))
+        .agg(
+          sum(when(col("bacc"), 1L).otherwise(0L)).as("blocked_acc"),
+          sum(when(col("bacc") && col("truth_accepted"), 1L).otherwise(0L))
+            .as("both"),
+          sum(when(col("truth_accepted"), 1L).otherwise(0L)).as("truth_acc"))
+        .orderBy(col("thr")).collect()
+      sw.foreach { row =>
+        val thr = row.getAs[Double]("thr")
+        val ba = row.getAs[Long]("blocked_acc")
+        val both = row.getAs[Long]("both")
+        val ta = row.getAs[Long]("truth_acc")
+        val rec = if (ta == 0) 1.0 else both.toDouble / ta
+        val prec = if (ba == 0) 1.0 else both.toDouble / ba
+        val f1 = if (rec + prec == 0) 0.0 else 2 * rec * prec / (rec + prec)
+        println(
+          s"""{"metric":"s11_truth_sweep","dir":"$dir","via":"$via",""" +
+          s""""thr":${f(thr)},"blocked_accepted":$ba,""" +
+          s""""truth_recall":${f(rec)},"truth_precision":${f(prec)},""" +
+          s""""f1":${f(f1)}}""")
       }
       spark.stop()
       return

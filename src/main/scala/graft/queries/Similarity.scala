@@ -1088,6 +1088,102 @@ object Similarity {
         lit(resolved).as("via"))
   }
 
+  /** The s11 differential against sampled UNBLOCKED TRUTH (r20, VERDICT
+    * r19 #5 — the d13 lesson applied to the mining ladder): the r17
+    * instrument ([[s11Differential]]) grades blocked tiers against a
+    * WITHIN-SAMPLE exact reference, whose t-side neighborhood sums see
+    * only the sampled sources — a bias shared by both sides of that
+    * comparison, but a bias nonetheless, and d13's r19 probe showed the
+    * chained protocol can misstate a tier by ~0.05 recall. This
+    * instrument computes, for the same idMix-strided source sample, the
+    * TRUTH margin: the s-side statistic is already full-corpus-correct
+    * (top-[[S11MarginK]] over the FULL target slice — sampling sources
+    * never biases it), and the t-side statistic is recomputed for every
+    * picked target over the FULL source slice. The truth PICK equals
+    * the exact pick by construction (argmax cosine over the full target
+    * slice is neighborhood-free), so truth differs from the
+    * within-sample exact tier only in ACCEPTANCE — which is exactly the
+    * product (the accepted pair set).
+    *
+    * Cost shape (linear, the d13 sampled-truth rule): K·N_tgt for the
+    * pair matrix (shared with the within-sample side) plus
+    * |picked targets|·N_src for the truth t-side — never N_src·N_tgt.
+    *
+    * Returns one row per sampled source: the truth pick/margin/accept,
+    * the within-sample exact margin/accept (the chained instrument's
+    * reference, to price ITS bias), and the blocked tier's
+    * pick/margin/accept under `via`. Consumed by [[graft.S11Probe]]
+    * `truth`; rows land in measurements/r20/S11_TRUTH_PROBE.jsonl. */
+  private[graft] def s11TruthDifferential(s: SparkSession, dir: String,
+      via: String, sampleTarget: Long): DataFrame = {
+    val srcFull = s11Side(s, dir, S11SrcLang, "s_id", "s_emb")
+    val src =
+      if (sampleTarget <= 0L) srcFull
+      else {
+        val stride = math.max(1L, srcFull.count() / sampleTarget)
+        srcFull.filter(pmod(idMixOf(col("s_id")), lit(stride)) === 0)
+      }
+    val tgt = s11Side(s, dir, S11TgtLang, "t_id", "t_emb")
+    val resolved = via match {
+      case "auto" => s11AutoVia(dir, tgt)
+      case v      => v
+    }
+    // ONE materialized pair matrix feeds the within-sample exact
+    // margins AND the truth side's source statistic + pick
+    val pairs = graft.Materialize(s11ExactPairs(src, tgt))
+    val wS = Window.partitionBy(col("s_id"))
+      .orderBy(col("c4").desc, col("t_id").asc)
+    val rk = pairs.withColumn("rs", row_number().over(wS))
+    val aSrc = rk.filter(col("rs") <= S11MarginK).groupBy(col("s_id"))
+      .agg(sum(col("c4")).as("sa4"), count(lit(1)).as("na"))
+    val pick = rk.filter(col("rs") === 1)
+      .select(col("s_id"), col("t_id").as("pick_t"),
+        col("c4").as("pick_c4"))
+    val exact = s11MarginCore(pairs)
+      .select(col("s_id"), col("match_id").as("exact_match"),
+        col("margin").as("exact_margin"),
+        col("accepted").as("exact_accepted"))
+    val blocked = s11MarginCore(s11PairsFor(resolved, src, tgt),
+        s11ThresholdFor(resolved))
+      .select(col("s_id"), col("match_id"),
+        col("margin").as("blocked_margin"), col("accepted"))
+    // TRUTH t-side: each picked target's top-K cosine mass over the
+    // FULL source slice (≤ sample-many targets, broadcast; the join
+    // mass is |picked|·N_src — linear)
+    val tIds = pick.select(col("pick_t").as("t_id")).distinct()
+    val tgtSub = tgt.join(tIds, Seq("t_id"))
+    val tPairs = srcFull.join(broadcast(tgtSub), col("s_id") =!= col("t_id"))
+      .select(col("t_id"), col("s_id"),
+        round(cosine_sim(col("s_emb"), col("t_emb")) * 10000, 0)
+          .cast("long").as("c4"))
+    val wT = Window.partitionBy(col("t_id"))
+      .orderBy(col("c4").desc, col("s_id").asc)
+    val bT = tPairs.withColumn("rt", row_number().over(wT))
+      .filter(col("rt") <= S11MarginK)
+      .groupBy(col("t_id"))
+      .agg(sum(col("c4")).as("sb4t"), count(lit(1)).as("nbt"))
+    val denT = col("sa4") * col("nbt") + col("sb4t") * col("na")
+    pick
+      .join(aSrc, "s_id")
+      .join(bT.withColumnRenamed("t_id", "pick_t"), Seq("pick_t"))
+      .withColumn("truth_margin", when(denT > 0,
+        round((lit(2L) * col("pick_c4") * col("na") * col("nbt"))
+          .cast("double") / denT, 4)))
+      .withColumn("truth_accepted",
+        coalesce(col("truth_margin") >= S11Threshold, lit(false)))
+      .join(exact, Seq("s_id"))
+      .join(blocked, Seq("s_id"), "left")
+      .select(col("s_id"), col("pick_t").as("truth_match"),
+        col("truth_margin"), col("truth_accepted"),
+        col("exact_match"), col("exact_margin"), col("exact_accepted"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        col("blocked_margin"),
+        coalesce(col("accepted"), lit(false)).as("accepted"),
+        coalesce(col("match_id") === col("pick_t"), lit(false))
+          .as("agree_truth"),
+        lit(resolved).as("via"))
+  }
+
   /** s16's threshold grid — brackets the CCMatrix operating band around
     * [[S11Threshold]] (arXiv:1811.01136 mines at 1.05–1.06; lower
     * recovers acceptance, higher buys precision). */

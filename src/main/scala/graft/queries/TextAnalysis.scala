@@ -1388,6 +1388,15 @@ object TextAnalysis {
   def t26BpeBatchMerges(s: SparkSession, dir: String): DataFrame =
     t26BatchLoop(s, dir, T26Rounds, T26Pool, T26Batch)
 
+  /** t26b — the batched trainer under the GREEDY selection rule as its
+    * own gated entry (r20): same rounds/pool/batch pins as t26, but the
+    * selection is the maximal independent set in rank order (see
+    * [[T26Select]]) — the rule the width measurement chose for
+    * production — with its own recursive-CTE oracle, so the greedy
+    * path is driver-gated every round rather than only spec-pinned. */
+  def t26bBpeGreedyMerges(s: SparkSession, dir: String): DataFrame =
+    t26BatchLoop(s, dir, T26Rounds, T26Pool, T26Batch, "greedy")
+
   /** The batched training loop behind [[t26BpeBatchMerges]], with the
     * (rounds, pool, batch) axes as parameters — the gated entry pins
     * the compile-time constants (the oracle's sub-step count follows
@@ -1516,6 +1525,7 @@ object TextAnalysis {
     "t24_bpe_merges"        -> t24BpeMerges _,
     "t25_bpe_encode"        -> t25BpeEncode _,
     "t26_bpe_batch_merges"  -> t26BpeBatchMerges _,
+    "t26b_bpe_greedy_merges" -> t26bBpeGreedyMerges _,
   )
 
   /** The t24 oracle, built per round: DuckDB replays the greedy merge
@@ -1641,14 +1651,14 @@ object TextAnalysis {
     * — the un-materialized expansion re-opened the documents parquet
     * ~3^(rounds·batch) times ("too many open files" at 2×4 steps),
     * the oracle-side twin of the engine's per-round localCheckpoint. */
-  private def t26RoundCte(r: Int): String = {
+  private def t26RoundCte(r: Int, select: String): String = {
     val prev = if (r == 1) "syms0" else s"b${r - 1}_$T26Batch"
     // the selection sub-CTE follows the [[T26Select]] seam: the
     // anti-join rule is one EXISTS self-join; the greedy rule is a
     // recursive CTE walking the ranked pool once, carrying the
     // selected set as a LIST accumulator (the engine's aggregate-fold
     // replayed exactly — t26OracleSql emits WITH RECURSIVE for it)
-    val selCte = T26Select match {
+    val selCte = select match {
       case "greedy" =>
         s"""bgsel$r AS (
            |  SELECT 0 AS grn,
@@ -1770,8 +1780,10 @@ object TextAnalysis {
        |)""".stripMargin
   }
 
-  private def t26OracleSql: String = {
-    val rounds = (1 to T26Rounds).map(t26RoundCte).mkString(",\n")
+  private def t26OracleSql: String = t26OracleSqlFor(T26Select)
+
+  private def t26OracleSqlFor(select: String): String = {
+    val rounds = (1 to T26Rounds).map(t26RoundCte(_, select)).mkString(",\n")
     val out = (1 to T26Rounds).map { r =>
       s"""SELECT $r AS round, k AS batch_rank, lsym, rsym, pair_count,
          |       (SELECT vocab_size FROM bvocab$r) AS vocab_size
@@ -1780,7 +1792,7 @@ object TextAnalysis {
     // the greedy selection CTEs are recursive; DuckDB requires the
     // whole WITH to carry the RECURSIVE keyword (harmless to the
     // non-recursive members)
-    val rec = if (T26Select == "greedy") "RECURSIVE " else ""
+    val rec = if (select == "greedy") "RECURSIVE " else ""
     s"""WITH $rec${bpeOracleCtes(rounds)}
        |$out
        |ORDER BY round, batch_rank""".stripMargin
@@ -2344,5 +2356,6 @@ object TextAnalysis {
     "t24_bpe_merges" -> t24OracleSql,
     "t25_bpe_encode" -> t25OracleSql,
     "t26_bpe_batch_merges" -> t26OracleSql,
+    "t26b_bpe_greedy_merges" -> t26OracleSqlFor("greedy"),
   )
 }
