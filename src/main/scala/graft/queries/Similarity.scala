@@ -2877,23 +2877,53 @@ object Similarity {
        |ORDER BY p.q_id, p.cell""".stripMargin
 
   private def s14OracleSql: String = {
-    val S14Bits = 7 // = max(5, ceil(log2(ceil(500/4)/1))) on the harness corpora
-    val cb = (0 until NumTables).map { t =>
-      s"SELECT c_id, ${bucketsSqlN("c_emb", t, S14Bits)} AS bucket FROM flatcent"
-    }.mkString("\nUNION ALL\n")
-    val vb = (0 until NumTables).map { t =>
-      s"SELECT vec_id, ${bucketsSqlN("embedding", t, S14Bits)} AS bucket FROM en"
-    }.mkString("\nUNION ALL\n")
+    // The ADAPTIVE bit width is exactly what s14 gates, so the oracle
+    // must follow it across SFs, not pin one solved value (r20: the
+    // old hardcoded 7 matched the harness corpus and silently
+    // diverged at the sf0.1 two-scale replay, where the engine
+    // computes 9 — every candidate set was wrong while the REPORTED
+    // bucket_bits column, computed independently, read 9 on both
+    // sides). Bucket expressions are structural in the bit count
+    // (nb sign-plane terms, plane slice t*nb+b), so the oracle
+    // generates one branch per width in [BitsPerTable, 10] — covering
+    // every testdata SF (sf0.001/0.01/0.1 need 5/7/9; 10 allows
+    // corpora to 4096 vectors) — each branch killed by a scalar
+    // `bits` guard; a corpus needing a wider codebook fails LOUDLY
+    // through error() rather than replaying the wrong geometry.
+    val bitsLo = BitsPerTable
+    val bitsHi = 10
+    def side(from: String, idc: String, emb: String) =
+      (bitsLo to bitsHi).flatMap { nb =>
+        (0 until NumTables).map { t =>
+          s"SELECT $idc, ${bucketsSqlN(emb, t, nb)} AS bucket FROM $from" +
+            s" WHERE (SELECT bits FROM bitsv) = $nb"
+        }
+      }.mkString("\nUNION ALL\n")
+    val cb = side("flatcent", "c_id", "c_emb")
+    val vb = side("en", "vec_id", "embedding")
     s"""WITH $commonCtes,
+       |kv AS (
+       |  SELECT greatest($NumCentroids,
+       |      CAST(ceil(CAST((SELECT count(*) FROM en) AS DOUBLE)
+       |                / $S14CellTarget) AS BIGINT)) AS k
+       |),
+       |bitsv AS (
+       |  SELECT CASE WHEN b > $bitsHi THEN CAST(error(
+       |           's14 oracle: adaptive bits ' || b ||
+       |           ' beyond the generated branch range $bitsLo..$bitsHi')
+       |           AS BIGINT)
+       |         ELSE b END AS bits
+       |  FROM (SELECT greatest($BitsPerTable,
+       |          CAST(ceil(ln(CAST(k AS DOUBLE) / $S14TargetOcc)
+       |                    / ln(2)) AS BIGINT)) AS b FROM kv)
+       |),
        |flatcent AS (  -- the FLAT codebook: k = ceil(N / $S14CellTarget) idMix seeds
        |  SELECT c_id, c_emb, c_nrm FROM (
        |    SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm,
        |           row_number() OVER (
        |             ORDER BY (vec_id * $MixA + $MixB) % $MixM, vec_id) AS crn
        |    FROM en
-       |  ) WHERE crn <= greatest($NumCentroids,
-       |      CAST(ceil(CAST((SELECT count(*) FROM en) AS DOUBLE)
-       |                / $S14CellTarget) AS BIGINT))
+       |  ) WHERE crn <= (SELECT k FROM kv)
        |),
        |cb AS (
        |$cb
@@ -2942,9 +2972,7 @@ object Similarity {
        |       coalesce(p.n_cand, 0) AS n_cand,
        |       coalesce(p.c_id, -1) = x.cell AS flat_agree,
        |       (SELECT count(*) FROM flatcent) AS codebook_k,
-       |       greatest($BitsPerTable, CAST(ceil(log2(
-       |         CAST((SELECT count(*) FROM flatcent) AS DOUBLE)
-       |           / $S14TargetOcc)) AS BIGINT)) AS bucket_bits
+       |       (SELECT bits FROM bitsv) AS bucket_bits
        |FROM cells x
        |LEFT JOIN pick p USING (vec_id)
        |ORDER BY x.vec_id""".stripMargin
