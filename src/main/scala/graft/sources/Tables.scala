@@ -21,8 +21,29 @@ object Tables {
   val dimNames  = Seq("region", "nation", "customer", "supplier", "part")
   val allNames: Seq[String] = dimNames ++ factNames
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Lazy scan frames memoized per (session, file): `spark.read.parquet`
+    * re-lists the directory and re-reads the footer schema on EVERY call
+    * — measured at ~0.1 s of driver-side `ResolveDataSource` time per
+    * table per query build (ProfileQuery, r21), paid by every timed
+    * bench run of every query (some build the same scan 3×). The memo
+    * holds the resolved LAZY DataFrame only — no rows, no cache(): every
+    * action still scans the parquet — so this is plan-metadata reuse
+    * (what any long-lived Spark app gets from its catalog), not result
+    * caching. Keyed on the session so Verify/tests with their own
+    * sessions never share state; static harness inputs make staleness a
+    * non-issue — and the key still carries the file's (mtime, length) so
+    * a path REGENERATED in the same JVM (ScaleGen-style flows) gets a
+    * fresh FileIndex instead of a stale file list (the SharedStage memo
+    * convention; the stat is one syscall per call, ~µs). */
+  private val scans = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, Long), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    scans.computeIfAbsent((spark, path, f.lastModified(), f.length()),
+      k => k._1.read.parquet(k._2))
+  }
 
   def lineitem(s: SparkSession, dir: String): DataFrame   = apply(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "orders")
