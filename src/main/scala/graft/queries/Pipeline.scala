@@ -339,9 +339,14 @@ object Pipeline {
   private def semanticDrops(s: SparkSession, dir: String,
       staged: DataFrame): DataFrame = {
     val surv = staged.filter(col("d_pass")).select(col("doc_id").as("vec_id"))
+    // same (cell, sub) repartition pin as d13Core (r21): the survivor
+    // pair stage is the identical quadratic-per-key join, and AQE's
+    // byte-based coalescing serializes it the same way
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
     val scells = Dedup.boundedSubCells(
       Similarity.sharedCells(s, dir).join(surv, "vec_id"),
       Dedup.subCapFor(Dedup.resolveAssignVia(s, dir)))
+      .repartition(n, col("cell"), col("sub"))
     val a = scells.select(col("cell"), col("sub"), col("vec_id").as("kept_by"),
       col("embedding").as("emb_a"))
     val b = scells.select(col("cell").as("b_cell"), col("sub").as("b_sub"),
