@@ -398,7 +398,17 @@ object Bench {
         v > 0 && p.get(n).exists(_ > 0) }
       val curTot = matched.map(_._2).sum
       val oldTot = matched.flatMap { case (n, _) => p.get(n) }.sum
-      val med = if (ratios.isEmpty) Double.NaN else ratios(ratios.size / 2)
+      // true median (ADVICE r20): the upper-middle element alone biased
+      // the even-count statistic upward against the pinned 1.18
+      // threshold. The r20 calibration (worst same-code pair 1.124,
+      // shift 1.213 — ~6% separation) was derived under the upper-median
+      // convention; the interpolated median differs from it by at most
+      // half the gap between the two middle per-query ratios (≪1% on a
+      // 110-query population), so the pinned thresholds carry over.
+      val med =
+        if (ratios.isEmpty) Double.NaN
+        else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
       val tot = if (oldTot > 0) curTot / oldTot else Double.NaN
       (name, ratios.size, med, tot)
     }

@@ -1817,7 +1817,16 @@ object TextAnalysis {
        |),
        |$rounds""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  /** A `def`, not a `val` (ADVICE r20): t26's oracle embeds the
+    * [[T26Select]] seam value, and a val would snapshot it at
+    * object-initialization time while the ENGINE re-reads the property
+    * at each call — a harness that mutates `graft.t26.select` after this
+    * object initializes (as TextAnalysisSpec's greedy-seam test does)
+    * would silently desynchronize engine and oracle for the gated
+    * entry. Resolving at ACCESS time keeps both sides reading the same
+    * seam value; the map is built once per fetch, which Verify does
+    * once per run. */
+  def oracleSql: Map[String, String] = Map(
     "t1_token_count" ->
       """SELECT doc_id,
         |       len(string_split(text, ' ')) AS ws_tokens,

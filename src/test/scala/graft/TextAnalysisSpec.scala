@@ -767,7 +767,12 @@ class TextAnalysisSpec extends SparkSpec {
         "greedy did not widen the chain-corpus selection")
       assert(pairsOf(greedy, 1).contains(("c", "d")),
         s"greedy round 1 missing the chain pick: ${pairsOf(greedy, 1)}")
-      // harness corpus: subset invariant holds below the batch cap
+      // harness corpus: subset invariant holds below the batch cap.
+      // Clear the seam first (ADVICE r20): the property is still
+      // "greedy" from the chain-corpus half above, so without the clear
+      // antiH would ALSO run greedy and the subset/cap assertions below
+      // compare greedy against greedy — vacuous.
+      System.clearProperty("graft.t26.select")
       val antiH = engineRows(sfDir)
       System.setProperty("graft.t26.select", "greedy")
       val greedyH = engineRows(sfDir)
