@@ -653,7 +653,10 @@ object Bench {
     // spread map goes FIRST and the bar-query tail of `queries` plus the
     // small verdict-bearing fields (ab, calibration, regime, suspect,
     // regressions) go last, inside any plausible tail window
-    val json = s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","runs":${passCalib.size},"profile":"$profileJson","spread":$spreadJson,"queries":$qs,"ab":$abJson,"bar_over":$barOverJson,"calibration":$calibJson,"regime":"$regime","suspect":$suspect,"failures":$failJson,"prev":$prevJson,"regressions":$regJson,"total_guard":$guardJson}"""
+    // cpus + partitions stamped INSIDE the line (VERDICT r21 #2: the
+    // driver's scaling probe flagged suspect_cpus_ignored because the
+    // artifact itself didn't say what core count produced it)
+    val json = s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"shuffle_partitions":${BenchSupport.shufflePartitions(cpus)},"runs":${passCalib.size},"profile":"$profileJson","spread":$spreadJson,"queries":$qs,"ab":$abJson,"bar_over":$barOverJson,"calibration":$calibJson,"regime":"$regime","suspect":$suspect,"failures":$failJson,"prev":$prevJson,"regressions":$regJson,"total_guard":$guardJson}"""
     println(json)
     writeSelf(json, selfFile)
     spark.stop()

@@ -6,10 +6,20 @@ import org.apache.spark.sql.SparkSession
   * session config and the timing kernel cannot drift apart. */
 object BenchSupport {
 
+  /** Shuffle partition count: defaults to the core count (the committed
+    * local-mode convention every BENCH_r* was captured under), overridable
+    * via SPARK_GRAFT_SHUFFLE_PARTITIONS so a CORE-scaling probe can hold
+    * per-task work constant while varying cores (VERDICT r21 #2: with
+    * partitions == cpus, lowering cores also lowers partition count and
+    * the 8-vs-32-core ratio measures scheduling, not compute scaling —
+    * the probe was confounded by design). */
+  def shufflePartitions(cpus: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+
   def session(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions(cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is TIMESTAMP(NANOS); read the raw nanos as Long

@@ -183,20 +183,29 @@ object Similarity {
     bruteTopK(embeddings(s, dir)).orderBy(col("q_id"), col("rank"))
 
   /** Measured recall@K of an approximate result against the exact one —
-    * the honest quality metric for an ANN tier. */
+    * the honest quality metric for an ANN tier.
+    *
+    * ONE pass over `approx` (r22, guide §1.2/§7.2 "duplicated subtrees"):
+    * the old shape ran two aggregates over the approx subtree — a
+    * left-semi hit count and a returned count — so every ANN tier's
+    * whole candidate pipeline appeared TWICE in the plan (doubling both
+    * Catalyst planning time and, wherever AQE could not prove exchange
+    * reuse, execution). A left join against the brute top-K is exact
+    * here because brute has at most ONE row per (q_id, neighbor_id)
+    * (row_number ranks distinct pairs), so it cannot duplicate approx
+    * rows: count(*) is n_returned and count(hit) is the semi-join hit
+    * count, bit-identical to the old two-aggregate result. */
   private def recallVsBrute(e: DataFrame, approx: DataFrame,
       extraCols: Seq[Column]): DataFrame = {
     val brute = bruteTopK(e)
-      .select(col("q_id"), col("neighbor_id"))
-    val matches = approx.join(brute, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
-    val returned = approx.groupBy(col("q_id"))
-      .agg(count(lit(1)).as("n_returned"))
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+    val perQ = approx.join(brute, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_returned"), count(col("hit")).as("hits"))
     // anchor on the query list so a query whose probes found NO candidates
     // still reports (n_returned = 0, recall 0) instead of vanishing
     val base = querySet(e).select((col("q_id") +: extraCols): _*)
-    base.join(returned, Seq("q_id"), "left")
-      .join(matches, Seq("q_id"), "left")
+    base.join(perQ, Seq("q_id"), "left")
       .withColumn("n_returned", coalesce(col("n_returned"), lit(0L)))
       .withColumn("recall_at_10",
         round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4))
@@ -472,7 +481,14 @@ object Similarity {
     * every existing oracle pin stays on the seed path. */
   def s17IvfRefined(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    s2CoreWith(e, refineCentroids(centroids(e), e))
+    // Materialized like [[refineSeamed]]'s codebooks (r22, guide §7.2):
+    // s2CoreWith embeds the codebook twice (cell assignment + probe
+    // ranking) and recallVsBrute's consumers used to double that again —
+    // un-materialized, the refine's N·C assignment + 64-sum aggregate
+    // subtree appeared 4× in the plan, and s17 measured driver-planning
+    // bound (r21 profile: wall 2.2 s ≫ Σjob 0.9 ≫ Σtask 0.4, rules
+    // 0.26 s). The refined table is ≤C rows.
+    s2CoreWith(e, graft.Materialize(refineCentroids(centroids(e), e)))
   }
 
   /** [[s10ProbeSweep]] over the refined codebook (probe-only, never
@@ -2215,22 +2231,31 @@ object Similarity {
     }
     val codes = joined.groupBy(col("vec_id")).agg(codeAggs.head, codeAggs.tail: _*)
     // per-query ADC lookup table: dot of each query slice with each
-    // sub-centroid — NumQueries × NumCentroids rows, broadcast
+    // sub-centroid. Carried as ONE broadcast map column per query (r22,
+    // guide §7.2 duplicated-subtree cost: the previous shape joined a
+    // NumQueries × NumCentroids lut table FOUR times — once per
+    // subspace, each join embedding its own copy of the querySet × seeds
+    // subtree — so the plan carried 4 broadcast joins and 4 lut subtrees
+    // for what is a constant-size dictionary lookup). The map folds into
+    // the one existing per-query cross join; dp values are computed by
+    // the SAME dot_product expression over the same rows, so every
+    // looked-up double is bit-identical to the joined one and dpSum's
+    // accumulation order (m = 0..3) is unchanged.
     val q = querySet(e)
       .withColumn("q_nrm", sqrt(dot_product(col("q_emb"), col("q_emb"))))
-    val lut = q.join(broadcast(seeds), lit(true))
-      .select(col("q_id").as("l_qid") +: col("c_id").as("l_cid") +:
-        (0 until PqM).map(m =>
-          dot_product(pqSub(col("q_emb"), m), pqSub(col("c_emb"), m)).as(s"dp$m")): _*)
-    var adc = codes
-      .join(broadcast(q.select(col("q_id"), col("q_nrm"))), lit(true))
+    val lutEntry = struct(col("c_id"),
+      struct((0 until PqM).map(m =>
+        dot_product(pqSub(col("q_emb"), m), pqSub(col("c_emb"), m))
+          .as(s"dp$m")): _*))
+    val qLut = q.join(broadcast(seeds), lit(true))
+      .groupBy(col("q_id"), col("q_nrm"))
+      .agg(map_from_entries(collect_list(lutEntry)).as("lut"))
+    val adc = codes
+      .join(broadcast(qLut), lit(true))
       .filter(col("vec_id") =!= col("q_id"))
-    for (m <- 0 until PqM) {
-      val l = lut.select(col("l_qid").as(s"lq$m"), col("l_cid").as(s"lc$m"), col(s"dp$m"))
-      adc = adc.join(broadcast(l),
-        col("q_id") === col(s"lq$m") && col(s"k$m.id") === col(s"lc$m"))
-    }
-    val dpSum = (0 until PqM).map(m => col(s"dp$m")).reduce(_ + _)
+    val dpSum = (0 until PqM)
+      .map(m => element_at(col("lut"), col(s"k$m.id")).getField(s"dp$m"))
+      .reduce(_ + _)
     val csqSum = (0 until PqM).map(m => col(s"k$m.csq")).reduce(_ + _)
     val wShort = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)

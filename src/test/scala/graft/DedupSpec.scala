@@ -293,9 +293,9 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       finally dropMaterializedState()
     }
-    val base = run() // default: cache
+    val base = run() // default: localCheckpoint since r22
     assert(base.nonEmpty)
-    for (mode <- Seq("localCheckpoint", "none")) {
+    for (mode <- Seq("cache", "localCheckpoint", "none")) {
       sys.props(Materialize.Prop) = mode
       try assert(run() == base, s"materialize mode '$mode' diverged")
       finally sys.props.remove(Materialize.Prop)

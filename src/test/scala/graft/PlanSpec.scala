@@ -354,10 +354,17 @@ class PlanSpec extends SparkSpec {
       s"corpus text crossed an exchange in:\n$p")
   }
 
+  // The three s11 pins below force Materialize mode `none`: since r22 the
+  // default is localCheckpoint, whose LogicalRDD leaf hides the pinned
+  // structure (pair formation, shortlist, cap join) inside the checkpoint
+  // materialization — the executed shape is unchanged, but explain() can
+  // only show it on the fully-expanded plan.
   test("r14 s11: the smaller language slice is broadcast into the pair " +
        "matrix; after pair formation only (ids, c4) cross exchanges — " +
        "the 256-float embeddings never shuffle") {
-    val p = plan(Similarity.s11BitextMargin(spark, sfDir))
+    System.setProperty(graft.Materialize.Prop, "none")
+    val p = try plan(Similarity.s11BitextMargin(spark, sfDir))
+      finally System.clearProperty(graft.Materialize.Prop)
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"),
       s"src slice not broadcast into the pair matrix:\n$p")
@@ -374,6 +381,7 @@ class PlanSpec extends SparkSpec {
        "sort+limit and the margin stage's input is O(N_src·P·K) " +
        "regardless of cell size") {
     System.setProperty("graft.s11.via", "ivf")
+    System.setProperty(graft.Materialize.Prop, "none")
     try {
       val p = plan(Similarity.s11BitextMargin(spark, sfDir))
       val lines = p.linesIterator.toSeq
@@ -387,7 +395,10 @@ class PlanSpec extends SparkSpec {
       val exchAt = below.indexWhere(l => l.contains("Exchange"))
       assert(joinAt >= 0 && (exchAt < 0 || exchAt > joinAt),
         s"an exchange crept between the cell join and the shortlist:\n$p")
-    } finally System.clearProperty("graft.s11.via")
+    } finally {
+      System.clearProperty("graft.s11.via")
+      System.clearProperty(graft.Materialize.Prop)
+    }
   }
 
   test("whole-stage codegen covers the scan->project hot path of t2") {
@@ -405,8 +416,12 @@ class PlanSpec extends SparkSpec {
        "nested-loop shape is gone, and the shortlist's WindowGroupLimit " +
        "survives the capped join") {
     System.setProperty("graft.s11.via", "flat")
+    System.setProperty(graft.Materialize.Prop, "none")
     val p = try plan(Similarity.s11BitextMargin(spark, sfDir))
-      finally System.clearProperty("graft.s11.via")
+      finally {
+        System.clearProperty("graft.s11.via")
+        System.clearProperty(graft.Materialize.Prop)
+      }
     // via=flat must actually leave the exact tier's broadcast
     // nested-loop src x tgt matrix
     assert(!p.contains("BroadcastNestedLoopJoin") &&
