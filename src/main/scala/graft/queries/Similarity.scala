@@ -2198,6 +2198,34 @@ object Similarity {
   private def pqSub(c: Column, m: Int): Column =
     slice(c, m * PqSubDim + 1, PqSubDim)
 
+  /** The per-query ADC lookup table — dot of each query slice with each
+    * sub-centroid — as ONE broadcastable row per query: (q_id, q_nrm,
+    * map from sub-centroid id to its [[PqM]] per-subspace dots). r22,
+    * guide §7.2 duplicated-subtree cost: the previous shape joined a
+    * NumQueries × NumCentroids lut TABLE once per subspace — 4 broadcast
+    * joins, each embedding its own copy of the querySet × codebook
+    * subtree — for what is a constant-size dictionary lookup. The map
+    * folds into the ONE per-query join the ADC scan already pays; dp
+    * values come from the same dot_product expressions over the same
+    * rows, so every looked-up double is bit-identical to the joined one.
+    * `q` must expose (q_id, q_nrm, q_emb); map keys are unique (c_id is
+    * the codebook key). */
+  private def pqQueryLut(q: DataFrame, cent: DataFrame): DataFrame = {
+    val entry = struct(col("c_id"),
+      struct((0 until PqM).map(m =>
+        dot_product(pqSub(col("q_emb"), m), pqSub(col("c_emb"), m))
+          .as(s"dp$m")): _*))
+    q.join(broadcast(cent), lit(true))
+      .groupBy(col("q_id"), col("q_nrm"))
+      .agg(map_from_entries(collect_list(entry)).as("lut"))
+  }
+
+  /** Σ over subspaces of the [[pqQueryLut]] lookup for this row's codes —
+    * accumulation order m = 0..PqM−1, identical to the old 4-join form. */
+  private def pqDpSum: Column = (0 until PqM)
+    .map(m => element_at(col("lut"), col(s"k$m.id")).getField(s"dp$m"))
+    .reduce(_ + _)
+
   /** s4 — product-quantization ANN: encode every vector as [[PqM]] small
     * codes (nearest sub-centroid per 16-dim slice, standard PQ argmin-L2
     * via the expanded form |c|² − 2·v·c), score candidates against a
@@ -2230,32 +2258,16 @@ object Similarity {
         struct(d2.as("d"), col("c_id").as("c"))).as(s"k$m")
     }
     val codes = joined.groupBy(col("vec_id")).agg(codeAggs.head, codeAggs.tail: _*)
-    // per-query ADC lookup table: dot of each query slice with each
-    // sub-centroid. Carried as ONE broadcast map column per query (r22,
-    // guide §7.2 duplicated-subtree cost: the previous shape joined a
-    // NumQueries × NumCentroids lut table FOUR times — once per
-    // subspace, each join embedding its own copy of the querySet × seeds
-    // subtree — so the plan carried 4 broadcast joins and 4 lut subtrees
-    // for what is a constant-size dictionary lookup). The map folds into
-    // the one existing per-query cross join; dp values are computed by
-    // the SAME dot_product expression over the same rows, so every
-    // looked-up double is bit-identical to the joined one and dpSum's
-    // accumulation order (m = 0..3) is unchanged.
+    // per-query ADC lookup table as ONE broadcast map column
+    // ([[pqQueryLut]] — r22): the previous shape joined a
+    // NumQueries × NumCentroids lut table FOUR times, once per subspace,
+    // each join embedding its own copy of the querySet × seeds subtree.
     val q = querySet(e)
       .withColumn("q_nrm", sqrt(dot_product(col("q_emb"), col("q_emb"))))
-    val lutEntry = struct(col("c_id"),
-      struct((0 until PqM).map(m =>
-        dot_product(pqSub(col("q_emb"), m), pqSub(col("c_emb"), m))
-          .as(s"dp$m")): _*))
-    val qLut = q.join(broadcast(seeds), lit(true))
-      .groupBy(col("q_id"), col("q_nrm"))
-      .agg(map_from_entries(collect_list(lutEntry)).as("lut"))
     val adc = codes
-      .join(broadcast(qLut), lit(true))
+      .join(broadcast(pqQueryLut(q, seeds)), lit(true))
       .filter(col("vec_id") =!= col("q_id"))
-    val dpSum = (0 until PqM)
-      .map(m => element_at(col("lut"), col(s"k$m.id")).getField(s"dp$m"))
-      .reduce(_ + _)
+    val dpSum = pqDpSum
     val csqSum = (0 until PqM).map(m => col(s"k$m.csq")).reduce(_ + _)
     val wShort = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
@@ -2421,23 +2433,17 @@ object Similarity {
     val codes = joined.groupBy(col("vec_id")).agg(codeAggs.head, codeAggs.tail: _*)
     val q = querySet(e)
       .withColumn("q_nrm", sqrt(dot_product(col("q_emb"), col("q_emb"))))
-    val lut = q.join(broadcast(cent), lit(true))
-      .select(col("q_id").as("l_qid") +: col("c_id").as("l_cid") +:
-        (0 until PqM).map(m =>
-          dot_product(pqSub(col("q_emb"), m), pqSub(col("c_emb"), m)).as(s"dp$m")): _*)
     // the composition: ADC scores ONLY vectors in the query's probed
-    // cells (the IVF cut applied before any code is read)
-    var adc = codes
+    // cells (the IVF cut applied before any code is read). The per-query
+    // lut rides the q_id join as ONE broadcast map column ([[pqQueryLut]]
+    // — r22; this replaces four per-subspace lut joins AND the separate
+    // q_nrm broadcast join).
+    val adc = codes
       .join(cells, "vec_id")
       .join(broadcast(probes), Seq("cell"))
-      .join(broadcast(q.select(col("q_id"), col("q_nrm"))), Seq("q_id"))
+      .join(broadcast(pqQueryLut(q, cent)), Seq("q_id"))
       .filter(col("vec_id") =!= col("q_id"))
-    for (m <- 0 until PqM) {
-      val l = lut.select(col("l_qid").as(s"lq$m"), col("l_cid").as(s"lc$m"), col(s"dp$m"))
-      adc = adc.join(broadcast(l),
-        col("q_id") === col(s"lq$m") && col(s"k$m.id") === col(s"lc$m"))
-    }
-    val dpSum = (0 until PqM).map(m => col(s"dp$m")).reduce(_ + _)
+    val dpSum = pqDpSum
     val csqSum = (0 until PqM).map(m => col(s"k$m.csq")).reduce(_ + _)
     val wShort = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
