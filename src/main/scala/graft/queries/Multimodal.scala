@@ -179,15 +179,18 @@ object Multimodal {
     * compares content-exact (hex + md5 fingerprint). */
   def m5ResizeThumb(s: SparkSession, dir: String): DataFrame = {
     val payload = col("text").cast("binary")
+    // the thumb/md5 kernels sit ABOVE the presentation sort so the range
+    // partitioner's sample pass only executes the bare scan (the t1
+    // sample-pass rule, TextAnalysis.t1TokenCount)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), length(payload).as("len"))
       .filter(col("len") > 0)
+      .orderBy(col("doc_id"))
       .select(col("doc_id"),
         expr("CAST(64 + pmod(len, 64) AS INT)").as("width"),
         expr("CAST(64 + pmod(len div 64, 64) AS INT)").as("height"),
         graft.functions.SketchFunctions.thumb_hex(col("text")).as("thumb_hex"))
       .withColumn("thumb_fp", md5(col("thumb_hex").cast("binary")))
-      .orderBy(col("doc_id"))
   }
 
   /** The 64-term hex-concat composition [[graft.functions.ThumbHex]]

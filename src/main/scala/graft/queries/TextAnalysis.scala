@@ -46,15 +46,31 @@ object TextAnalysis {
     * (`[a-z0-9]+` runs), and punctuation-ish residue (`[^a-z0-9 ]`). The
     * regex token count is the standard pre-tokenizer estimate for LLM
     * training budgets. */
+  /** Expensive per-row projections sit ABOVE the presentation sort (r22,
+    * guide §1.2 "don't compute things you throw away"): a global orderBy
+    * plans as a range exchange whose partitioner SAMPLES its child — the
+    * sample pass executes the full child plan and discards it, so any
+    * expensive projection below the sort is evaluated TWICE per row
+    * (measured on t1 at ScaleGen sf10: two 32-task stages of ~445 s task
+    * time each, one of them the sample). With the projection above the
+    * sort, the sampled child is the bare scan and the regex kernels run
+    * once. Trade-off, documented: the range exchange now carries `text`
+    * instead of three ints (§2.3 would prefer the narrow shuffle), but
+    * the duplicated compute costs ~0.9 ms/doc against ~0.5 µs/doc of
+    * extra exchange bytes — compute-once wins by three orders of
+    * magnitude, at every scale. Output rows, schema and order unchanged
+    * (the projection is a narrow, order-preserving map over the sorted
+    * stream). Same pattern: t2, t19, m5. */
   def t1TokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .orderBy(col("doc_id"))
       .select(
         col("doc_id"),
         size(words(col("text"))).as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z0-9]+")).as("word_tokens"),
         regexp_count(col("text"), lit("[^a-z0-9 ]")).as("punct_chars"),
         col("n_chars"))
-      .orderBy(col("doc_id"))
 
   /** Document quality scoring: length, average word length, stopword
     * ratio, punctuation ratio, folded into one bounded [0,1] score —
@@ -82,14 +98,16 @@ object TextAnalysis {
     val punctRatio =
       regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
         col("n_chars").cast("double")
+    // projection above the presentation sort — the t1 sample-pass rule
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .orderBy(col("doc_id"))
       .select(
         col("doc_id"),
         nWords.cast("int").as("n_words"),
         round(stopRatio, 4).as("stop_ratio"),
         round(punctRatio, 4).as("punct_ratio"),
         round(qualityExpr(col("text"), col("n_chars")), 4).as("quality"))
-      .orderBy(col("doc_id"))
   }
 
   /** Language identification by stopword-profile scoring (the classic
@@ -802,7 +820,10 @@ object TextAnalysis {
     val distinctRatio =
       size(array_distinct(w)).cast("double") / nWords.cast("double")
     val stops = stopHits(col("text"), stopEn)
+    // projection above the presentation sort — the t1 sample-pass rule
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
       .select(
         col("doc_id"),
         nWords.as("n_words"),
@@ -817,7 +838,6 @@ object TextAnalysis {
       .withColumn("pass",
         col("r_nwords") && col("r_meanlen") && col("r_stops") &&
           col("r_distinct"))
-      .orderBy(col("doc_id"))
   }
 
   /** t20's tail prune: bigrams seen fewer times are dropped AFTER the
